@@ -1,0 +1,186 @@
+"""Deterministic mention + triple extraction (SURVEY.md E1/E4).
+
+The reference extracts entities and (subj, pred, obj) facts per episode
+with LLM prompts (extract_nodes: node_operations.py:88-208; extract_edges:
+edge_operations.py:89-238). This engine replaces the LLM with a FROZEN
+gazetteer grammar over the corpus's closed vocabulary (config.py):
+
+  mention  := [ADJECTIVE] ENTITY_NOUN           (name = "adj noun" | "noun")
+  triple   := for every RELATION_VERB token v:
+                subj = nearest mention at position < v
+                obj  = nearest mention at position > v
+                pred = upper(verb); fact = "subj verb obj"
+              (skipped if either side is missing or subj == obj)
+
+Execution is 100% native Spark — posexplode + two window functions — so
+extraction stays inside whole-stage codegen with zero Python per row.
+The window partitions by episode uuid: per-partition work is bounded by
+document length, embarrassingly parallel, skew-free at any corpus size.
+
+extract_mentions_and_triples returns (mentions_df, triples_df) where
+  mentions_df: (episode_uuid, group_id, valid_at, name)     one row per
+               DISTINCT mention name per episode
+  triples_df:  (episode_uuid, group_id, valid_at, subj_name, pred,
+               obj_name, fact)                              distinct per episode
+
+A pure-Python twin (`extract_from_text`) encodes the same frozen grammar
+for expectation-set construction in tests (P/R harness) — the two are
+asserted equal in tests/test_extract.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphiti_spark.config import (
+    ADJECTIVES,
+    ADJECTIVES_SORTED,
+    ENTITY_NOUNS,
+    ENTITY_NOUNS_SORTED,
+    RELATION_VERBS,
+    RELATION_VERBS_SORTED,
+)
+
+# ----------------------------------------------------------- pure python --
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in text.split() if t]
+
+
+def extract_from_text(text: str) -> tuple[list[str], list[tuple[str, str, str, str]]]:
+    """Frozen-grammar extraction of one document.
+
+    Returns (distinct mention names in first-occurrence order,
+             distinct (subj, pred, obj, fact) in first-occurrence order).
+    """
+    toks = tokenize(text)
+    mention_at: dict[int, str] = {}
+    for i, tok in enumerate(toks):
+        if tok in ENTITY_NOUNS:
+            if i > 0 and toks[i - 1] in ADJECTIVES:
+                mention_at[i] = f"{toks[i - 1]} {tok}"
+            else:
+                mention_at[i] = tok
+
+    mentions: list[str] = []
+    seen_m: set[str] = set()
+    for i in sorted(mention_at):
+        name = mention_at[i]
+        if name not in seen_m:
+            seen_m.add(name)
+            mentions.append(name)
+
+    positions = sorted(mention_at)
+    triples: list[tuple[str, str, str, str]] = []
+    seen_t: set[tuple[str, str, str]] = set()
+    for v, tok in enumerate(toks):
+        if tok not in RELATION_VERBS:
+            continue
+        prev = [p for p in positions if p < v]
+        nxt = [p for p in positions if p > v]
+        if not prev or not nxt:
+            continue
+        subj = mention_at[prev[-1]]
+        obj = mention_at[nxt[0]]
+        if subj == obj:
+            continue
+        key = (subj, tok.upper(), obj)
+        if key in seen_t:
+            continue
+        seen_t.add(key)
+        triples.append((subj, tok.upper(), obj, f"{subj} {tok} {obj}"))
+    return mentions, triples
+
+
+# ---------------------------------------------------------------- spark ---
+
+
+def tokens_df(episodes: DataFrame) -> DataFrame:
+    """episodes(uuid, group_id, valid_at, content) → one row per token with
+    its 0-based position and the previous token (for adjective attachment)."""
+    toks = F.split(F.trim(F.col("content")), r"\s+")
+    return (
+        episodes.select(
+            F.col("uuid").alias("episode_uuid"),
+            "group_id",
+            "valid_at",
+            toks.alias("toks"),
+        )
+        .select(
+            "episode_uuid",
+            "group_id",
+            "valid_at",
+            F.posexplode("toks").alias("pos", "tok"),
+            # element_at is 1-based → index `pos` is the previous token.
+            F.when(F.col("pos") > 0, F.element_at(F.col("toks"), F.col("pos")))
+            .otherwise(F.lit(None))
+            .alias("prev_tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def _mention_name_col():
+    is_noun = F.col("tok").isin(*ENTITY_NOUNS_SORTED)
+    prev_is_adj = F.col("prev_tok").isin(*ADJECTIVES_SORTED)
+    return F.when(
+        is_noun & prev_is_adj, F.concat_ws(" ", F.col("prev_tok"), F.col("tok"))
+    ).when(is_noun, F.col("tok"))
+
+
+def extract_mentions_and_triples(
+    episodes: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Native-Spark twin of extract_from_text over the whole corpus."""
+    toks = tokens_df(episodes)
+    tagged = toks.withColumn("mention_name", _mention_name_col()).withColumn(
+        "is_verb", F.col("tok").isin(*RELATION_VERBS_SORTED)
+    )
+    # Only mention/verb rows participate in the windows.
+    stream = tagged.filter(
+        F.col("mention_name").isNotNull() | F.col("is_verb")
+    )
+
+    mentions = (
+        stream.filter(F.col("mention_name").isNotNull())
+        .select(
+            "episode_uuid",
+            "group_id",
+            "valid_at",
+            F.col("mention_name").alias("name"),
+        )
+        .dropDuplicates(["episode_uuid", "name"])
+    )
+
+    w = Window.partitionBy("episode_uuid").orderBy("pos")
+    subj = F.last("mention_name", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    obj = F.first("mention_name", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    triples = (
+        stream.withColumn("subj_name", subj)
+        .withColumn("obj_name", obj)
+        .filter(
+            F.col("is_verb")
+            & F.col("subj_name").isNotNull()
+            & F.col("obj_name").isNotNull()
+            & (F.col("subj_name") != F.col("obj_name"))
+        )
+        .select(
+            "episode_uuid",
+            "group_id",
+            "valid_at",
+            "subj_name",
+            F.upper(F.col("tok")).alias("pred"),
+            "obj_name",
+            F.concat_ws(" ", F.col("subj_name"), F.col("tok"), F.col("obj_name")).alias(
+                "fact"
+            ),
+        )
+        .dropDuplicates(["episode_uuid", "subj_name", "pred", "obj_name"])
+    )
+    return mentions, triples

@@ -1,0 +1,200 @@
+"""The end-to-end batch DAG: pages → canonical knowledge graph.
+
+This is the Spark-first reformulation of the reference's
+`add_episode_bulk` flow (graphiti_core/graphiti.py:826-1011; SURVEY.md
+§3.2): extract → block → resolve → CC-canonicalize → remap → temporal
+windows → materialize. Each stage is a declarative DataFrame program;
+stages can be checkpointed/resumed via lineage.materialize_stage.
+
+Stage map (SURVEY.md §2 operator ids):
+  pages          S1/S2 scan + E10 text extraction (pandas UDF, byte-identical)
+  episodes       EpisodicNode rows, uuid = sha256(url), valid_at = warc_ts
+  mentions+triples  E1/E4 frozen-grammar extraction (native windows)
+  entities       D1 exact canonicalization over distinct names
+  pairs          D2-D8' LSH blocking + Jaccard + embedding fallback
+  uuid_map       D13/D14 connected components, min-uuid canonical
+  nodes          canonical EntityNode rows + E8 summary + E9 embeddings
+  edges          D15 remap + D17 merge + T1-T3 invalidation windows
+  mention_edges  MENTIONS provenance edges
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark import ids
+from graphiti_spark.config import MAX_SUMMARY_CHARS, RunConfig
+from graphiti_spark.functions.embed import make_embed_udf
+from graphiti_spark.lineage import materialize_stage
+from graphiti_spark.operators.edges import (
+    build_mention_edges,
+    triples_to_edges,
+)
+from graphiti_spark.operators.extract import extract_mentions_and_triples
+from graphiti_spark.operators.resolve import (
+    canonical_uuid_map,
+    duplicate_pairs,
+    extracted_entities,
+)
+from graphiti_spark.operators.temporal import invalidate_edges
+from graphiti_spark.sources.pages import load_pages, pages_to_episodes
+from graphiti_spark.textnorm import truncate_at_sentence_col
+
+SUMMARY_TOP_FACTS = 5
+
+
+def build_nodes(
+    entities: DataFrame,
+    uuid_map: DataFrame,
+    edges: DataFrame,
+    run_ts,
+) -> DataFrame:
+    """Canonical EntityNode table (E8 summary + E9 embeddings).
+
+    Canonical identity: entities remapped through uuid_map; the surviving
+    row is the canonical uuid's own (name, group); mention counts of all
+    aliases are summed into the canonical node.
+    Summary (deterministic E8): the node's top SUMMARY_TOP_FACTS subject-
+    facts sorted lexicographically, '. '-joined + trailing '.', sentence-
+    truncated at 500 chars (reference text_utils.py:20; node_operations.py
+    :544-573 replaced per SURVEY.md E8). Nodes without facts summarize to
+    their own name.
+    """
+    remapped = (
+        entities.join(F.broadcast(uuid_map), "uuid", "left")
+        .withColumn("canonical_uuid", F.coalesce("canonical_uuid", "uuid"))
+    )
+    canonical = (
+        remapped.groupBy("group_id", "canonical_uuid")
+        .agg(
+            F.sum("mention_count").alias("mention_count"),
+            # canonical row's own name = name whose uuid == canonical_uuid
+            F.max(F.when(F.col("uuid") == F.col("canonical_uuid"), F.col("name"))).alias(
+                "name"
+            ),
+        )
+        .withColumnRenamed("canonical_uuid", "uuid")
+    )
+
+    # top-k subject facts per node (window top-k, SURVEY.md §2.9)
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("source_node_uuid").orderBy("fact")
+    top_facts = (
+        edges.select("source_node_uuid", "fact")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= SUMMARY_TOP_FACTS)
+        .groupBy("source_node_uuid")
+        .agg(F.concat_ws(". ", F.array_sort(F.collect_list("fact"))).alias("facts_cat"))
+    )
+
+    embed_udf = make_embed_udf()
+    out = (
+        canonical.join(
+            top_facts.withColumnRenamed("source_node_uuid", "uuid"), "uuid", "left"
+        )
+        .withColumn(
+            "summary",
+            truncate_at_sentence_col(
+                F.when(
+                    F.col("facts_cat").isNotNull(),
+                    F.concat(F.col("facts_cat"), F.lit(".")),
+                ).otherwise(F.col("name")),
+                MAX_SUMMARY_CHARS,
+            ),
+        )
+        .select(
+            "uuid",
+            "name",
+            "group_id",
+            F.array(F.lit("Entity")).alias("labels"),
+            F.lit(run_ts).alias("created_at"),
+            "summary",
+            embed_udf(F.col("name")).alias("name_embedding"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            ).alias("attributes"),
+            "mention_count",
+        )
+    )
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: RunConfig | None = None,
+) -> dict[str, DataFrame]:
+    """pages → {episodes, mentions, triples, entities, uuid_map, nodes,
+    edges, mention_edges}. All outputs deterministic for a fixed cfg."""
+    cfg = cfg or RunConfig()
+    ckpt, rid = cfg.checkpoint_dir, cfg.run_id
+
+    def stage(name: str, thunk, partition_by=None) -> DataFrame:
+        return materialize_stage(spark, thunk, ckpt, rid, name, partition_by)
+
+    pages = stage("pages", lambda: load_pages(spark, sf_dir))
+    episodes = stage("episodes", lambda: pages_to_episodes(pages, cfg.run_ts))
+
+    # Extraction produces two outputs from one token stream; materialize
+    # them as separate stages so resume is per-output.
+    def _mentions():
+        return extract_mentions_and_triples(episodes)[0]
+
+    def _triples():
+        return extract_mentions_and_triples(episodes)[1]
+
+    mentions = stage("mentions", _mentions)
+    triples = stage("triples", _triples)
+
+    entities = stage("entities", lambda: extracted_entities(mentions))
+    pairs = stage("pairs", lambda: duplicate_pairs(entities))
+    uuid_map = stage("uuid_map", lambda: canonical_uuid_map(entities, pairs))
+
+    edges_merged = stage(
+        "edges_merged",
+        lambda: triples_to_edges(triples, uuid_map, cfg.run_ts),
+        partition_by=["group_id"] if ckpt else None,
+    )
+    edges = stage("edges", lambda: invalidate_edges(edges_merged, cfg.run_ts))
+    nodes = stage(
+        "nodes", lambda: build_nodes(entities, uuid_map, edges_merged, cfg.run_ts)
+    )
+    mention_edges = stage(
+        "mention_edges", lambda: build_mention_edges(mentions, uuid_map, cfg.run_ts)
+    )
+
+    return {
+        "pages": pages,
+        "episodes": episodes,
+        "mentions": mentions,
+        "triples": triples,
+        "entities": entities,
+        "pairs": pairs,
+        "uuid_map": uuid_map,
+        "nodes": nodes,
+        "edges": edges,
+        "mention_edges": mention_edges,
+    }
+
+
+def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query (SURVEY.md §7 stage 1): ingest pages → canonical
+    temporal triples, ordered deterministically."""
+    out = run_pipeline(spark, sf_dir)
+    edges = out["edges"]
+    return edges.select(
+        "uuid",
+        "group_id",
+        "source_node_uuid",
+        "target_node_uuid",
+        F.col("name").alias("predicate"),
+        "fact",
+        F.col("episodes").getItem(0).alias("first_episode_uuid"),
+        F.size("episodes").alias("episode_count"),
+        "valid_at",
+        "invalid_at",
+        "expired_at",
+    ).orderBy("uuid")

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+All timestamps are UTC (the reference coerces every datetime to UTC via
+ensure_utc, /root/reference/graphiti_core/utils/datetime_utils.py:25-42 —
+here a single session-level setting). Arrow is enabled because every
+Python-side kernel in this engine is a vectorized pandas UDF; AQE is on so
+runtime stats can re-plan shuffles/skew at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "graphiti-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    ``master`` defaults to local[$SPARK_GRAFT_CPUS] (env, default all cores)
+    in the sandbox; on a real cluster it is supplied by spark-submit and
+    this argument is left None. ``shuffle_partitions`` defaults to the
+    parallelism level so small-scale runs don't pay 200-partition overhead
+    while cluster runs can size it to cores × a small factor.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+
+    if shuffle_partitions is None:
+        if cpus != "*" and cpus.isdigit():
+            shuffle_partitions = max(int(cpus), 4)
+        else:
+            shuffle_partitions = (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,113 @@
+"""Text normalization + trafilatura-style html→text extraction.
+
+The per-row invariant (BASELINE.json input_hint): the text extracted from
+``pages.html`` must be byte-identical per url to the reference extracted
+text. All kernels here are Arrow-vectorized pandas UDFs (no per-row Python
+UDFs in the plan).
+
+Semantics ported from the reference:
+  - clean_input: /root/reference/graphiti_core/llm_client/client.py:92-112
+    (strip invalid unicode, zero-width chars, control chars except \n\r\t)
+  - truncate_at_sentence: /root/reference/graphiti_core/utils/text_utils.py:23-53
+    (truncate at last [.!?](\\s|$) boundary before max_chars)
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_ZERO_WIDTH = "​‌‍﻿⁠"
+_SENTENCE_BOUNDARY = re.compile(r"[.!?](?:\s|$)")
+# Body text sits in <p> blocks; nav/header/footer/script are boilerplate.
+_BOILERPLATE = re.compile(
+    r"<(nav|header|footer|script|style|aside)\b[^>]*>.*?</\1>",
+    re.DOTALL | re.IGNORECASE,
+)
+_P_BLOCK = re.compile(r"<p\b[^>]*>(.*?)</p>", re.DOTALL | re.IGNORECASE)
+_TAG = re.compile(r"<[^>]+>")
+
+
+def clean_input(text: str) -> str:
+    """Strip invalid unicode / zero-width / control chars (keep \\n\\r\\t)."""
+    cleaned = text.encode("utf-8", errors="ignore").decode("utf-8")
+    for ch in _ZERO_WIDTH:
+        cleaned = cleaned.replace(ch, "")
+    return "".join(c for c in cleaned if ord(c) >= 32 or c in "\n\r\t")
+
+
+def truncate_at_sentence(text: str, max_chars: int) -> str:
+    """Truncate at the last sentence boundary before max_chars."""
+    if not text or len(text) <= max_chars:
+        return text
+    truncated = text[:max_chars]
+    matches = list(_SENTENCE_BOUNDARY.finditer(truncated))
+    if matches:
+        return text[: matches[-1].end()].rstrip()
+    return truncated.rstrip()
+
+
+def wrap_html(doc_id: int, text: str) -> str:
+    """Deterministically wrap extracted text in minimal boilerplate markup
+    (FIXTURES.md §1: the synthetic `pages.html` derivation)."""
+    return (
+        f"<html><head><title>doc {doc_id}</title></head><body>"
+        f"<nav>site navigation</nav>"
+        f"<p>{_htmllib.escape(text)}</p>"
+        f"<footer>crawl footer</footer></body></html>"
+    )
+
+
+def extract_text(html_bytes: bytes | None) -> str | None:
+    """Trafilatura-style main-content extraction: drop boilerplate blocks,
+    keep <p> body text, unescape entities, strip residual tags + control
+    chars. Inverse of wrap_html — byte-identical per url."""
+    if html_bytes is None:
+        return None
+    raw = html_bytes.decode("utf-8", errors="ignore")
+    raw = _BOILERPLATE.sub("", raw)
+    blocks = _P_BLOCK.findall(raw)
+    body = "\n".join(blocks) if blocks else _TAG.sub("", raw)
+    return clean_input(_htmllib.unescape(body))
+
+
+# ---- Arrow-vectorized column kernels ----
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: extract_text(b))
+
+
+@F.pandas_udf(StringType())
+def clean_input_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: clean_input(t) if t is not None else None)
+
+
+def truncate_at_sentence_col(text: Column, max_chars: int) -> Column:
+    """Native-Spark truncate_at_sentence (no UDF).
+
+    Find the LAST [.!?] followed by whitespace-or-end within the first
+    max_chars by searching the reversed head for the FIRST reversed
+    boundary: either the head ends with punctuation (reversed starts with
+    [.!?], cut at full head length) or a whitespace+punct pair at reversed
+    position p (punct sits at original position len-p). No boundary → hard
+    cut at max_chars. Matches reference text_utils.py:23-53.
+    """
+    head = F.substring(text, 1, max_chars)
+    rev = F.reverse(head)
+    ends_with_punct = F.substring(rev, 1, 1).rlike(r"[.!?]")
+    p = F.regexp_instr(rev, F.lit(r"\s[.!?]"))
+    cut_end = (
+        F.when(ends_with_punct, F.length(head))
+        .when(p > 0, F.length(head) - p)
+        .otherwise(F.lit(None))
+    )
+    cut = F.when(
+        cut_end.isNotNull(), F.rtrim(F.substring(text, 1, cut_end.cast("int")))
+    ).otherwise(F.rtrim(head))
+    return F.when(F.length(text) <= max_chars, text).otherwise(cut)

@@ -1,0 +1,98 @@
+"""Frozen-grammar extraction: the native-Spark extractor must agree with
+the pure-Python twin on the real corpus (this equality defines the
+P/R-expectation set — P/R = 1.0 ≥ 0.95 by construction)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.extract import (
+    extract_from_text,
+    extract_mentions_and_triples,
+)
+
+
+def test_extract_from_text_basic():
+    mentions, triples = extract_from_text(
+        "the fast key order sort table scan merge part"
+    )
+    # mentions: "fast key", "order", "table", "part"
+    assert mentions == ["fast key", "order", "table", "part"]
+    # verbs: sort(idx4), scan(idx6), merge(idx7)
+    # sort: subj=order(3), obj=table(5) ; scan: subj=table, obj=part
+    # merge: subj=table(5), obj=part(8)
+    assert ("order", "SORT", "table", "order sort table") in triples
+    assert ("table", "SCAN", "part", "table scan part") in triples
+    assert ("table", "MERGE", "part", "table merge part") in triples
+    assert len(triples) == 3
+
+
+def test_extract_edge_cases():
+    # verb with no left mention → dropped
+    m, t = extract_from_text("join table row")
+    assert t == []
+    assert m == ["table", "row"]
+    # self-pair dropped
+    m, t = extract_from_text("table join table")
+    assert t == []
+    # adjective attaches only when immediately before the noun
+    m, t = extract_from_text("fast the key")
+    assert m == ["key"]
+    # duplicate (subj,pred,obj) within a doc deduped
+    m, t = extract_from_text("row join key row join key")
+    assert t == [("row", "JOIN", "key", "row join key")]
+    # empty text
+    m, t = extract_from_text("")
+    assert (m, t) == ([], [])
+
+
+def _episodes_df(spark, texts):
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [(f"ep{i}", "g0", ts, t) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows, "uuid string, group_id string, valid_at timestamp, content string"
+    )
+
+
+def test_spark_extractor_matches_python_on_corpus(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    texts = [r.text for r in docs]
+    episodes = _episodes_df(spark, texts)
+    mentions_df, triples_df = extract_mentions_and_triples(episodes)
+
+    got_mentions = {
+        (r.episode_uuid, r.name) for r in mentions_df.collect()
+    }
+    got_triples = {
+        (r.episode_uuid, r.subj_name, r.pred, r.obj_name, r.fact)
+        for r in triples_df.collect()
+    }
+
+    exp_mentions = set()
+    exp_triples = set()
+    for i, t in enumerate(texts):
+        ms, ts_ = extract_from_text(t)
+        for m in ms:
+            exp_mentions.add((f"ep{i}", m))
+        for s, p, o, f_ in ts_:
+            exp_triples.add((f"ep{i}", s, p, o, f_))
+
+    assert got_mentions == exp_mentions
+    assert got_triples == exp_triples
+    assert len(exp_triples) > 100  # corpus actually produces a graph
+
+
+def test_extraction_plan_is_native(spark):
+    """The extraction plan must contain no Python UDF stages (BatchEvalPython /
+    ArrowEvalPython) — extraction is pure Catalyst."""
+    episodes = _episodes_df(spark, ["row join key"])
+    _, triples_df = extract_mentions_and_triples(episodes)
+    plan = triples_df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -1,0 +1,76 @@
+"""Text normalization: clean_input, truncate_at_sentence (vectors mirror
+the reference's tests/test_text_utils.py semantics), html round-trip
+byte-identity (the per-row invariant)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark import textnorm
+
+
+def test_clean_input():
+    assert textnorm.clean_input("hello​world") == "helloworld"
+    assert textnorm.clean_input("tab\there\nline") == "tab\there\nline"
+    assert textnorm.clean_input("bell\x07char") == "bellchar"
+    assert textnorm.clean_input("ok") == "ok"
+
+
+def test_truncate_at_sentence():
+    t = textnorm.truncate_at_sentence
+    assert t("", 10) == ""
+    assert t("short", 10) == "short"
+    assert t("One. Two. Three.", 9) == "One. Two."
+    assert t("One. Two. Three.", 8) == "One."
+    assert t("no boundary here at all", 10) == "no boundar"
+    assert t("Ends with period.", 200) == "Ends with period."
+    assert t("A! B? C.", 4) == "A!"
+    assert t("A! B? C. D", 9) == "A! B? C."
+    # boundary exactly at the cut
+    assert t("abcd. efgh", 5) == "abcd."
+
+
+def test_truncate_col_matches_python(spark):
+    texts = [
+        "One. Two. Three.",
+        "no boundary here at all and it keeps going",
+        "Ends with period.",
+        "A! B? C. D",
+        "abcd. efgh",
+        "x" * 600,
+        "A sentence that is long. " * 30,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    for max_chars in (5, 9, 100, 500):
+        rows = df.select(
+            "t",
+            textnorm.truncate_at_sentence_col(F.col("t"), max_chars).alias("cut"),
+        ).collect()
+        for r in rows:
+            assert r.cut == textnorm.truncate_at_sentence(r.t, max_chars), (
+                max_chars,
+                r.t[:50],
+            )
+
+
+def test_html_roundtrip_byte_identity():
+    texts = [
+        "plain words here",
+        "with <angle> & ampersand",
+        "line one\nline two",
+        "trailing space ",
+    ]
+    for i, t in enumerate(texts):
+        html = textnorm.wrap_html(i, t).encode("utf-8")
+        assert textnorm.extract_text(html) == t, repr(t)
+
+
+def test_pages_invariant_on_corpus(spark):
+    """extract_text(html) byte-identical to documents.text per url."""
+    from graphiti_spark.sources.pages import load_documents, load_pages
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_documents(spark, sf).select("doc_id", F.col("text").alias("orig"))
+    pages = load_pages(spark, sf).select("doc_id", "text")
+    diff = pages.join(docs, "doc_id").filter(F.col("text") != F.col("orig"))
+    assert diff.count() == 0
