@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pages→triples pipeline at sf0.001.
+``queries()``/``oracle_sql()`` expose each operator from SURVEY.md §2 for
+the driver's sf0.01 DuckDB correctness gate (row-count + schema +
+order-insensitive value-hash; columns sorted by name — every computed
+column is aliased identically on both sides).
+
+The pipeline stages all derive from one DAG, so queries share a
+per-(session, sf_dir) persisted cache instead of recomputing the corpus
+scan per query.
 """
 
 from __future__ import annotations
@@ -12,27 +16,162 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark.config import RunConfig
+from graphiti_spark.operators.maintenance import (
+    get_by_group_ids,
+    remove_episode,
+)
+from graphiti_spark.operators.temporal import episode_context_window
+from graphiti_spark.oracle import oracle_queries
+from graphiti_spark.pipeline import flagship_select, run_pipeline
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_CACHE: dict[str, dict[str, DataFrame]] = {}
+
+
+def _pipe(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Run (or fetch) the cached pipeline outputs for one sf_dir."""
+    cached = _CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    out = run_pipeline(spark, sf_dir, RunConfig())  # stages self-persist
+    _CACHE[sf_dir] = out
+    return out
+
+
+def _fmt_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Render timestamp columns as 'yyyy-MM-dd HH:mm:ss' strings so the
+    value-hash comparison is byte-deterministic vs DuckDB strftime."""
+    for c in cols:
+        df = df.withColumn(c, F.date_format(F.col(c), _TS_FMT))
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: ingest Common-Crawl-style
+    pages → canonical, temporally-invalidated knowledge-graph triples."""
+    out = _pipe(spark, "/root/testdata/sf0.001")
+    return flagship_select(out["edges"])
+
+
+# --------------------------------------------------------------- queries ---
+
+def _q_pages_text(spark, sf_dir):
+    return _pipe(spark, sf_dir)["pages"].select("url", "text", "lang", "group_id")
+
+
+def _q_episodes(spark, sf_dir):
+    df = _pipe(spark, sf_dir)["episodes"].select(
+        "uuid", "name", "group_id", "content", "valid_at"
+    )
+    return _fmt_ts(df, "valid_at")
+
+
+def _q_mentions(spark, sf_dir):
+    return _pipe(spark, sf_dir)["mentions"].select("episode_uuid", "group_id", "name")
+
+
+def _q_triples(spark, sf_dir):
+    return _pipe(spark, sf_dir)["triples"].select(
+        "episode_uuid", "group_id", "subj_name", "pred", "obj_name", "fact"
+    )
+
+
+def _q_entities(spark, sf_dir):
+    return _pipe(spark, sf_dir)["entities"].select(
+        "uuid", "group_id", "name", "mention_count"
+    )
+
+
+def _edges_scalarized(edges: DataFrame) -> DataFrame:
+    """Project provenance-array columns to hashable scalars."""
+    return edges.select(
+        "*",
+        F.size("episodes").cast("long").alias("episode_count"),
+        F.element_at("episodes", 1).alias("first_episode_uuid"),
+        F.element_at("episodes", -1).alias("last_episode_uuid"),
+    )
+
+
+def _q_edges_merged(spark, sf_dir):
+    df = _edges_scalarized(_pipe(spark, sf_dir)["edges_merged"]).select(
+        "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name",
+        "fact", "valid_at", "episode_count", "first_episode_uuid",
+        "last_episode_uuid",
+    )
+    return _fmt_ts(df, "valid_at")
+
+
+def _q_edges_temporal(spark, sf_dir):
+    df = _pipe(spark, sf_dir)["edges"].select(
+        "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name",
+        "fact", "valid_at", "invalid_at", "expired_at",
+    )
+    return _fmt_ts(df, "valid_at", "invalid_at", "expired_at")
+
+
+def _q_flagship(spark, sf_dir):
+    df = flagship_select(_pipe(spark, sf_dir)["edges"])
+    return _fmt_ts(df, "valid_at", "invalid_at", "expired_at")
+
+
+def _q_nodes(spark, sf_dir):
+    return _pipe(spark, sf_dir)["nodes"].select(
+        "uuid", "name", "group_id", "mention_count", "summary"
+    )
+
+
+def _q_mention_edges(spark, sf_dir):
+    return _pipe(spark, sf_dir)["mention_edges"].select(
+        "uuid", "group_id", "episode_uuid", "entity_uuid"
+    )
+
+
+def _q_episode_context(spark, sf_dir):
+    return episode_context_window(_pipe(spark, sf_dir)["episodes"], last_n=3)
+
+
+def _q_nodes_paginated(spark, sf_dir):
+    return get_by_group_ids(
+        _pipe(spark, sf_dir)["entities"].select(
+            "uuid", "group_id", "name", "mention_count"
+        ),
+        ["src1", "src2"],
+        limit=50,
+        uuid_cursor="8",
+    )
+
+
+def _q_remove_episode_edges(spark, sf_dir):
+    out = _pipe(spark, sf_dir)
+    victim = out["episodes"].agg(F.min("uuid")).collect()[0][0]
+    surviving = remove_episode(
+        out["edges_merged"], out["mention_edges"], out["nodes"], victim
+    )["edges"]
+    return surviving.select(
+        "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name", "fact"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pages_text": _q_pages_text,
+        "episodes": _q_episodes,
+        "mentions": _q_mentions,
+        "triples": _q_triples,
+        "entities": _q_entities,
+        "edges_merged": _q_edges_merged,
+        "edges_temporal": _q_edges_temporal,
+        "flagship_triples": _q_flagship,
+        "nodes": _q_nodes,
+        "mention_edges": _q_mention_edges,
+        "episode_context": _q_episode_context,
+        "nodes_paginated": _q_nodes_paginated,
+        "remove_episode_edges": _q_remove_episode_edges,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_queries()

@@ -1,0 +1,110 @@
+"""Benchmark harness: full pages→knowledge-graph DAG at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "triples_per_sec", "value": N, "unit": "triples/sec",
+   "queries": {stage: sec, ...}, "sf": ..., "triples": ..., ...}
+
+Modes:
+  python bench.py                 # single run (driver per-round bench)
+  python bench.py --cores 8       # pin parallelism (scaling protocol runs)
+  python bench.py --scaling       # run at 8 and 32 cores in subprocesses,
+                                  # report scaling efficiency (BASELINE.md
+                                  # protocol: efficiency = T(4N)/(4*T(N)))
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, cores: int | None) -> dict:
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
+    if cores is not None:
+        os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+
+    from graphiti_spark.config import RunConfig
+    from graphiti_spark.pipeline import run_pipeline
+    from graphiti_spark.session import get_spark
+
+    spark = get_spark(app_name=f"graphiti-bench-{cores or 'auto'}")
+    sc_cores = spark.sparkContext.defaultParallelism
+
+    timings: dict[str, float] = {}
+    t_total0 = time.monotonic()
+    out = run_pipeline(spark, sf_dir, RunConfig())
+
+    counts: dict[str, int] = {}
+    # Force stages in dependency order; persist-backed, so each count
+    # reflects (approximately) that stage's own marginal work.
+    for name in (
+        "episodes", "mentions", "triples", "entities", "pairs",
+        "uuid_map", "edges_merged", "edges", "nodes", "mention_edges",
+    ):
+        t0 = time.monotonic()
+        counts[name] = out[name].count()
+        timings[name] = round(time.monotonic() - t0, 3)
+    total = round(time.monotonic() - t_total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    triples = counts["edges"]
+    result = {
+        "metric": "triples_per_sec",
+        "value": round(triples / total, 2),
+        "unit": "triples/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "triples": triples,
+        "rows": counts,
+        "wall_sec": total,
+        "cores": sc_cores,
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
+    """Sandbox stand-in for N vs 4N executors (BASELINE.md protocol):
+    identical job, identical input, local[8] vs local[32], fresh JVM each."""
+    results = {}
+    for cores in (n_small, n_large):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores), "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t_small = results[n_small]["wall_sec"]
+    t_large = results[n_large]["wall_sec"]
+    ratio = n_large / n_small
+    efficiency = t_small / (ratio * t_large)  # == tput(4N) / (4 * tput(N))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": f"throughput({n_large})/( {ratio:.0f} * throughput({n_small}) )",
+        "sf": results[n_large]["sf"],
+        "runs": {str(k): v for k, v in results.items()},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+    else:
+        print(json.dumps(run_bench(args.sf_dir, args.cores)))
+
+
+if __name__ == "__main__":
+    main()

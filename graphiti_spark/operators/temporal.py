@@ -64,12 +64,17 @@ def episode_context_window(episodes: DataFrame, last_n: int = 3) -> DataFrame:
     ORDER BY is equally arbitrary under ties).
     """
     w = Window.partitionBy("group_id").orderBy("valid_at", "uuid")
-    lags = F.array(
-        *[F.lag("uuid", k).over(w) for k in range(1, last_n + 1)]
-    )
-    exploded = episodes.select(
+    # Window exprs can't sit inside a generator projection — compute the
+    # lag array first, posexplode in a second select.
+    lagged = episodes.select(
         F.col("uuid").alias("episode_uuid"),
-        F.posexplode(lags).alias("rank0", "prev_episode_uuid"),
+        F.array(*[F.lag("uuid", k).over(w) for k in range(1, last_n + 1)]).alias(
+            "prevs"
+        ),
+    )
+    exploded = lagged.select(
+        "episode_uuid",
+        F.posexplode("prevs").alias("rank0", "prev_episode_uuid"),
     )
     return exploded.filter(F.col("prev_episode_uuid").isNotNull()).select(
         "episode_uuid",

@@ -146,3 +146,140 @@ entities AS (
   FROM (SELECT episode_uuid, group_id, name FROM mentions) m
   GROUP BY group_id, name
 )"""
+
+# Canonical nodes with deterministic E8 summaries: top-5 lexicographic
+# distinct subject-facts '. '-joined + '.', else the node's own name.
+# (Sentence-truncation at 500 chars never triggers on this corpus — facts
+# are short; asserted in tests/test_entry_oracle.py.)
+NODES_CTE = f"""{TRIPLES_CTE},
+entities AS (
+  SELECT group_id, name,
+         sha256(group_id || '|' || name) AS uuid,
+         count(*) AS mention_count
+  FROM (SELECT episode_uuid, group_id, name FROM mentions) m
+  GROUP BY group_id, name
+),
+edges2 AS (
+  SELECT sha256(group_id || '|' || subj_name) AS source_node_uuid, fact
+  FROM triples
+),
+node_facts AS (
+  SELECT source_node_uuid, fact,
+         row_number() OVER (PARTITION BY source_node_uuid ORDER BY fact) AS rn
+  FROM (SELECT DISTINCT source_node_uuid, fact FROM edges2)
+),
+node_summary AS (
+  SELECT source_node_uuid,
+         string_agg(fact, '. ' ORDER BY fact) || '.' AS summary
+  FROM node_facts WHERE rn <= 5
+  GROUP BY source_node_uuid
+),
+nodes AS (
+  SELECT e.uuid, e.name, e.group_id, e.mention_count,
+         coalesce(ns.summary, e.name) AS summary
+  FROM entities e
+  LEFT JOIN node_summary ns ON ns.source_node_uuid = e.uuid
+)"""
+
+# MENTIONS provenance edges (distinct episode → canonical entity).
+MENTION_EDGES_CTE = f"""{MENTIONS_CTE},
+mention_edges AS (
+  SELECT DISTINCT
+    sha256(episode_uuid || '|' || sha256(group_id || '|' || name)) AS uuid,
+    group_id, episode_uuid,
+    sha256(group_id || '|' || name) AS entity_uuid
+  FROM mentions
+)"""
+
+
+# ------------------------------------------------------------------ query SQL
+
+def oracle_queries() -> dict[str, str]:
+    """Complete SQL for every oracle-checkable queries() entry
+    (column names aliased to match the Spark side exactly)."""
+    q: dict[str, str] = {}
+
+    q["pages_text"] = f"""WITH {PAGES_CTE}
+SELECT url, text, lang, group_id FROM pages ORDER BY url"""
+
+    q["episodes"] = f"""WITH {EPISODES_CTE}
+SELECT uuid, name, group_id, content,
+       strftime(valid_at, '%Y-%m-%d %H:%M:%S') AS valid_at
+FROM episodes ORDER BY uuid"""
+
+    q["mentions"] = f"""WITH {MENTIONS_CTE}
+SELECT episode_uuid, group_id, name FROM mentions ORDER BY episode_uuid, name"""
+
+    q["triples"] = f"""WITH {TRIPLES_CTE}
+SELECT episode_uuid, group_id, subj_name, pred, obj_name, fact
+FROM triples ORDER BY episode_uuid, subj_name, pred, obj_name"""
+
+    q["entities"] = f"""WITH {ENTITIES_CTE}
+SELECT uuid, group_id, name, mention_count FROM entities ORDER BY uuid"""
+
+    q["edges_merged"] = f"""WITH {EDGES_CTE}
+SELECT uuid, group_id, source_node_uuid, target_node_uuid, name, fact,
+       strftime(valid_at, '%Y-%m-%d %H:%M:%S') AS valid_at,
+       episode_count, first_episode_uuid, last_episode_uuid
+FROM edges ORDER BY uuid"""
+
+    q["edges_temporal"] = f"""WITH {EDGES_TEMPORAL_CTE}
+SELECT uuid, group_id, source_node_uuid, target_node_uuid, name, fact,
+       strftime(valid_at, '%Y-%m-%d %H:%M:%S') AS valid_at,
+       strftime(invalid_at, '%Y-%m-%d %H:%M:%S') AS invalid_at,
+       strftime(expired_at, '%Y-%m-%d %H:%M:%S') AS expired_at
+FROM edges_temporal ORDER BY uuid"""
+
+    q["flagship_triples"] = f"""WITH {EDGES_TEMPORAL_CTE}
+SELECT uuid, group_id, source_node_uuid, target_node_uuid,
+       name AS predicate, fact,
+       first_episode_uuid, episode_count,
+       strftime(valid_at, '%Y-%m-%d %H:%M:%S') AS valid_at,
+       strftime(invalid_at, '%Y-%m-%d %H:%M:%S') AS invalid_at,
+       strftime(expired_at, '%Y-%m-%d %H:%M:%S') AS expired_at
+FROM edges_temporal ORDER BY uuid"""
+
+    q["nodes"] = f"""WITH {NODES_CTE}
+SELECT uuid, name, group_id, mention_count, summary FROM nodes ORDER BY uuid"""
+
+    q["mention_edges"] = f"""WITH {MENTION_EDGES_CTE}
+SELECT uuid, group_id, episode_uuid, entity_uuid
+FROM mention_edges ORDER BY uuid"""
+
+    # S3/T5: previous-episode context window (last 3 strictly-earlier
+    # episodes per group, rank 1 = most recent).
+    q["episode_context"] = f"""WITH {EPISODES_CTE},
+ranked AS (
+  SELECT uuid AS episode_uuid,
+         lag(uuid, 1) OVER w AS p1,
+         lag(uuid, 2) OVER w AS p2,
+         lag(uuid, 3) OVER w AS p3
+  FROM episodes
+  WINDOW w AS (PARTITION BY group_id ORDER BY valid_at, uuid)
+)
+SELECT episode_uuid, prev_episode_uuid, rank FROM (
+  SELECT episode_uuid, p1 AS prev_episode_uuid, 1 AS rank FROM ranked
+  UNION ALL
+  SELECT episode_uuid, p2, 2 FROM ranked
+  UNION ALL
+  SELECT episode_uuid, p3, 3 FROM ranked
+) WHERE prev_episode_uuid IS NOT NULL
+ORDER BY episode_uuid, rank"""
+
+    # S5: keyset pagination over canonical nodes.
+    q["nodes_paginated"] = f"""WITH {ENTITIES_CTE}
+SELECT uuid, group_id, name, mention_count
+FROM entities
+WHERE group_id IN ('src1', 'src2') AND uuid < '8'
+ORDER BY uuid DESC LIMIT 50"""
+
+    # S9: remove_episode cascade — surviving canonical edges after
+    # removing the lexicographically-first episode (creation episode =
+    # min provenance episode uuid).
+    q["remove_episode_edges"] = f"""WITH {EDGES_CTE},
+victim AS (SELECT min(uuid) AS ep FROM (SELECT sha256(url) AS uuid FROM pages))
+SELECT uuid, group_id, source_node_uuid, target_node_uuid, name, fact
+FROM edges WHERE first_episode_uuid <> (SELECT ep FROM victim)
+ORDER BY uuid"""
+
+    return q

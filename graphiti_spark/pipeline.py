@@ -133,6 +133,12 @@ def run_pipeline(
     ckpt, rid = cfg.checkpoint_dir, cfg.run_id
 
     def stage(name: str, thunk, partition_by=None) -> DataFrame:
+        if ckpt is None:
+            # No checkpoint dir: persist each stage output so downstream
+            # stages (and the eager CC fixpoint) never recompute the
+            # extraction chain. `pages` is excluded — its html binary is
+            # bulky and consumed exactly once by `episodes`.
+            return thunk().persist() if name != "pages" else thunk()
         return materialize_stage(spark, thunk, ckpt, rid, name, partition_by)
 
     pages = stage("pages", lambda: load_pages(spark, sf_dir))
@@ -175,16 +181,15 @@ def run_pipeline(
         "pairs": pairs,
         "uuid_map": uuid_map,
         "nodes": nodes,
+        "edges_merged": edges_merged,
         "edges": edges,
         "mention_edges": mention_edges,
     }
 
 
-def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship query (SURVEY.md §7 stage 1): ingest pages → canonical
-    temporal triples, ordered deterministically."""
-    out = run_pipeline(spark, sf_dir)
-    edges = out["edges"]
+def flagship_select(edges: DataFrame) -> DataFrame:
+    """Flagship projection over the temporal edge table: canonical triples
+    with provenance scalars, ordered deterministically."""
     return edges.select(
         "uuid",
         "group_id",
@@ -193,8 +198,14 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name").alias("predicate"),
         "fact",
         F.col("episodes").getItem(0).alias("first_episode_uuid"),
-        F.size("episodes").alias("episode_count"),
+        F.size("episodes").cast("long").alias("episode_count"),
         "valid_at",
         "invalid_at",
         "expired_at",
     ).orderBy("uuid")
+
+
+def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query (SURVEY.md §7 stage 1): ingest pages → canonical
+    temporal triples, ordered deterministically."""
+    return flagship_select(run_pipeline(spark, sf_dir)["edges"])
