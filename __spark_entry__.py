@@ -155,8 +155,131 @@ def _q_remove_episode_edges(spark, sf_dir):
     )
 
 
+def _q_bm25_documents(spark, sf_dir):
+    from graphiti_spark.search.fulltext import bm25_search, build_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_postings(docs, "doc_id", "text")
+    return bm25_search(idx, ["fast", "merge", "table"], limit=10)
+
+
+def _query_vec(spark, sf_dir, vec_id=0):
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    return list(row[0])
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from graphiti_spark.search.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), limit=10)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from graphiti_spark.search.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_lsh(emb, _query_vec(spark, sf_dir), limit=10)
+
+
+def _q_mmr(spark, sf_dir):
+    from graphiti_spark.search.fuse import mmr_rerank
+    from graphiti_spark.search.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _query_vec(spark, sf_dir)
+    cands = cosine_topk(emb, qv, limit=20).join(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        "id",
+    )
+    return mmr_rerank(cands, qv, limit=10)
+
+
+def _q_bfs_reachable(spark, sf_dir):
+    from graphiti_spark.search.graph import bfs_nodes
+
+    edges = _pipe(spark, sf_dir)["edges_merged"]
+    origin = edges.agg(F.min("source_node_uuid")).collect()[0][0]
+    return bfs_nodes(edges, [origin], max_depth=3)
+
+
+def _q_node_distance(spark, sf_dir):
+    from graphiti_spark.search.graph import node_distance_rerank
+
+    edges = _pipe(spark, sf_dir)["edges_merged"].filter(F.col("group_id") == "src1")
+    center = edges.agg(F.min("source_node_uuid")).collect()[0][0]
+    cands = (
+        edges.select(F.col("source_node_uuid").alias("uuid"))
+        .union(edges.select(F.col("target_node_uuid").alias("uuid")))
+        .distinct()
+    )
+    return node_distance_rerank(cands, edges, center)
+
+
+def _q_mentions_rerank(spark, sf_dir):
+    from graphiti_spark.search.graph import episode_mentions_rerank
+
+    out = _pipe(spark, sf_dir)
+    cands = out["mention_edges"].select(F.col("entity_uuid").alias("uuid")).distinct()
+    return episode_mentions_rerank(cands, out["mention_edges"])
+
+
+def _q_neighbor_weights(spark, sf_dir):
+    from graphiti_spark.search.graph import neighbor_weights
+
+    return neighbor_weights(_pipe(spark, sf_dir)["edges_merged"])
+
+
+def _q_filtered_edges(spark, sf_dir):
+    from datetime import datetime, timezone
+
+    from graphiti_spark.search.filters import SearchFilters, apply_filters
+
+    f = SearchFilters(
+        group_ids=["src1", "src3"],
+        date_filters=[
+            [
+                ("valid_at", "<", datetime(2024, 1, 2, tzinfo=timezone.utc)),
+                ("invalid_at", "is_not_null", None),
+            ]
+        ],
+    )
+    df = apply_filters(_pipe(spark, sf_dir)["edges"], f, "edge").select(
+        "uuid", "group_id", "name", "valid_at", "invalid_at"
+    )
+    return _fmt_ts(df, "valid_at", "invalid_at")
+
+
+def _q_communities(spark, sf_dir):
+    from graphiti_spark.operators.communities import build_communities
+    from graphiti_spark.config import DEFAULT_RUN_TS
+
+    out = _pipe(spark, sf_dir)
+    comm = build_communities(out["nodes"], out["edges_merged"], DEFAULT_RUN_TS)
+    return comm["communities"].select("uuid", "name", "group_id", "member_count")
+
+
+def _q_hybrid_search(spark, sf_dir):
+    from graphiti_spark.search.hybrid import EDGE_HYBRID_SEARCH_RRF, search
+
+    out = _pipe(spark, sf_dir)
+    res = search(
+        "fast table merge",
+        EDGE_HYBRID_SEARCH_RRF,
+        edges=out["edges"],
+        mention_edges=out["mention_edges"],
+    )
+    return res["edges"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
         "pages_text": _q_pages_text,
         "episodes": _q_episodes,
         "mentions": _q_mentions,
@@ -170,6 +293,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "episode_context": _q_episode_context,
         "nodes_paginated": _q_nodes_paginated,
         "remove_episode_edges": _q_remove_episode_edges,
+        # retrieval layer (Q1-Q9, G1, G5-G7)
+        "bm25_documents": _q_bm25_documents,
+        "cosine_topk_embeddings": _q_cosine_topk,
+        "ann_lsh_embeddings": _q_ann_lsh,          # rows-only (approximate)
+        "mmr_embeddings": _q_mmr,                  # rows-only (iterative greedy)
+        "bfs_reachable": _q_bfs_reachable,
+        "node_distance_src1": _q_node_distance,
+        "mentions_rerank": _q_mentions_rerank,
+        "neighbor_weights": _q_neighbor_weights,
+        "filtered_edges": _q_filtered_edges,
+        "communities": _q_communities,             # rows-only (iterative LP)
+        "hybrid_search_edges": _q_hybrid_search,   # rows-only (composition)
     }
 
 

@@ -75,14 +75,20 @@ def cosine(a, b) -> float:
 def cosine_col(a, b):
     """Native-Spark cosine over two array<float> columns (no UDF):
     zip_with dot product + aggregate norms. Used by similarity search and
-    the embedding-dedup fallback — stays in whole-stage codegen."""
+    the embedding-dedup fallback — stays in whole-stage codegen.
+
+    Arrays are cast element-wise to double FIRST so every product/sum is
+    IEEE-double — bit-identical to the DuckDB oracle's DOUBLE[] math
+    (mixed float*float products would differ in the last ulp)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(ad, bd, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    norm_a = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    norm_b = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    norm_a = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, v: acc + v * v))
+    norm_b = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, v: acc + v * v))
     return F.when((norm_a == 0) | (norm_b == 0), F.lit(0.0)).otherwise(
         dot / (norm_a * norm_b)
     )

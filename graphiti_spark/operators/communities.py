@@ -1,0 +1,155 @@
+"""Community detection + summarization (SURVEY.md G1–G4).
+
+Reference: `get_community_clusters` builds a per-group neighbor
+projection, `label_propagation` iterates plurality-of-neighbors
+weighted by edge count with ties broken toward the LARGER community id,
+to a fixpoint (/root/reference/graphiti_core/utils/maintenance/
+community_operations.py:29-131); `build_community` then LLM-summarizes
+members pairwise (:167-206) — replaced here by a deterministic
+concat-of-member-summaries (same shape as E8).
+
+Spark formulation: synchronous label propagation — one join + one
+max_by aggregation per iteration, `localCheckpoint` per round to cut
+lineage, stop when no label changes (count of diffs = 0). Community id
+= numeric rank of the node's min-uuid community seed; hub skew is
+bounded because each round aggregates per node over its neighbors
+(map-side combine), never materializing a community's full member list
+until the final summary groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphiti_spark import ids
+from graphiti_spark.config import MAX_SUMMARY_CHARS
+from graphiti_spark.search.graph import neighbor_weights
+from graphiti_spark.textnorm import truncate_at_sentence_col
+
+MAX_LP_ITERATIONS = 20
+
+
+def label_propagation(edges: DataFrame, max_iterations: int = MAX_LP_ITERATIONS) -> DataFrame:
+    """edges → (uuid, community) via weighted label propagation.
+
+    Initial label = own uuid. Each round every node adopts the label
+    with the highest total neighbor weight; ties break toward the
+    LARGER label (reference community_operations.py:110-117 picks the
+    larger community on ties). Converges when no label changes.
+    """
+    nbrs = neighbor_weights(edges).localCheckpoint(eager=True)
+    labels = (
+        nbrs.select(F.col("src").alias("uuid"))
+        .distinct()
+        .withColumn("community", F.col("uuid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        votes = (
+            nbrs.join(
+                labels.select(
+                    F.col("uuid").alias("dst"), F.col("community").alias("nbr_comm")
+                ),
+                "dst",
+            )
+            .groupBy("src", "nbr_comm")
+            .agg(F.sum("weight").alias("w"))
+        )
+        # plurality with larger-id tie-break: max by (w, nbr_comm)
+        new_labels = votes.groupBy(F.col("src").alias("uuid")).agg(
+            F.max(F.struct(F.col("w"), F.col("nbr_comm"))).alias("best")
+        ).select("uuid", F.col("best.nbr_comm").alias("community"))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "uuid")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .limit(1)
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def build_communities(
+    nodes: DataFrame, edges: DataFrame, run_ts
+) -> dict[str, DataFrame]:
+    """G3: communities + HAS_MEMBER edges with deterministic summaries.
+
+    community uuid = sha256(group_id | min member uuid); name =
+    'community <min member name>'; summary = '. '-joined member names
+    (sorted), sentence-truncated at 500 (reference build_community
+    replaced per SURVEY.md G3).
+    """
+    labels = label_propagation(edges)
+    members = nodes.join(labels, "uuid", "inner")
+
+    agg = members.groupBy("group_id", "community").agg(
+        F.count(F.lit(1)).alias("member_count"),
+        F.min("uuid").alias("min_member_uuid"),
+        F.min("name").alias("min_member_name"),
+        F.concat_ws(". ", F.array_sort(F.collect_list("name"))).alias("names_cat"),
+    )
+    communities = agg.select(
+        ids.entity_uuid_col(
+            F.col("group_id"), F.concat(F.lit("community|"), F.col("min_member_uuid"))
+        ).alias("uuid"),
+        F.concat(F.lit("community "), F.col("min_member_name")).alias("name"),
+        "group_id",
+        truncate_at_sentence_col(
+            F.concat(F.col("names_cat"), F.lit(".")), MAX_SUMMARY_CHARS
+        ).alias("summary"),
+        F.lit(run_ts).alias("created_at"),
+        "member_count",
+        F.col("community").alias("community_key"),
+    )
+    has_member = (
+        members.select("group_id", "community", F.col("uuid").alias("entity_uuid"))
+        .join(
+            communities.select(
+                F.col("community_key").alias("community"),
+                F.col("uuid").alias("community_uuid"),
+            ),
+            "community",
+        )
+        .select(
+            ids.mention_uuid_col(
+                F.col("community_uuid"), F.col("entity_uuid")
+            ).alias("uuid"),
+            "group_id",
+            "community_uuid",
+            "entity_uuid",
+            F.lit(run_ts).alias("created_at"),
+        )
+    )
+    return {"communities": communities.drop("community_key"), "has_member": has_member}
+
+
+def determine_entity_community(
+    entity_uuid: str, has_member: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """G4: the community an entity belongs to — direct membership, else
+    the mode of its neighbors' communities (reference
+    community_operations.py:246-331). Returns a 1-row DataFrame
+    (community_uuid, via)."""
+    direct = (
+        has_member.filter(F.col("entity_uuid") == entity_uuid)
+        .select(F.col("community_uuid"), F.lit("direct").alias("via"))
+        .limit(1)
+    )
+    nbrs = (
+        neighbor_weights(edges)
+        .filter(F.col("src") == entity_uuid)
+        .select(F.col("dst").alias("entity_uuid"))
+    )
+    by_nbr = (
+        has_member.join(F.broadcast(nbrs), "entity_uuid")
+        .groupBy("community_uuid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("community_uuid").asc())
+        .select("community_uuid", F.lit("neighbors").alias("via"))
+        .limit(1)
+    )
+    return direct.unionByName(by_nbr).limit(1)

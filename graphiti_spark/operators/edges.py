@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from graphiti_spark import ids
 from graphiti_spark.functions.dedup_text import normalize_string_exact_col
+from graphiti_spark.functions.embed import make_embed_udf
 
 
 def triples_to_edges(triples: DataFrame, uuid_map: DataFrame, run_ts) -> DataFrame:
@@ -59,6 +60,7 @@ def triples_to_edges(triples: DataFrame, uuid_map: DataFrame, run_ts) -> DataFra
             F.min("valid_at").alias("valid_at"),
         )
     )
+    embed_udf = make_embed_udf()
     return merged.select(
         ids.edge_uuid_col(
             F.col("group_id"),
@@ -72,6 +74,9 @@ def triples_to_edges(triples: DataFrame, uuid_map: DataFrame, run_ts) -> DataFra
         "target_node_uuid",
         "name",
         "fact",
+        # E9: deterministic fact embedding, one Arrow pass post-merge
+        # (reference create_entity_edge_embeddings, edges.py:623-631)
+        embed_udf(F.col("fact")).alias("fact_embedding"),
         "episodes",
         F.lit(run_ts).alias("created_at"),
         "valid_at",

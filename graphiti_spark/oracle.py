@@ -282,4 +282,132 @@ SELECT uuid, group_id, source_node_uuid, target_node_uuid, name, fact
 FROM edges WHERE first_episode_uuid <> (SELECT ep FROM victim)
 ORDER BY uuid"""
 
+    # Q2: BM25 fulltext over the documents corpus (Lucene-style idf,
+    # k1=1.2 b=0.75; score rounded to 4 dp BEFORE ranking on both sides).
+    q["bm25_documents"] = """WITH
+toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE term <> ''),
+postings AS (SELECT id, term, count(*) AS tf FROM toks_ne GROUP BY id, term),
+doclen AS (SELECT id, count(*) AS dl FROM toks_ne GROUP BY id),
+docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+qterms AS (SELECT unnest(['fast','merge','table']) AS term),
+hits AS (
+  SELECT p.id, p.term, p.tf, d.df, l.dl, s.n_docs, s.avgdl
+  FROM postings p
+  JOIN qterms USING (term)
+  JOIN docfreq d USING (term)
+  JOIN doclen l USING (id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT id,
+         round(sum(
+           ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+           * (CAST(tf AS DOUBLE) * 2.2)
+           / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ), 4) AS score
+  FROM hits GROUP BY id
+),
+topk AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM topk ORDER BY rank"""
+
+    # Q3: exact cosine top-k over the embeddings table, query = vec 0.
+    q["cosine_topk_embeddings"] = """WITH
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id AS id,
+         round(
+           list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT q FROM qv))
+           / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+              * sqrt(list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)))),
+         4) AS score
+  FROM embeddings
+),
+topk AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM topk ORDER BY rank"""
+
+    # G5: BFS reachability ≤3 hops from the min edge-source node.
+    q["bfs_reachable"] = f"""WITH RECURSIVE {EDGES_CTE},
+adj AS (
+  SELECT source_node_uuid AS s, target_node_uuid AS d FROM edges
+  UNION
+  SELECT target_node_uuid, source_node_uuid FROM edges
+),
+walk(uuid, depth) AS (
+  SELECT (SELECT min(source_node_uuid) FROM edges), 0
+  UNION
+  SELECT a.d, w.depth + 1 FROM walk w JOIN adj a ON a.s = w.uuid
+  WHERE w.depth < 3
+)
+SELECT uuid, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY uuid
+ORDER BY uuid"""
+
+    # G6: node-distance rerank — candidates = src1 entities, center =
+    # min src1 edge source; 10.0 center / 1.0 one-hop / 0.0 rest.
+    q["node_distance_src1"] = f"""WITH {EDGES_CTE},
+center AS (SELECT min(source_node_uuid) AS c FROM edges WHERE group_id = 'src1'),
+nbrs AS (
+  SELECT DISTINCT target_node_uuid AS id FROM edges
+  WHERE group_id = 'src1' AND source_node_uuid = (SELECT c FROM center)
+  UNION
+  SELECT DISTINCT source_node_uuid FROM edges
+  WHERE group_id = 'src1' AND target_node_uuid = (SELECT c FROM center)
+),
+cands AS (
+  SELECT DISTINCT sha256(group_id || '|' || subj_name) AS id
+  FROM triples WHERE group_id = 'src1'
+  UNION
+  SELECT DISTINCT sha256(group_id || '|' || obj_name)
+  FROM triples WHERE group_id = 'src1'
+),
+scored AS (
+  SELECT c.id,
+         CAST(CASE WHEN c.id = (SELECT ctr.c FROM center ctr) THEN 10.0
+              WHEN c.id IN (SELECT n.id FROM nbrs n) THEN 1.0
+              ELSE 0.0 END AS DOUBLE) AS score
+  FROM cands c
+)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM scored ORDER BY rank"""
+
+    # G7: episode-mentions rerank over all canonical entities.
+    q["mentions_rerank"] = f"""WITH {MENTION_EDGES_CTE},
+counts AS (
+  SELECT entity_uuid AS id, CAST(count(*) AS DOUBLE) AS score
+  FROM mention_edges GROUP BY entity_uuid
+)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM counts ORDER BY rank"""
+
+    # G1: symmetric neighbor projection with edge counts.
+    q["neighbor_weights"] = f"""WITH {EDGES_CTE},
+sym AS (
+  SELECT source_node_uuid AS src, target_node_uuid AS dst FROM edges
+  UNION ALL
+  SELECT target_node_uuid, source_node_uuid FROM edges
+)
+SELECT src, dst, count(*) AS weight FROM sym
+WHERE src <> dst GROUP BY src, dst ORDER BY src, dst"""
+
+    # Q9: AND-of-OR datetime filter tree over temporal edges.
+    q["filtered_edges"] = f"""WITH {EDGES_TEMPORAL_CTE}
+SELECT uuid, group_id, name,
+       strftime(valid_at, '%Y-%m-%d %H:%M:%S') AS valid_at,
+       strftime(invalid_at, '%Y-%m-%d %H:%M:%S') AS invalid_at
+FROM edges_temporal
+WHERE group_id IN ('src1', 'src3')
+  AND (valid_at < TIMESTAMP '2024-01-02 00:00:00' OR invalid_at IS NOT NULL)
+ORDER BY uuid"""
+
     return q

@@ -1,0 +1,175 @@
+"""Hybrid search driver (SURVEY.md Q1) — the Spark twin of
+`search()` (/root/reference/graphiti_core/search/search.py:68-183) with
+the reference's recipe structure (search_config_recipes.py:34-223).
+
+A SearchConfig names, per channel (edges / nodes / episodes /
+communities), which retrieval methods run (bm25 | cosine | bfs) and
+which reranker fuses them (rrf | mmr | node_distance |
+episode_mentions | cross_encoder-stub). Each method over-fetches
+2×limit before rerank (reference search.py:206).
+
+The graph tables are DataFrames; the query embedding is computed once
+(reference search.py:88-109) with the frozen hash embedder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.config import DEFAULT_SEARCH_LIMIT
+from graphiti_spark.functions.embed import embed_text
+from graphiti_spark.search.filters import SearchFilters, apply_filters
+from graphiti_spark.search.fulltext import bm25_search, build_postings
+from graphiti_spark.search.fuse import mmr_rerank, rrf, token_overlap_rerank
+from graphiti_spark.search.graph import (
+    bfs_edges,
+    episode_mentions_rerank,
+    node_distance_rerank,
+)
+from graphiti_spark.search.similarity import cosine_topk
+
+
+@dataclass
+class ChannelConfig:
+    methods: list[str] = field(default_factory=lambda: ["bm25", "cosine"])
+    reranker: str = "rrf"
+
+
+@dataclass
+class SearchConfig:
+    edges: ChannelConfig | None = None
+    nodes: ChannelConfig | None = None
+    episodes: ChannelConfig | None = None
+    limit: int = DEFAULT_SEARCH_LIMIT
+
+
+# the two recipes the reference defaults to (graphiti.py:1093-1096)
+EDGE_HYBRID_SEARCH_RRF = SearchConfig(edges=ChannelConfig(["bm25", "cosine"], "rrf"))
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
+    edges=ChannelConfig(["bm25", "cosine"], "node_distance")
+)
+COMBINED_HYBRID_SEARCH_RRF = SearchConfig(
+    edges=ChannelConfig(["bm25", "cosine"], "rrf"),
+    nodes=ChannelConfig(["bm25", "cosine"], "rrf"),
+    episodes=ChannelConfig(["bm25"], "rrf"),
+)
+
+
+def _channel(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    vec_col: str | None,
+    query: str,
+    query_vec: list[float] | None,
+    cfg: ChannelConfig,
+    limit: int,
+    edges: DataFrame | None = None,
+    mention_edges: DataFrame | None = None,
+    center_uuid: str | None = None,
+    origin_uuids: list[str] | None = None,
+) -> DataFrame:
+    overfetch = 2 * limit  # reference search.py:206
+    ranked = []
+    for method in cfg.methods:
+        if method == "bm25":
+            idx = build_postings(corpus, id_col, text_col)
+            ranked.append(bm25_search(idx, query.split(), limit=overfetch))
+        elif method == "cosine" and vec_col is not None and query_vec is not None:
+            ranked.append(
+                cosine_topk(
+                    corpus, query_vec, id_col=id_col, vec_col=vec_col,
+                    limit=overfetch, min_score=None,
+                )
+            )
+        elif method == "bfs" and edges is not None and origin_uuids:
+            hits = bfs_edges(edges, origin_uuids).select(
+                F.col("uuid").alias("id"), F.lit(0.0).alias("score")
+            )
+            from pyspark.sql import Window
+
+            w = Window.orderBy(F.col("id"))
+            ranked.append(
+                hits.select("id", "score", F.row_number().over(w).alias("rank"))
+                .limit(overfetch)
+            )
+    if not ranked:
+        raise ValueError(f"no usable methods in {cfg.methods}")
+
+    if cfg.reranker == "rrf" or len(ranked) > 1 and cfg.reranker == "cross_encoder":
+        fused = rrf(ranked, limit=limit if cfg.reranker == "rrf" else 2 * limit)
+    else:
+        fused = rrf(ranked, limit=2 * limit)
+
+    if cfg.reranker == "rrf":
+        return fused
+    if cfg.reranker == "mmr" and vec_col is not None and query_vec is not None:
+        cands = fused.join(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "id",
+        )
+        return mmr_rerank(cands, query_vec, limit=limit)
+    if cfg.reranker == "node_distance" and edges is not None and center_uuid:
+        return node_distance_rerank(fused, edges, center_uuid, id_col="id").limit(limit)
+    if cfg.reranker == "episode_mentions" and mention_edges is not None:
+        return episode_mentions_rerank(fused, mention_edges, id_col="id").limit(limit)
+    if cfg.reranker == "cross_encoder":
+        cands = fused.join(
+            corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+            "id",
+        )
+        return token_overlap_rerank(cands, query, limit=limit)
+    return fused
+
+
+def search(
+    query: str,
+    config: SearchConfig,
+    *,
+    nodes: DataFrame | None = None,
+    edges: DataFrame | None = None,
+    episodes: DataFrame | None = None,
+    mention_edges: DataFrame | None = None,
+    filters: SearchFilters | None = None,
+    center_uuid: str | None = None,
+    origin_uuids: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Fan out the configured channels; returns {channel: (id, score,
+    rank)}. The query embedding is computed once on the driver (the
+    reference embeds once per search, search.py:88-109)."""
+    query_vec = embed_text(query)
+    out: dict[str, DataFrame] = {}
+    if config.edges is not None and edges is not None:
+        e = apply_filters(edges, filters, "edge") if filters else edges
+        corpus = e.select(
+            "uuid",
+            F.concat_ws(" ", "name", "fact").alias("search_text"),
+            "fact_embedding",
+        )
+        out["edges"] = _channel(
+            corpus, "uuid", "search_text", "fact_embedding", query, query_vec,
+            config.edges, config.limit, edges=e, mention_edges=mention_edges,
+            center_uuid=center_uuid, origin_uuids=origin_uuids,
+        )
+    if config.nodes is not None and nodes is not None:
+        n = apply_filters(nodes, filters, "node") if filters else nodes
+        corpus = n.select(
+            "uuid",
+            F.concat_ws(" ", "name", "summary").alias("search_text"),
+            "name_embedding",
+        )
+        out["nodes"] = _channel(
+            corpus, "uuid", "search_text", "name_embedding", query, query_vec,
+            config.nodes, config.limit, edges=edges, mention_edges=mention_edges,
+            center_uuid=center_uuid, origin_uuids=origin_uuids,
+        )
+    if config.episodes is not None and episodes is not None:
+        corpus = episodes.select("uuid", F.col("content").alias("search_text"))
+        out["episodes"] = _channel(
+            corpus, "uuid", "search_text", None, query, None,
+            config.episodes, config.limit,
+        )
+    return out

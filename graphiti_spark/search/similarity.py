@@ -1,0 +1,136 @@
+"""Cosine similarity search (SURVEY.md Q3) + ANN variants.
+
+Reference: per-row cosine(query, embedding) > min_score ORDER BY score
+LIMIT (`edge_similarity_search` /root/reference/graphiti_core/search/
+search_utils.py:285-430, min score 0.6 at :64). Here:
+
+  - ``cosine_topk``     exact brute force — one codegen'd scan, no UDF;
+                        correct baseline at any k, O(n·dim) per query.
+  - ``cosine_topk_lsh`` random-hyperplane LSH bucketing — the scale path:
+                        candidates restricted to query's buckets, so a
+                        1000-executor cluster scans a small fraction of
+                        rows. Recall <1.0 by construction (tested ≥0.6
+                        vs brute force at 16 tables × 8 bits).
+
+Both keep scores in IEEE double and round to 4 dp before ranking so
+result order is engine-reproducible (ties broken by id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions.embed import cosine_col
+
+DEFAULT_MIN_SCORE = 0.6  # reference search_utils.py:64
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    limit: int = 10,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine. Output (id, score, rank)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine_col(F.col(vec_col), q), 4).alias("score"),
+    )
+    if min_score is not None:
+        scored = scored.filter(F.col("score") > min_score)
+    top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(limit)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return top.select("id", "score", F.row_number().over(w).alias("rank"))
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a hash chain
+    (no RNG state — reproducible across runs/machines)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.blake2b(f"lsh:{seed}:{i}".encode(), digest_size=8).digest()
+        out.append((int.from_bytes(h, "big") / 2**64) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket_col(vec_col, dim: int, n_bits: int, table: int):
+    """Sign-bit bucket id for one LSH table: n_bits random hyperplanes,
+    bucket = bit-packed signs — pure column expressions."""
+    bucket = F.lit(0)
+    for bit in range(n_bits):
+        plane = _hyperplane(table * 1000 + bit, dim)
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(vec_col, lambda x: x.cast("double")),
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    limit: int = 10,
+    n_tables: int = 16,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign-bucket in any
+    of ``n_tables`` hyperplane tables, then exact cosine over candidates.
+
+    The bucket explode is the blocking shuffle (same shape as MinHash-LSH
+    dedup); at cluster scale the bucketed table is precomputed once and
+    partitioned by (table, bucket) so a query touches n_tables partitions.
+    """
+    import numpy as np
+
+    dim = len(query_vec)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    buckets = []
+    for t in range(n_tables):
+        b = 0
+        for bit in range(n_bits):
+            plane = np.asarray(_hyperplane(t * 1000 + bit, dim))
+            if float(qv @ plane) >= 0:
+                b |= 1 << bit
+        buckets.append((t, b))
+
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket_col(F.col(vec_col), dim, n_bits, t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(buckets, "table int, bucket int")
+    candidates = (
+        tagged.select("id", "vec", F.col("tb.table").alias("table"),
+                      F.col("tb.bucket").alias("bucket"))
+        .join(F.broadcast(qdf), ["table", "bucket"])
+        .select("id", "vec")
+        .dropDuplicates(["id"])
+    )
+    return cosine_topk(
+        candidates, query_vec, id_col="id", vec_col="vec", limit=limit
+    )

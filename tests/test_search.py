@@ -1,0 +1,175 @@
+"""Retrieval layer: BM25, cosine/LSH similarity, RRF, MMR, BFS,
+rerankers, filters, label propagation (SURVEY.md §2.5-§2.6)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions.embed import embed_text
+from graphiti_spark.search.filters import SearchFilters, apply_filters
+from graphiti_spark.search.fulltext import bm25_search, build_postings
+from graphiti_spark.search.fuse import mmr_rerank, rrf
+from graphiti_spark.search.graph import (
+    bfs_nodes,
+    episode_mentions_rerank,
+    node_distance_rerank,
+)
+from graphiti_spark.search.similarity import cosine_topk, cosine_topk_lsh
+from graphiti_spark.operators.communities import label_propagation
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "fast table join slow table"),
+        (2, "fast query"),
+        (3, "window window window"),
+        (4, "table"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_bm25_ranks_and_scores(corpus, spark):
+    idx = build_postings(corpus, "id", "text")
+    out = bm25_search(idx, ["fast", "table"], limit=10).collect()
+    ids = [r.id for r in out]
+    # doc1 has both terms (table twice) → top; docs 2 and 4 have one term.
+    assert ids[0] == 1
+    assert set(ids) == {1, 2, 4}
+    assert [r.rank for r in out] == [1, 2, 3]
+    # manual BM25 check for doc 4 (term 'table', tf=1, dl=1):
+    n_docs, df_table, avgdl = 4, 2, (5 + 2 + 3 + 1) / 4
+    idf = math.log(1 + (n_docs - df_table + 0.5) / (df_table + 0.5))
+    k1, b = 1.2, 0.75
+    expect = idf * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 1 / avgdl))
+    got = [r.score for r in out if r.id == 4][0]
+    assert abs(got - round(expect, 4)) < 1e-9
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, [1.0, 0.0, 0.0], limit=3).collect()
+    assert [r.id for r in out] == [1, 2, 3]
+    assert out[0].score == 1.0
+    assert abs(out[1].score - round(0.9 / math.sqrt(0.81 + 0.01), 4)) < 1e-9
+
+
+def test_cosine_lsh_recall(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    exact = {r.id for r in cosine_topk(df, q, limit=10).collect()}
+    approx = {r.id for r in cosine_topk_lsh(df, q, limit=10).collect()}
+    assert 0 in approx  # the query vector itself must be found
+    assert len(exact & approx) / 10 >= 0.6
+
+
+def test_rrf_fusion(spark):
+    a = spark.createDataFrame([(10, 1.0, 1), (11, 0.5, 2)], "id long, score double, rank int")
+    b = spark.createDataFrame([(11, 9.0, 1), (12, 8.0, 2)], "id long, score double, rank int")
+    out = {r.id: r.score for r in rrf([a, b], limit=10).collect()}
+    # contributions 1/(rank-1+1): id11 = 1/2 + 1/1 = 1.5; id10 = 1; id12 = 0.5
+    assert out == {11: 1.5, 10: 1.0, 12: 0.5}
+
+
+def test_mmr_prefers_diversity(spark):
+    # two near-identical high scorers + one orthogonal: MMR should pick
+    # the best, then the orthogonal one (reference λ=0.5). Query must
+    # differ from the first pick or every MMR value degenerates to 0.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, -0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    out = mmr_rerank(df, [0.8, 0.6], id_col="id", vec_col="vec", limit=2).collect()
+    picked = [r.id for r in sorted(out, key=lambda r: r.rank)]
+    assert picked[0] == 1
+    assert picked[1] == 3
+
+
+def _edges_df(spark, pairs):
+    rows = [
+        (f"e{i}", "g", s, d, "RELATES_TO", f"{s} r {d}")
+        for i, (s, d) in enumerate(pairs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, name string, fact string",
+    )
+
+
+def test_bfs_depth_limits(spark):
+    edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    out = {r.uuid: r.depth for r in bfs_nodes(edges, ["a"], max_depth=3).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}  # e is 4 hops → absent
+
+
+def test_node_distance_rerank(spark):
+    edges = _edges_df(spark, [("c", "x"), ("c", "y"), ("y", "z")])
+    cands = spark.createDataFrame([("c",), ("x",), ("z",)], "uuid string")
+    out = {r.id: r.score for r in node_distance_rerank(cands, edges, "c").collect()}
+    assert out == {"c": 10.0, "x": 1.0, "z": 0.0}
+
+
+def test_episode_mentions_rerank(spark):
+    me = spark.createDataFrame(
+        [("m1", "g", "ep1", "a"), ("m2", "g", "ep2", "a"), ("m3", "g", "ep1", "b")],
+        "uuid string, group_id string, episode_uuid string, entity_uuid string",
+    )
+    cands = spark.createDataFrame([("a",), ("b",), ("c",)], "uuid string")
+    out = {r.id: r.score for r in episode_mentions_rerank(cands, me).collect()}
+    assert out == {"a": 2.0, "b": 1.0, "c": 0.0}
+
+
+def test_search_filters_tree(spark):
+    from datetime import datetime
+
+    rows = [
+        ("e1", "g1", "LIKES", datetime(2024, 1, 1), None),
+        ("e2", "g1", "HATES", datetime(2024, 6, 1), datetime(2024, 7, 1)),
+        ("e3", "g2", "LIKES", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, group_id string, name string, valid_at timestamp, invalid_at timestamp"
+    )
+    f = SearchFilters(
+        group_ids=["g1"],
+        date_filters=[
+            [("valid_at", "<", datetime(2024, 5, 1)), ("invalid_at", "is_not_null", None)]
+        ],
+    )
+    got = {r.uuid for r in apply_filters(df, f, "edge").collect()}
+    assert got == {"e1", "e2"}
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles bridged by one weak edge → two communities
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    edges = _edges_df(spark, tri1 + tri2 + [("c", "x")])
+    labels = {r.uuid: r.community for r in label_propagation(edges).collect()}
+    assert labels["a"] == labels["b"] == labels["c"]
+    assert labels["x"] == labels["y"] == labels["z"]
+    assert labels["a"] != labels["x"]
+
+
+def test_embed_deterministic():
+    a, b = embed_text("fast table"), embed_text("fast table")
+    assert a == b
+    assert abs(sum(x * x for x in a) - 1.0) < 1e-5
