@@ -277,6 +277,79 @@ def _q_hybrid_search(spark, sf_dir):
     return res["edges"]
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_docs_exact_dedup(spark, sf_dir):
+    from graphiti_spark.operators.dedup_docs import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_docs_near_dup(spark, sf_dir):
+    from graphiti_spark.operators.dedup_docs import minhash_near_dup
+
+    return minhash_near_dup(_docs(spark, sf_dir), threshold=0.95, mode="word")
+
+
+def _q_docs_simhash(spark, sf_dir):
+    from graphiti_spark.operators.dedup_docs import simhash_near_dup
+
+    return simhash_near_dup(_docs(spark, sf_dir), max_hamming=3, mode="word")
+
+
+def _q_docs_canonical(spark, sf_dir):
+    from graphiti_spark.operators.dedup_docs import canonical_docs, minhash_near_dup
+
+    docs = _docs(spark, sf_dir)
+    return canonical_docs(docs, minhash_near_dup(docs, threshold=0.95, mode="word"))
+
+
+def _q_embeddings_near_dup(spark, sf_dir):
+    from graphiti_spark.operators.dedup_docs import embedding_near_dup
+
+    return embedding_near_dup(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.45
+    )
+
+
+def _q_docs_language_id(spark, sf_dir):
+    from graphiti_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_docs_token_stats(spark, sf_dir):
+    from graphiti_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_docs_quality(spark, sf_dir):
+    from graphiti_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_docs_fingerprint(spark, sf_dir):
+    from graphiti_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_media_metadata(spark, sf_dir):
+    from graphiti_spark.operators.multimodal import media_metadata
+
+    return media_metadata(_pipe(spark, sf_dir)["pages"], "url", "html")
+
+
+def _q_frame_offsets(spark, sf_dir):
+    from graphiti_spark.operators.multimodal import frame_sample_offsets
+
+    return frame_sample_offsets(_pipe(spark, sf_dir)["pages"], "url", "html")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -305,6 +378,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_edges": _q_filtered_edges,
         "communities": _q_communities,             # rows-only (iterative LP)
         "hybrid_search_edges": _q_hybrid_search,   # rows-only (composition)
+        # training-data pipeline ops over documents/embeddings
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_near_dup": _q_docs_near_dup,
+        "docs_simhash": _q_docs_simhash,           # rows-only (blake2b hashes)
+        "docs_canonical": _q_docs_canonical,       # rows-only (iterative CC)
+        "embeddings_near_dup": _q_embeddings_near_dup,
+        "docs_language_id": _q_docs_language_id,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_quality": _q_docs_quality,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "media_metadata": _q_media_metadata,
+        "frame_offsets": _q_frame_offsets,
     }
 
 

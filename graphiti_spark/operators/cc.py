@@ -93,7 +93,8 @@ def connected_components(
         iteration instead of two exceptAll scans for convergence testing."""
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            # decimal accumulator: xxhash64 sums overflow long under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 

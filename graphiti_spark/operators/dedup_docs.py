@@ -1,0 +1,261 @@
+"""Document-level deduplication for training-data pipelines.
+
+Beyond the reference's entity dedup (SURVEY.md §2.3), a web-scale corpus
+engine needs document dedup. Same algorithmic family as the
+entity-resolution kernels (MinHash/LSH ported from
+/root/reference/graphiti_core/utils/maintenance/dedup_helpers.py — the
+constants are shared via config.py), applied to the `documents` corpus:
+
+  exact_dedup          sha256(normalized text) groupBy — exact copies
+  minhash_near_dup     shingle → MinHash(32) → LSH band(4) blocking →
+                       exact Jaccard verify ≥ τ (the scale path: the
+                       band-bucket shuffle replaces the O(n²) pair scan)
+  simhash_near_dup     64-bit SimHash + banded hamming blocking
+  embedding_near_dup   cosine ≥ τ over an embedding column — exact
+                       all-pairs within a group (baseline) — the LSH
+                       variant lives in search/similarity.py
+  canonical_docs       near-dup pairs → connected components → one
+                       canonical doc per cluster (reuses operators/cc.py)
+
+All shuffles key on content-derived values (band hashes, chunk values) —
+uniform by construction, no hub skew. Shingle modes: 'char3' (reference
+name shingles), 'word' (token set), 'word3' (3-token grams — order
+sensitive, the right default for prose dedup).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from graphiti_spark.functions.dedup_text import (
+    jaccard_col,
+    lsh_band_keys_col,
+    minhash_signature_udf,
+)
+
+MAX_BUCKET = 2000  # pathological-bucket guard (same role as resolve.py)
+
+
+def normalize_text_col(text):
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash. Output one row per doc:
+    (id, content_hash, canonical_id = min id sharing the hash, n_copies)."""
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.sha2(normalize_text_col(F.col(text_col)).cast("binary"), 256).alias(
+            "content_hash"
+        ),
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return hashed.join(groups, "content_hash").select(
+        "id", "content_hash", "canonical_id", "n_copies"
+    )
+
+
+def shingles_of(text_col, mode: str):
+    """Shingle array column (sorted distinct) for the given mode."""
+    toks = F.split(normalize_text_col(text_col), " ")
+    if mode == "word":
+        return F.array_sort(F.array_distinct(toks))
+    if mode == "word3":
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+        return F.when(n >= 3, F.array_sort(F.array_distinct(grams))).otherwise(
+            F.array_sort(F.array_distinct(toks))
+        )
+    if mode == "char3":
+        from graphiti_spark.functions.dedup_text import shingles_col
+
+        return shingles_col(F.regexp_replace(normalize_text_col(text_col), " ", ""))
+    raise ValueError(f"unknown shingle mode {mode!r}")
+
+
+def minhash_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.95,
+    mode: str = "word",
+) -> DataFrame:
+    """MinHash-LSH blocked near-dup pairs verified by exact Jaccard.
+    Output (a_id, b_id, jaccard) with a_id < b_id, jaccard ≥ threshold,
+    rounded to 4 dp. Deterministic: blake2b MinHash (no RNG)."""
+    prepared = docs.select(
+        F.col(id_col).alias("id"),
+        shingles_of(F.col(text_col), mode).alias("shingles"),
+    ).withColumn("sig", minhash_signature_udf(F.col("shingles")))
+
+    banded = prepared.select(
+        "id", "shingles", F.explode(lsh_band_keys_col(F.col("sig"))).alias("b")
+    ).select(
+        "id",
+        "shingles",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    sizes = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    capped = banded.join(
+        sizes.filter(F.col("n") <= MAX_BUCKET), ["band_idx", "band_key"]
+    )
+    left = capped.select(
+        "band_idx", "band_key",
+        F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"),
+    )
+    right = capped.select(
+        "band_idx", "band_key",
+        F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"),
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "a_sh", "b_id", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard_col(F.col("a_sh"), F.col("b_sh")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(shingle_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash over a shingle array (blake2b per shingle, sign-sum
+    per bit) — Arrow-vectorized, deterministic."""
+    from hashlib import blake2b
+
+    def sim(arr) -> int | None:
+        if arr is None:
+            return None
+        acc = [0] * 64
+        for sh in arr:
+            h = int.from_bytes(blake2b(sh.encode(), digest_size=8).digest(), "big")
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return shingle_arrays.map(sim)
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    mode: str = "word",
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit chunks (pigeonhole —
+    hamming ≤ 3 over 4 chunks guarantees ≥1 identical chunk), verify
+    hamming ≤ max_hamming. Output (a_id, b_id, hamming)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        simhash64_udf(shingles_of(F.col(text_col), mode)).alias("simhash"),
+    )
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk_idx").alias("ci"), F.col("c.chunk").alias("cv"))
+    pairs = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("a.simhash").alias("a_sim"),
+            F.col("b.id").alias("b_id"),
+            F.col("b.simhash").alias("b_sim"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def embedding_near_dup(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (baseline; LSH-bucketed path via
+    search.similarity for scale). Output (a_id, b_id, cos)."""
+    from graphiti_spark.functions.embed import cosine_col
+
+    a = embs.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
+    b = embs.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.withColumn("cos", F.round(cosine_col(F.col("a_v"), F.col("b_v")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
+def canonical_docs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs → clusters → per-doc canonical id (min id in the
+    connected component; singletons map to themselves)."""
+    from graphiti_spark.operators.cc import connected_components
+
+    # zero-pad numeric ids so CC's lexicographic-min == numeric-min
+    def pad(c):
+        return F.lpad(c.cast("string"), 12, "0")
+
+    cc = connected_components(
+        pairs.select(pad(F.col("a_id")).alias("src"), pad(F.col("b_id")).alias("dst"))
+    )
+    return (
+        docs.select(pad(F.col(id_col)).alias("uuid"))
+        .join(cc, "uuid", "left")
+        .select(
+            F.col("uuid").cast("long").alias("id"),
+            F.coalesce(F.col("canonical_uuid"), F.col("uuid"))
+            .cast("long")
+            .alias("canonical_id"),
+        )
+    )

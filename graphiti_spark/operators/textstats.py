@@ -1,0 +1,163 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+These are the corpus-hygiene operators a 100 TB web-text pipeline runs
+before KG construction (the reference assumes clean single-language
+episodes; a Common-Crawl-style `pages` table does not get that luxury).
+Everything is native column expressions — whole-stage codegen, no UDFs,
+no shuffle (pure per-row map over the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language (closed lists → SQL-expressible,
+# deterministic; a real deployment swaps in fastText-style n-gram LM
+# scores behind the same column contract).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "les", "et", "des", "un", "une", "est", "que", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "en"),
+}
+ENGLISH_STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single non-space
+# symbol (the GPT-2 pre-tokenizer family, minus byte fallback).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+FINGERPRINT_GRAM = 5  # tokens per fingerprint k-gram
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: per-language marker hit count over the
+    token stream, argmax with deterministic tie-break (lexicographic
+    language code); zero hits → 'und'. Output (id, pred_lang, n_hits)."""
+    toks = _tokens(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+            # negative-ord trick: argmax prefers HIGH hits then LOW code;
+            # invert code ordering by storing it negated via map lookup
+            F.lit(code).alias("lang"),
+        )
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    # greatest(struct) picks max hits; ties → max lang code. For a
+    # deterministic LOW-code tie-break, compare pairwise in order.
+    best = scores[0]
+    for s in scores[1:]:
+        best = F.when(s["hits"] > best["hits"], s).otherwise(best)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+        best["hits"].cast("long").alias("n_hits"),
+    )
+
+
+def token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish pre-tokens, chars.
+    Output (id, n_ws_tokens, n_bpe_tokens, n_chars)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(_tokens(t), lambda x: x != "")).cast("long").alias(
+            "n_ws_tokens"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality (Gopher/C4-style ratio rules, closed
+    deterministic form):
+
+      mean_token_len   ∈ [3, 10] is prose-like
+      stopword_ratio   fraction of tokens in the English stopword list
+      alpha_ratio      fraction of chars that are [a-z ]
+      distinct_ratio   |distinct tokens| / |tokens| (repetition guard)
+      score            0.25·each of four binary gates (rounded 4 dp)
+
+    Output (id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+    distinct_ratio, score)."""
+    t = F.col(text_col)
+    toks = F.filter(_tokens(t), lambda x: x != "")
+    n = F.size(toks).cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda x: x.isin(*ENGLISH_STOPWORDS))) / n,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        F.length(t) > 0,
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z ]", "")).cast("double")
+        / F.length(t),
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+    gates = (
+        F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.8, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(gates, 4).alias("score"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    gram: int = FINGERPRINT_GRAM,
+) -> DataFrame:
+    """Document fingerprinting: full-content hash + a rolling-window
+    fingerprint (min sha256 over ``gram``-token windows — the winnowing
+    selection rule with window = whole doc; engine-portable because the
+    hash is sha256 over the gram text, not a custom rolling polynomial).
+    Output (id, content_sha, min_gram_sha)."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(gram - 1)),
+        lambda i: F.sha2(
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(gram)]
+            ).cast("binary"),
+            256,
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.trim(F.lower(t)).cast("binary"), 256).alias("content_sha"),
+        F.when(n >= gram, F.array_min(grams))
+        .otherwise(F.sha2(F.concat_ws(" ", toks).cast("binary"), 256))
+        .alias("min_gram_sha"),
+    )

@@ -400,6 +400,177 @@ sym AS (
 SELECT src, dst, count(*) AS weight FROM sym
 WHERE src <> dst GROUP BY src, dst ORDER BY src, dst"""
 
+    # --- training-data pipeline operators over documents/embeddings ---
+
+    # Exact dedup by normalized-content hash.
+    q["docs_exact_dedup"] = """WITH
+hashed AS (
+  SELECT doc_id AS id,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+),
+groups AS (
+  SELECT content_hash, min(id) AS canonical_id, count(*) AS n_copies
+  FROM hashed GROUP BY content_hash
+)
+SELECT h.id, h.content_hash, g.canonical_id, g.n_copies
+FROM hashed h JOIN groups g USING (content_hash) ORDER BY h.id"""
+
+    # MinHash-LSH near-dup pairs (word-set shingles, Jaccard ≥ 0.95).
+    # Oracle is the brute-force all-pairs ground truth: equality also
+    # PROVES the deterministic LSH blocking has full recall at τ=0.95
+    # on this corpus.
+    q["docs_near_dup"] = """WITH
+s AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.w, b.w))), 4) AS jaccard
+  FROM s a JOIN s b ON a.id < b.id
+)
+SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.95
+ORDER BY a_id, b_id"""
+
+    # Embedding-cosine near-dup pairs (exact baseline, τ=0.45).
+    q["embeddings_near_dup"] = """WITH
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.45 ORDER BY a_id, b_id"""
+
+    # Language ID: per-language marker counts, argmax (ties → low code).
+    _markers = {
+        "de": "('der','die','das','und','ist','ein','eine','nicht','mit','zu')",
+        "en": "('the','and','of','to','a','in','is','it','that','for')",
+        "es": "('el','la','los','las','y','es','un','una','que','en')",
+        "fr": "('le','la','les','et','des','un','une','est','que','dans')",
+    }
+    lang_arms = " UNION ALL ".join(
+        f"SELECT id, '{code}' AS code, "
+        f"len(list_filter(toks, t -> t IN {inlist})) AS hits FROM t"
+        for code, inlist in sorted(_markers.items())
+    )
+    q["docs_language_id"] = f"""WITH
+t AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+langs AS ({lang_arms}),
+best AS (
+  SELECT id, code, hits,
+         row_number() OVER (PARTITION BY id ORDER BY hits DESC, code ASC) AS rn
+  FROM langs
+)
+SELECT id, CASE WHEN hits > 0 THEN code ELSE 'und' END AS pred_lang,
+       CAST(hits AS BIGINT) AS n_hits
+FROM best WHERE rn = 1 ORDER BY id"""
+
+    # Token counting: whitespace tokens, BPE-ish pre-tokens, chars.
+    q["docs_token_stats"] = """SELECT
+  doc_id AS id,
+  CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS BIGINT)
+    AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+    AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY id"""
+
+    # Quality scoring: ratio features + 4-gate composite.
+    q["docs_quality"] = """WITH
+t AS (
+  SELECT doc_id AS id, text,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT id,
+    CAST(len(toks) AS DOUBLE) AS n,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mean_len,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(toks, x -> x IN
+           ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+              / length(text)
+         ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS distinct_ratio
+  FROM t
+)
+SELECT id, CAST(n AS BIGINT) AS n_tokens,
+  round(mean_len, 4) AS mean_token_len,
+  round(stop_ratio, 4) AS stopword_ratio,
+  round(alpha_ratio, 4) AS alpha_ratio,
+  round(distinct_ratio, 4) AS distinct_ratio,
+  round(CAST(
+    (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN alpha_ratio >= 0.8 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN distinct_ratio >= 0.2 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 4) AS score
+FROM feats ORDER BY id"""
+
+    # Document fingerprinting: content hash + min 5-token-gram sha.
+    q["docs_fingerprint"] = """WITH
+t AS (
+  SELECT doc_id AS id, trim(lower(text)) AS norm,
+         string_split(trim(lower(text)), ' ') AS toks
+  FROM documents
+)
+SELECT id,
+  sha256(norm) AS content_sha,
+  CASE WHEN len(toks) >= 5 THEN
+    list_min(list_transform(range(1, len(toks) - 3),
+      i -> sha256(array_to_string(toks[i:i+4], ' '))))
+  ELSE sha256(array_to_string(toks, ' ')) END AS min_gram_sha
+FROM t ORDER BY id"""
+
+    # Multimodal metadata: fake-decode over the binary html payload.
+    # The oracle reconstructs the deterministic page markup from
+    # documents.text (FIXTURES.md §1) — equality proves the Spark side's
+    # binary Arrow plumbing reproduces the same bytes.
+    _html = (
+        "'<html><head><title>doc ' || CAST(p.doc_id AS VARCHAR) || "
+        "'</title></head><body><nav>site navigation</nav><p>' || p.text || "
+        "'</p><footer>crawl footer</footer></body></html>'"
+    )
+    q["media_metadata"] = f"""WITH {PAGES_CTE},
+payload AS (
+  SELECT p.url AS id, {_html} AS html
+  FROM pages p
+)
+SELECT id,
+  CAST(length(html) AS BIGINT) AS n_bytes,
+  sha256(html) AS sha256,
+  'fake' AS format,
+  CAST(length(html) % 640 + 1 AS INT) AS width,
+  CAST((length(html) // 640) % 480 + 1 AS INT) AS height,
+  CAST(3 AS INT) AS channels
+FROM payload ORDER BY id"""
+
+    # Frame-sampling stub: evenly-spaced byte offsets per payload.
+    q["frame_offsets"] = f"""WITH {PAGES_CTE},
+payload AS (
+  SELECT p.url AS id, CAST(length({_html}) AS BIGINT) AS n
+  FROM pages p
+)
+SELECT id, CAST(i AS INT) AS frame_idx,
+       CAST((i * n) // 4 AS BIGINT) AS byte_offset
+FROM payload, range(0, 4) r(i) ORDER BY id, frame_idx"""
+
     # Q9: AND-of-OR datetime filter tree over temporal edges.
     q["filtered_edges"] = f"""WITH {EDGES_TEMPORAL_CTE}
 SELECT uuid, group_id, name,

@@ -1,0 +1,161 @@
+"""Training-data pipeline operators: document dedup family, text
+analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.dedup_docs import (
+    canonical_docs,
+    embedding_near_dup,
+    exact_dedup,
+    minhash_near_dup,
+    simhash_near_dup,
+)
+from graphiti_spark.operators.multimodal import (
+    decode_image,
+    fake_decode_meta,
+    frame_sample_offsets,
+    media_metadata,
+)
+from graphiti_spark.operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and AGAIN "),  # exact after norm
+        (4, "a completely different document about spark shuffles"),
+        (5, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 1
+        (6, "le chat est dans la maison et le chien est dans le jardin"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.id: (r.canonical_id, r.n_copies) for r in exact_dedup(docs).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[4] == (4, 1)
+
+
+def test_minhash_near_dup_word(docs):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_near_dup(docs, threshold=0.8, mode="word").collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical word sets
+    assert (1, 5) in pairs  # fox/cat swap: 10/12 words shared ≥ 0.8
+    assert not any(4 in p or 6 in p for p in pairs)
+
+
+def test_minhash_word3_order_sensitive(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "zeta epsilon delta gamma beta alpha"),  # same words, reversed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    word = minhash_near_dup(df, threshold=0.9, mode="word").collect()
+    word3 = minhash_near_dup(df, threshold=0.3, mode="word3").collect()
+    assert len(word) == 1  # word-set view: duplicates
+    assert len(word3) == 0  # 3-gram view: nothing shared
+
+
+def test_simhash_near_dup(docs):
+    pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_near_dup(docs).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert (1, 4) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.04]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.a_id, r.b_id): r.cos for r in embedding_near_dup(df, threshold=0.9).collect()}
+    assert (1, 2) in pairs and len(pairs) == 1
+
+
+def test_canonical_docs(docs):
+    pairs = minhash_near_dup(docs, threshold=0.8, mode="word")
+    out = {r.id: r.canonical_id for r in canonical_docs(docs, pairs).collect()}
+    assert out[1] == out[2] == out[3] == out[5] == 1
+    assert out[4] == 4 and out[6] == 6
+
+
+def test_language_id(docs, spark):
+    out = {r.id: r.pred_lang for r in language_id(docs).collect()}
+    assert out[1] == "en" and out[6] == "fr"
+    und = spark.createDataFrame([(9, "xyzzy plugh")], "doc_id long, text string")
+    assert language_id(und).collect()[0].pred_lang == "und"
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "Hello, world! x2")], "doc_id long, text string")
+    r = token_stats(df).collect()[0]
+    assert r.n_ws_tokens == 3
+    # BPE-ish: Hello , world ! x 2 → 6
+    assert r.n_bpe_tokens == 6
+    assert r.n_chars == 16
+
+
+def test_quality_score(docs):
+    rows = {r.id: r for r in quality_score(docs).collect()}
+    assert rows[1].score == 1.0  # prose-like English
+    assert rows[1].n_tokens == 12
+    assert rows[1].distinct_ratio == round(10 / 12, 4)
+
+
+def test_doc_fingerprint_shift_invariant(spark):
+    # min-gram fingerprint survives a prefix insertion (content hash doesn't)
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "zz a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in doc_fingerprint(df).collect()}
+    assert out[1].content_sha != out[2].content_sha
+    shared = "c d e f g h".split()  # both contain gram "c d e f g"
+    assert out[1].min_gram_sha is not None
+    # the min over a superset of grams can only be ≤; equality holds when
+    # the shared gram region contains the minimum
+    assert out[2].min_gram_sha <= out[1].min_gram_sha
+
+
+def test_fake_decode_and_stub():
+    meta = fake_decode_meta(b"x" * 1300)
+    assert (meta["width"], meta["height"], meta["channels"]) == (1300 % 640 + 1, 3, 3)[0:1] + (
+        (1300 // 640) % 480 + 1,
+        3,
+    )
+    assert meta["sha256"] == hashlib.sha256(b"x" * 1300).hexdigest()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", "png")
+
+
+def test_media_metadata_plumbing(spark):
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"abc")), ("u2", bytearray(b"d" * 700))],
+        "url string, html binary",
+    )
+    out = {r.id: r for r in media_metadata(df).collect()}
+    assert out["u1"].n_bytes == 3 and out["u1"].width == 4
+    assert out["u2"].height == 2  # 700 // 640 = 1 → +1
+    assert out["u2"].sha256 == hashlib.sha256(b"d" * 700).hexdigest()
+
+
+def test_frame_sample_offsets(spark):
+    df = spark.createDataFrame([("u1", bytearray(b"x" * 100))], "url string, html binary")
+    offs = [(r.frame_idx, r.byte_offset) for r in frame_sample_offsets(df).collect()]
+    assert offs == [(0, 0), (1, 25), (2, 50), (3, 75)]
