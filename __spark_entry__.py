@@ -350,6 +350,21 @@ def _q_frame_offsets(spark, sf_dir):
     return frame_sample_offsets(_pipe(spark, sf_dir)["pages"], "url", "html")
 
 
+def _q_edge_dup_pairs(spark, sf_dir):
+    from graphiti_spark.operators.edge_dedup import edge_duplicate_pairs
+
+    edges = _pipe(spark, sf_dir)["edges_merged"].filter(F.col("group_id") == "src1")
+    return edge_duplicate_pairs(edges, min_score=0.6)
+
+
+def _q_invalidation_candidates(spark, sf_dir):
+    from graphiti_spark.operators.edge_dedup import invalidation_candidates
+
+    edges = _pipe(spark, sf_dir)["edges_merged"].filter(F.col("group_id") == "src1")
+    new = edges.orderBy("uuid").limit(5)
+    return invalidation_candidates(new, edges, min_score=0.6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -390,6 +405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,
+        # fuzzy edge dedup / temporal candidates (D16-D18, T4)
+        "edge_dup_pairs_src1": _q_edge_dup_pairs,        # rows-only (embeddings)
+        "invalidation_candidates": _q_invalidation_candidates,  # rows-only
     }
 
 

@@ -23,10 +23,38 @@ import sys
 import time
 
 
-def run_bench(sf_dir: str, cores: int | None) -> dict:
+def replicate_corpus(sf_dir: str, factor: int) -> str:
+    """Materialize a deterministic ×factor replica of documents.parquet
+    (doc_id offset per copy) so the scaling runs are compute-bound rather
+    than fixed-overhead-bound. Same input for every parallelism level."""
+    import duckdb
+
+    out_dir = f"/tmp/graphiti_bench_rep{factor}_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + k * 1000000 AS doc_id, text, lang,
+                 source || '-' || CAST(k AS VARCHAR) AS source, n_chars
+          FROM read_parquet('{sf_dir}/documents.parquet'), range(0, {factor}) r(k)
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+def run_bench(sf_dir: str, cores: int | None, replicate: int = 1) -> dict:
     os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
     if cores is not None:
         os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    if replicate > 1:
+        sf_dir = replicate_corpus(sf_dir, replicate)
 
     from graphiti_spark.config import RunConfig
     from graphiti_spark.pipeline import run_pipeline
@@ -68,13 +96,18 @@ def run_bench(sf_dir: str, cores: int | None) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
+def run_scaling(
+    sf_dir: str, n_small: int = 8, n_large: int = 32, replicate: int = 8
+) -> dict:
     """Sandbox stand-in for N vs 4N executors (BASELINE.md protocol):
-    identical job, identical input, local[8] vs local[32], fresh JVM each."""
+    identical job, identical (replicated) input, local[N] vs local[4N],
+    fresh JVM each. Replication makes the run compute-bound so the
+    measurement reflects the shuffle-heavy stages, not session startup."""
     results = {}
     for cores in (n_small, n_large):
         proc = subprocess.run(
-            [sys.executable, __file__, "--cores", str(cores), "--sf-dir", sf_dir],
+            [sys.executable, __file__, "--cores", str(cores), "--sf-dir", sf_dir,
+             "--replicate", str(replicate)],
             capture_output=True, text=True, check=True,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
@@ -98,12 +131,16 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--replicate", type=int, default=None)
+    ap.add_argument("--n-small", type=int, default=8)
+    ap.add_argument("--n-large", type=int, default=32)
     args = ap.parse_args()
 
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir)))
+        print(json.dumps(run_scaling(
+            args.sf_dir, args.n_small, args.n_large, args.replicate or 8)))
     else:
-        print(json.dumps(run_bench(args.sf_dir, args.cores)))
+        print(json.dumps(run_bench(args.sf_dir, args.cores, args.replicate or 1)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,65 @@
+"""Graph materialization sinks (SURVEY.md S6–S8).
+
+Reference persistence is MERGE-upsert Cypher per node/edge or UNWIND
+bulk upsert (graphiti_core/utils/bulk_utils.py:128-251, Cypher in
+models/nodes/node_db_queries.py:94-101). The Spark-native equivalent is
+a partitioned table write:
+
+  - tables partitioned by ``group_id`` (the reference's graph partition
+    key — FalkorDB gives each group its own database; here it's
+    partition pruning, graphiti.py:698-701);
+  - upsert = idempotent overwrite by deterministic uuid: with
+    content-derived ids, re-running a batch produces identical rows, so
+    ``MERGE ON uuid`` degenerates to dynamic-partition overwrite. On an
+    Iceberg catalog this becomes ``MERGE INTO t USING u ON t.uuid =
+    u.uuid WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *``
+    (upsert_sql below emits exactly that statement);
+  - the S8 "index DDL" equivalent: sort-within-partitions by uuid on
+    write, giving parquet min/max uuid skipping for S5 point lookups.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+GRAPH_TABLES = ("nodes", "edges", "mention_edges", "episodes", "communities")
+
+
+def save_graph(outputs: dict[str, DataFrame], path: str) -> dict[str, str]:
+    """Write every present graph table to ``path/<table>`` parquet,
+    partitioned by group_id, sorted by uuid within partitions."""
+    written: dict[str, str] = {}
+    for name in GRAPH_TABLES:
+        df = outputs.get(name)
+        if df is None:
+            continue
+        target = os.path.join(path, name)
+        (
+            df.sortWithinPartitions("uuid")
+            .write.mode("overwrite")
+            .partitionBy("group_id")
+            .parquet(target)
+        )
+        written[name] = target
+    return written
+
+
+def load_graph(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in GRAPH_TABLES:
+        target = os.path.join(path, name)
+        if os.path.isdir(target):
+            out[name] = spark.read.parquet(target)
+    return out
+
+
+def upsert_sql(table: str, updates_view: str) -> str:
+    """The Iceberg MERGE statement this write maps to on a real catalog
+    (S6 single/bulk upsert semantics)."""
+    return (
+        f"MERGE INTO {table} t USING {updates_view} u ON t.uuid = u.uuid "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )

@@ -83,10 +83,18 @@ def connected_components(
     Isolated nodes (not in pairs) are absent; callers coalesce(canonical,
     own) after a left join — same contract as the reference's uuid_map.
     """
-    edges = _symmetrize(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    if not edges.take(1):
+    # Single full count (one job) instead of take(1): take's escalating
+    # partial jobs re-run the upstream UDF chain per retry; a count both
+    # answers emptiness and fully populates the caller's pairs cache.
+    if pairs.count() == 0:
         spark = pairs.sparkSession
-        return spark.createDataFrame([], "uuid string, canonical_uuid string")
+        # JVM-side empty frame — createDataFrame([]) builds a Python-RDD
+        # plan whose 32 empty tasks each pay Python-worker spin-up.
+        return spark.range(0).select(
+            F.col("id").cast("string").alias("uuid"),
+            F.col("id").cast("string").alias("canonical_uuid"),
+        )
+    edges = _symmetrize(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
 
     def _fingerprint(df: DataFrame) -> tuple:
         """(row count, order-insensitive hash-sum) — one cheap agg job per

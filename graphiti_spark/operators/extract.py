@@ -143,6 +143,10 @@ def extract_mentions_and_triples(
         F.col("mention_name").isNotNull() | F.col("is_verb")
     )
 
+    # distinct over ALL carried columns (group_id/valid_at are functions
+    # of episode_uuid): plain distinct → HashAggregate; a
+    # dropDuplicates(subset)+first() would force a SortAggregate over the
+    # full token stream — measurably slower at corpus scale.
     mentions = (
         stream.filter(F.col("mention_name").isNotNull())
         .select(
@@ -151,7 +155,7 @@ def extract_mentions_and_triples(
             "valid_at",
             F.col("mention_name").alias("name"),
         )
-        .dropDuplicates(["episode_uuid", "name"])
+        .distinct()
     )
 
     w = Window.partitionBy("episode_uuid").orderBy("pos")
@@ -181,6 +185,6 @@ def extract_mentions_and_triples(
                 "fact"
             ),
         )
-        .dropDuplicates(["episode_uuid", "subj_name", "pred", "obj_name"])
+        .distinct()  # fact/valid_at/group_id are functions of the key cols
     )
     return mentions, triples

@@ -69,9 +69,13 @@ def bm25_search(
     Output: (id, score, rank). The reference over-fetches 2×limit before
     reranking (search.py:206); callers pass 2*limit for that behaviour.
     """
+    from graphiti_spark.functions.smalldf import literal_df
+
     spark = index["postings"].sparkSession
-    qterms = spark.createDataFrame(
-        [(t.lower(),) for t in sorted(set(query_terms))], "term string"
+    qterms = literal_df(
+        spark,
+        [(t.lower(),) for t in sorted(set(query_terms))],
+        [("term", "string")],
     )
     # postings ⋈ query terms (broadcast: query is tiny) ⋈ docfreq ⋈ doclen,
     # stats via broadcast single-row cross join — fully declarative.

@@ -46,10 +46,14 @@ def bfs_nodes(
     Output (uuid, depth) with depth = shortest hop distance (origins
     depth 0). Each level: broadcast-join current frontier against the
     adjacency, anti-join already-visited."""
+    from graphiti_spark.functions.smalldf import literal_df
+
     spark = edges.sparkSession
     adj = undirected_adjacency(edges)
-    visited = spark.createDataFrame(
-        [(u, 0) for u in sorted(set(origin_uuids))], "uuid string, depth int"
+    visited = literal_df(
+        spark,
+        [(u, 0) for u in sorted(set(origin_uuids))],
+        [("uuid", "string"), ("depth", "int")],
     )
     frontier = visited
     for depth in range(1, max_depth + 1):

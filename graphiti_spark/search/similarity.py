@@ -122,8 +122,10 @@ def cosine_topk_lsh(
             )
         ).alias("tb"),
     )
+    from graphiti_spark.functions.smalldf import literal_df
+
     spark = df.sparkSession
-    qdf = spark.createDataFrame(buckets, "table int, bucket int")
+    qdf = literal_df(spark, buckets, [("table", "int"), ("bucket", "int")])
     candidates = (
         tagged.select("id", "vec", F.col("tb.table").alias("table"),
                       F.col("tb.bucket").alias("bucket"))
