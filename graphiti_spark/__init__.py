@@ -20,9 +20,12 @@ Layout:
   textnorm.py   text cleaning + html→text extraction (byte-identical invariant)
   sources/      input table derivations (Common-Crawl-style `pages`)
   functions/    scalar/vector kernels (dedup text kernels, hash embeddings)
-  operators/    the engine: extract, resolve, cc, edges, temporal, communities
-  search/       retrieval: BM25 postings, cosine, RRF/MMR fusion, BFS
-  datapipe/     training-data ops: dedup (exact/minhash/simhash), quality, ANN
+  operators/    the engine: extract, resolve, cc, edges, edge_dedup,
+                temporal, communities, maintenance + training-data ops
+                (dedup_docs, textstats, multimodal)
+  search/       retrieval: BM25 postings, cosine/ANN, RRF/MMR fusion, BFS,
+                rerankers, filters, hybrid driver + recipes
+  materialize.py partitioned graph sinks (Iceberg MERGE shape)
   lineage.py    per-partition lineage + metrics rows, checkpoint resume
   pipeline.py   the end-to-end batch DAG (pages → canonical nodes/edges)
 """

@@ -37,7 +37,12 @@ def save_graph(outputs: dict[str, DataFrame], path: str) -> dict[str, str]:
             continue
         target = os.path.join(path, name)
         (
-            df.sortWithinPartitions("uuid")
+            # cluster rows by the partition column BEFORE the partitioned
+            # write: otherwise every write task opens a file per group it
+            # happens to hold (tasks × groups small files — the classic
+            # partitionBy fan-out). AQE rebalances skewed groups.
+            df.repartition("group_id")
+            .sortWithinPartitions("uuid")
             .write.mode("overwrite")
             .partitionBy("group_id")
             .parquet(target)

@@ -43,18 +43,48 @@ class SearchConfig:
     edges: ChannelConfig | None = None
     nodes: ChannelConfig | None = None
     episodes: ChannelConfig | None = None
+    communities: ChannelConfig | None = None
     limit: int = DEFAULT_SEARCH_LIMIT
 
 
-# the two recipes the reference defaults to (graphiti.py:1093-1096)
-EDGE_HYBRID_SEARCH_RRF = SearchConfig(edges=ChannelConfig(["bm25", "cosine"], "rrf"))
-EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
-    edges=ChannelConfig(["bm25", "cosine"], "node_distance")
-)
+def _edge(rr): return SearchConfig(edges=ChannelConfig(["bm25", "cosine"], rr))
+def _node(rr): return SearchConfig(nodes=ChannelConfig(["bm25", "cosine"], rr))
+def _comm(rr): return SearchConfig(communities=ChannelConfig(["bm25"], rr))
+
+
+# The reference's 17 canned recipes (search_config_recipes.py:34-223),
+# same names, deterministic rerankers (cross_encoder = token-overlap stub).
+EDGE_HYBRID_SEARCH_RRF = _edge("rrf")
+EDGE_HYBRID_SEARCH_MMR = _edge("mmr")
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = _edge("node_distance")
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = _edge("episode_mentions")
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = _edge("cross_encoder")
+NODE_HYBRID_SEARCH_RRF = _node("rrf")
+NODE_HYBRID_SEARCH_MMR = _node("mmr")
+NODE_HYBRID_SEARCH_NODE_DISTANCE = _node("node_distance")
+NODE_HYBRID_SEARCH_EPISODE_MENTIONS = _node("episode_mentions")
+NODE_HYBRID_SEARCH_CROSS_ENCODER = _node("cross_encoder")
+COMMUNITY_HYBRID_SEARCH_RRF = _comm("rrf")
+COMMUNITY_HYBRID_SEARCH_MMR = _comm("mmr")
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = _comm("cross_encoder")
+EPISODE_HYBRID_SEARCH_RRF = SearchConfig(episodes=ChannelConfig(["bm25"], "rrf"))
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig(
     edges=ChannelConfig(["bm25", "cosine"], "rrf"),
     nodes=ChannelConfig(["bm25", "cosine"], "rrf"),
     episodes=ChannelConfig(["bm25"], "rrf"),
+    communities=ChannelConfig(["bm25"], "rrf"),
+)
+COMBINED_HYBRID_SEARCH_MMR = SearchConfig(
+    edges=ChannelConfig(["bm25", "cosine"], "mmr"),
+    nodes=ChannelConfig(["bm25", "cosine"], "mmr"),
+    episodes=ChannelConfig(["bm25"], "rrf"),
+    communities=ChannelConfig(["bm25"], "rrf"),
+)
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    edges=ChannelConfig(["bm25", "cosine"], "cross_encoder"),
+    nodes=ChannelConfig(["bm25", "cosine"], "cross_encoder"),
+    episodes=ChannelConfig(["bm25"], "cross_encoder"),
+    communities=ChannelConfig(["bm25"], "cross_encoder"),
 )
 
 
@@ -132,6 +162,7 @@ def search(
     nodes: DataFrame | None = None,
     edges: DataFrame | None = None,
     episodes: DataFrame | None = None,
+    communities: DataFrame | None = None,
     mention_edges: DataFrame | None = None,
     filters: SearchFilters | None = None,
     center_uuid: str | None = None,
@@ -171,5 +202,13 @@ def search(
         out["episodes"] = _channel(
             corpus, "uuid", "search_text", None, query, None,
             config.episodes, config.limit,
+        )
+    if config.communities is not None and communities is not None:
+        corpus = communities.select(
+            "uuid", F.concat_ws(" ", "name", "summary").alias("search_text")
+        )
+        out["communities"] = _channel(
+            corpus, "uuid", "search_text", None, query, None,
+            config.communities, config.limit,
         )
     return out

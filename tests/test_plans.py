@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just
+plans that pass (scan pruning, filter pushdown, broadcast joins,
+whole-stage codegen, no Python in relational hot paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString() + "\n" + \
+        df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scan_prunes_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    # executed plan only: the optimized plan prints the full relation
+    # schema regardless of pruning
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_filter_pushdown_to_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("lang") == "en"
+    )
+    plan = _plan(docs)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_edge_remap_uses_broadcast(spark):
+    """D15 pointer remap must broadcast the (small) uuid_map — a
+    shuffle-hash or sort-merge join here would reshuffle the full edge
+    stream twice at corpus scale."""
+    from graphiti_spark.operators.edges import resolve_edge_pointers
+
+    edges = spark.range(100).select(
+        F.col("id").cast("string").alias("source_node_uuid"),
+        F.col("id").cast("string").alias("target_node_uuid"),
+    )
+    umap = spark.range(10).select(
+        F.col("id").cast("string").alias("uuid"),
+        F.col("id").cast("string").alias("canonical_uuid"),
+    )
+    plan = _plan(resolve_edge_pointers(edges, umap))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_is_pure_codegen(spark):
+    """E1/E4 extraction must stay JVM-side: no Python evaluation nodes
+    in the mention/triple plans (the only Arrow stage allowed is the
+    html→text source UDF)."""
+    from graphiti_spark.operators.extract import extract_mentions_and_triples
+
+    episodes = spark.range(50).select(
+        F.col("id").cast("string").alias("uuid"),
+        F.lit("g").alias("group_id"),
+        F.current_timestamp().alias("valid_at"),
+        F.lit("fast table join slow window").alias("content"),
+    )
+    mentions, triples = extract_mentions_and_triples(episodes)
+    for df in (mentions, triples):
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        # distinct must hash-aggregate; a SortAggregate here means a
+        # full sort of the token stream (the dropDuplicates+first trap)
+        assert "HashAggregate" in plan
+        assert "SortAggregate" not in plan
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    from graphiti_spark.search.fulltext import bm25_search, build_postings
+
+    corpus = spark.range(20).select(
+        F.col("id"), F.lit("fast table join").alias("text")
+    )
+    idx = build_postings(corpus, "id", "text")
+    plan = _plan(bm25_search(idx, ["fast", "table"], limit=5))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_textstats_no_python(spark):
+    from graphiti_spark.operators.textstats import quality_score, token_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (token_stats(docs), quality_score(docs)):
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
