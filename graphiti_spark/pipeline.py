@@ -138,7 +138,14 @@ def run_pipeline(
             # stages (and the eager CC fixpoint) never recompute the
             # extraction chain. `pages` is excluded — its html binary is
             # bulky and consumed exactly once by `episodes`.
-            return thunk().persist() if name != "pages" else thunk()
+            persist = (
+                cfg.persist_stages
+                if isinstance(cfg.persist_stages, bool)
+                else name in cfg.persist_stages
+            )
+            if persist and name != "pages":
+                return thunk().persist()
+            return thunk()
         return materialize_stage(spark, thunk, ckpt, rid, name, partition_by)
 
     pages = stage("pages", lambda: load_pages(spark, sf_dir))
