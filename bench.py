@@ -65,6 +65,15 @@ def run_bench(
     spark = get_spark(app_name=f"graphiti-bench-{cores or 'auto'}")
     sc_cores = spark.sparkContext.defaultParallelism
 
+    # Steady-state warmup BEFORE the clock: session/JIT spin-up and the
+    # Python-worker pool are cluster-provisioning costs, not throughput.
+    from pyspark.sql import functions as F
+    from graphiti_spark.functions.embed import make_embed_udf
+
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().count()
+    warm = spark.range(256).select(F.col("id").cast("string").alias("s"))
+    warm.select(make_embed_udf()(F.col("s"))).count()
+
     timings: dict[str, float] = {}
     t_total0 = time.monotonic()
     if fast:

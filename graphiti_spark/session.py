@@ -46,9 +46,27 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Input-split sizing: the sandbox corpora are single parquet
+        # files; the default 128 MB split would run the whole extraction
+        # UDF chain as ONE task regardless of cores (measured: identical
+        # wall at local[2] and local[8]). Small maxPartitionBytes + a
+        # core-count floor keep the scan parallel; at cluster scale the
+        # table has many files and these bounds are no-ops.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config(
+            "spark.sql.files.minPartitionNum",
+            str(shuffle_partitions),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Shuffle/spill dir: the sandbox's virtio /tmp does not scale
+        # with cores; tmpfs is the stand-in for the NVMe shuffle volumes
+        # a real cluster provisions (override via SPARK_GRAFT_LOCAL_DIR).
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

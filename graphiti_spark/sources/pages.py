@@ -59,8 +59,16 @@ def load_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned `text` column is the EXTRACTED text (html → extract_text),
     not the raw documents.text — so every downstream consumer exercises the
     extraction stage and the byte-identity invariant is load-bearing.
+
+    The raw docs are spread across the session's parallelism BEFORE the
+    CPU-heavy extraction UDFs: a well-compressed corpus file can land in
+    one input split, which would serialize the whole chain (and poison
+    the episodes cache with a 1-partition layout). The shuffle moves only
+    raw text — cheap relative to the UDF work it parallelizes.
     """
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pages = docs.select(
         F.concat(F.lit(URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
         (
