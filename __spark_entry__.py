@@ -32,12 +32,16 @@ _CACHE: dict[str, dict[str, DataFrame]] = {}
 
 
 def _pipe(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Run (or fetch) the cached pipeline outputs for one sf_dir."""
-    cached = _CACHE.get(sf_dir)
+    """Run (or fetch) the cached pipeline outputs for one sf_dir.
+
+    Keyed by (session, sf_dir): cached DataFrames are bound to the
+    SparkSession that created them."""
+    key = f"{id(spark)}|{sf_dir}"
+    cached = _CACHE.get(key)
     if cached is not None:
         return cached
     out = run_pipeline(spark, sf_dir, RunConfig())  # stages self-persist
-    _CACHE[sf_dir] = out
+    _CACHE[key] = out
     return out
 
 
@@ -365,6 +369,17 @@ def _q_invalidation_candidates(spark, sf_dir):
     return invalidation_candidates(new, edges, min_score=0.6)
 
 
+def _q_node_attributes(spark, sf_dir):
+    from graphiti_spark.operators.attributes import extract_attributes
+
+    out = _pipe(spark, sf_dir)
+    spec = {"after_fast": r"fast (\w+)", "after_merge": r"merge (\w+)"}
+    attrs = extract_attributes(out["mention_edges"], out["episodes"], spec)
+    return attrs.select(
+        "entity_uuid", F.explode("attributes").alias("attr", "value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -408,6 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)
         "edge_dup_pairs_src1": _q_edge_dup_pairs,        # rows-only (embeddings)
         "invalidation_candidates": _q_invalidation_candidates,  # rows-only
+        # E7 typed attribute extraction
+        "node_attributes": _q_node_attributes,
     }
 
 

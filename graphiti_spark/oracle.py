@@ -571,6 +571,36 @@ SELECT id, CAST(i AS INT) AS frame_idx,
        CAST((i * n) // 4 AS BIGINT) AS byte_offset
 FROM payload, range(0, 4) r(i) ORDER BY id, frame_idx"""
 
+    # E7: typed attribute extraction — first match (earliest episode,
+    # then episode uuid) per (entity, attribute) across mention contexts.
+    q["node_attributes"] = f"""WITH {MENTION_EDGES_CTE},
+ep AS (
+  SELECT sha256(url) AS episode_uuid, text AS content, warc_ts AS valid_at
+  FROM pages
+),
+ctx AS (
+  SELECT m.entity_uuid, m.episode_uuid, e.content, e.valid_at
+  FROM mention_edges m JOIN ep e USING (episode_uuid)
+),
+per_attr AS (
+  SELECT entity_uuid, episode_uuid, valid_at, 'after_fast' AS attr,
+         regexp_extract(content, 'fast (\\w+)', 1) AS value
+  FROM ctx
+  UNION ALL
+  SELECT entity_uuid, episode_uuid, valid_at, 'after_merge',
+         regexp_extract(content, 'merge (\\w+)', 1)
+  FROM ctx
+),
+ranked AS (
+  SELECT entity_uuid, attr, value,
+         row_number() OVER (
+           PARTITION BY entity_uuid, attr
+           ORDER BY valid_at, episode_uuid) AS rn
+  FROM per_attr WHERE value <> ''
+)
+SELECT entity_uuid, attr, value FROM ranked WHERE rn = 1
+ORDER BY entity_uuid, attr"""
+
     # Q9: AND-of-OR datetime filter tree over temporal edges.
     q["filtered_edges"] = f"""WITH {EDGES_TEMPORAL_CTE}
 SELECT uuid, group_id, name,
