@@ -173,3 +173,20 @@ def test_embed_deterministic():
     a, b = embed_text("fast table"), embed_text("fast table")
     assert a == b
     assert abs(sum(x * x for x in a) - 1.0) < 1e-5
+
+
+def test_context_formatting(spark):
+    from datetime import datetime, timezone
+
+    from graphiti_spark.search.context import format_context
+
+    edges = spark.createDataFrame(
+        [("e1", "alice works at acme", datetime(2024, 1, 1, tzinfo=timezone.utc), None)],
+        "uuid string, fact string, valid_at timestamp, invalid_at timestamp",
+    )
+    nodes = spark.createDataFrame(
+        [("n1", "alice", "a person.")], "uuid string, name string, summary string"
+    )
+    block = format_context({"edges": edges, "nodes": nodes})
+    assert "# FACTS" in block and "alice works at acme (2024-01-01 00:00:00 - present)" in block
+    assert "# ENTITIES" in block and "alice: a person." in block
