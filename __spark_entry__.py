@@ -369,6 +369,24 @@ def _q_invalidation_candidates(spark, sf_dir):
     return invalidation_candidates(new, edges, min_score=0.6)
 
 
+def _q_incremental_merge(spark, sf_dir):
+    """D9/Q7/Q8 end-to-end: ingest the even-doc_id half as batch A, then
+    ingest the odd half INCREMENTALLY against A's persisted-state tables.
+    The oracle is the full-batch pipeline over the whole corpus — a hash
+    match proves the associativity contract (incremental ≡ one batch)."""
+    from graphiti_spark.operators.incremental import ingest_incremental
+    from graphiti_spark.pipeline import flagship_select, run_pipeline_from_pages
+    from graphiti_spark.sources.pages import load_pages
+
+    pages = load_pages(spark, sf_dir).persist()
+    pages_a = pages.filter(F.col("doc_id") % 2 == 0)
+    pages_b = pages.filter(F.col("doc_id") % 2 == 1)
+    out_a = run_pipeline_from_pages(spark, pages_a, RunConfig())
+    merged = ingest_incremental(spark, pages_b, out_a)
+    df = flagship_select(merged["edges"])
+    return _fmt_ts(df, "valid_at", "invalid_at", "expired_at")
+
+
 def _q_node_attributes(spark, sf_dir):
     from graphiti_spark.operators.attributes import extract_attributes
 
@@ -425,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invalidation_candidates": _q_invalidation_candidates,  # rows-only
         # E7 typed attribute extraction
         "node_attributes": _q_node_attributes,
+        # D9/Q7/Q8 incremental ingest vs existing graph
+        "incremental_merge": _q_incremental_merge,
     }
 
 

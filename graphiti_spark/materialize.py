@@ -24,29 +24,46 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-GRAPH_TABLES = ("nodes", "edges", "mention_edges", "episodes", "communities")
+GRAPH_TABLES = (
+    "nodes",
+    "edges",
+    "mention_edges",
+    "episodes",
+    "communities",
+    # resolution state consumed by incremental ingest (operators/
+    # incremental.py): the alias-level name index and accepted duplicate
+    # pairs (the reference persists the latter as IS_DUPLICATE_OF edges)
+    "entities",
+    "pairs",
+)
 
 
 def save_graph(outputs: dict[str, DataFrame], path: str) -> dict[str, str]:
     """Write every present graph table to ``path/<table>`` parquet,
-    partitioned by group_id, sorted by uuid within partitions."""
+    partitioned by group_id (when present), sorted by uuid within
+    partitions."""
     written: dict[str, str] = {}
     for name in GRAPH_TABLES:
         df = outputs.get(name)
         if df is None:
             continue
         target = os.path.join(path, name)
-        (
-            # cluster rows by the partition column BEFORE the partitioned
-            # write: otherwise every write task opens a file per group it
-            # happens to hold (tasks × groups small files — the classic
-            # partitionBy fan-out). AQE rebalances skewed groups.
-            df.repartition("group_id")
-            .sortWithinPartitions("uuid")
-            .write.mode("overwrite")
-            .partitionBy("group_id")
-            .parquet(target)
-        )
+        if "group_id" in df.columns:
+            sort_col = "uuid" if "uuid" in df.columns else df.columns[0]
+            (
+                # cluster rows by the partition column BEFORE the
+                # partitioned write: otherwise every write task opens a
+                # file per group it happens to hold (tasks × groups small
+                # files — the classic partitionBy fan-out). AQE rebalances
+                # skewed groups.
+                df.repartition("group_id")
+                .sortWithinPartitions(sort_col)
+                .write.mode("overwrite")
+                .partitionBy("group_id")
+                .parquet(target)
+            )
+        else:  # e.g. pairs(src, dst)
+            df.write.mode("overwrite").parquet(target)
         written[name] = target
     return written
 

@@ -67,8 +67,10 @@ def edge_duplicate_pairs(
             F.size(F.array_intersect(words(F.col("a_fact")), words(F.col("b_fact")))),
         )
         .withColumn("cos", cosine_col(F.col("a_emb"), F.col("b_emb")))
+        # Reference OR semantics (bulk_utils.py:430-432): word overlap
+        # ALONE qualifies a candidate pair; cosine catches paraphrases
+        # with disjoint wording. Pinned by test_edge_dedup.py.
         .filter((F.col("word_overlap") > 0) | (F.col("cos") >= min_score))
-        .filter(F.col("cos") >= min_score)
     )
     return pairs.select(
         F.col("a_uuid").alias("src"), F.col("b_uuid").alias("dst")
@@ -86,7 +88,9 @@ def filter_existing_duplicate_pairs(
     sym = recorded.union(
         recorded.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pairs.join(F.broadcast(sym), ["src", "dst"], "left_anti")
+    # recorded-duplicate history grows with the graph — size-gated
+    # broadcast (AQE), not a forced hint
+    return pairs.join(sym, ["src", "dst"], "left_anti")
 
 
 def merge_duplicate_edges(edges: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -98,8 +102,10 @@ def merge_duplicate_edges(edges: DataFrame, pairs: DataFrame) -> DataFrame:
     from graphiti_spark.operators.cc import connected_components
 
     cc = connected_components(pairs)
+    # no forced broadcast: cc spans every duplicated edge uuid (AQE
+    # broadcasts when small, shuffle-joins when not)
     remapped = (
-        edges.join(F.broadcast(cc), "uuid", "left")
+        edges.join(cc, "uuid", "left")
         .withColumn("canonical", F.coalesce("canonical_uuid", "uuid"))
         .drop("canonical_uuid")
     )

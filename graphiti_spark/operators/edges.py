@@ -24,12 +24,13 @@ from graphiti_spark.functions.dedup_text import normalize_string_exact_col
 from graphiti_spark.functions.embed import make_embed_udf
 
 
-def triples_to_edges(triples: DataFrame, uuid_map: DataFrame, run_ts) -> DataFrame:
-    """Extracted triples + canonical uuid_map → merged canonical edges.
-
-    triples: (episode_uuid, group_id, valid_at, subj_name, pred, obj_name, fact)
-    uuid_map: (uuid, canonical_uuid)
-    """
+def edge_provenance_rows(triples: DataFrame, uuid_map: DataFrame) -> DataFrame:
+    """Pre-aggregation edge rows, one per (triple, provenance episode):
+    (group_id, source_node_uuid, target_node_uuid, name, fact, fact_norm,
+    episode_uuid, ep_valid_at). Endpoints are canonicalized through
+    uuid_map. This is the exchange format shared by batch mode
+    (triples→rows) and incremental mode (prior edges exploded back to
+    rows + new-batch rows), so both aggregate through one merger."""
     with_ids = triples.select(
         "episode_uuid",
         "group_id",
@@ -44,21 +45,40 @@ def triples_to_edges(triples: DataFrame, uuid_map: DataFrame, run_ts) -> DataFra
         ).alias("dst_raw"),
     )
     remapped = resolve_edge_pointers(with_ids, uuid_map, src="src_raw", dst="dst_raw")
+    return remapped.select(
+        "group_id",
+        F.col("src_raw").alias("source_node_uuid"),
+        F.col("dst_raw").alias("target_node_uuid"),
+        F.col("pred").alias("name"),
+        "fact",
+        normalize_string_exact_col(F.col("fact")).alias("fact_norm"),
+        "episode_uuid",
+        F.col("valid_at").alias("ep_valid_at"),
+    )
 
-    merged = (
-        remapped.withColumn("fact_norm", normalize_string_exact_col(F.col("fact")))
-        .groupBy(
-            "group_id",
-            F.col("src_raw").alias("source_node_uuid"),
-            F.col("dst_raw").alias("target_node_uuid"),
-            F.col("pred").alias("name"),
-            "fact_norm",
-        )
-        .agg(
-            F.min("fact").alias("fact"),
-            F.array_sort(F.collect_set("episode_uuid")).alias("episodes"),
-            F.min("valid_at").alias("valid_at"),
-        )
+
+def merge_edge_rows(rows: DataFrame, run_ts) -> DataFrame:
+    """Provenance rows → merged canonical edges (D17): exact dedup on
+    (group, src, dst, pred, fact_norm) with episode union."""
+    merged = rows.groupBy(
+        "group_id",
+        "source_node_uuid",
+        "target_node_uuid",
+        "name",
+        "fact_norm",
+    ).agg(
+        F.min("fact").alias("fact"),
+        # Provenance ordered TEMPORALLY (valid_at, then uuid for ties):
+        # episodes[0] is the CREATING episode (reference
+        # graphiti.py:1243-1246 relies on insertion order; batch mode's
+        # equivalent of insertion order is episode valid_at order).
+        F.transform(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("ep_valid_at"), F.col("episode_uuid")))
+            ),
+            lambda s: s["episode_uuid"],
+        ).alias("episodes"),
+        F.min("ep_valid_at").alias("valid_at"),
     )
     embed_udf = make_embed_udf()
     return merged.select(
@@ -83,14 +103,27 @@ def triples_to_edges(triples: DataFrame, uuid_map: DataFrame, run_ts) -> DataFra
     )
 
 
+def triples_to_edges(triples: DataFrame, uuid_map: DataFrame, run_ts) -> DataFrame:
+    """Extracted triples + canonical uuid_map → merged canonical edges.
+
+    triples: (episode_uuid, group_id, valid_at, subj_name, pred, obj_name, fact)
+    uuid_map: (uuid, canonical_uuid)
+    """
+    return merge_edge_rows(edge_provenance_rows(triples, uuid_map), run_ts)
+
+
 def resolve_edge_pointers(
     edges: DataFrame, uuid_map: DataFrame, src: str = "source_node_uuid",
     dst: str = "target_node_uuid",
 ) -> DataFrame:
     """Rewrite edge endpoints through the canonical map (D15): two left
-    joins + coalesce(canonical, original). uuid_map is tiny relative to
-    the edge stream → broadcast both joins."""
-    bmap = F.broadcast(uuid_map)
+    joins + coalesce(canonical, original). No forced broadcast — the
+    map covers every distinct entity, which at web scale exceeds driver
+    memory; Catalyst/AQE broadcasts it when (and only when) its runtime
+    size is under spark.sql.autoBroadcastJoinThreshold, else both joins
+    run as shuffle joins keyed on the endpoint uuid (uniform sha256 —
+    no hot key). Asserted both ways in tests/test_plans.py."""
+    bmap = uuid_map
 
     out = (
         edges.join(
@@ -131,7 +164,7 @@ def build_mention_edges(
     )
     remapped = (
         with_entity.join(
-            F.broadcast(uuid_map).select(
+            uuid_map.select(
                 F.col("uuid").alias("entity_raw"),
                 F.col("canonical_uuid").alias("entity_uuid"),
             ),

@@ -59,10 +59,12 @@ def remove_episode(
 ) -> dict[str, DataFrame]:
     """S9 cascade delete. Returns surviving {edges, nodes, mentions}.
 
-    An edge is deleted iff it was CREATED by this episode — i.e. the
-    episode is its first (minimum) provenance entry; our ``episodes``
-    arrays are sorted, so element 1 is the creation episode (reference
-    graphiti.py:1243-1246). A node is deleted iff its only mention comes
+    An edge is deleted iff it was CREATED by this episode (reference
+    graphiti.py:1243-1246, ``edge.episodes[0] == episode_uuid``). The
+    ``episodes`` arrays are ordered temporally (valid_at, then uuid —
+    see triples_to_edges), so element 1 is the earliest-valid_at
+    provenance episode, the batch equivalent of the reference's
+    insertion-order head. A node is deleted iff its only mention comes
     from this episode (reference graphiti.py:1252-1258).
     """
     surviving_edges = edges.filter(

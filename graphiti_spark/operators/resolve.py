@@ -68,11 +68,11 @@ def extracted_entities(mentions: DataFrame) -> DataFrame:
     )
 
 
-def duplicate_pairs(entities: DataFrame) -> DataFrame:
-    """Fuzzy duplicate discovery: LSH blocking + Jaccard + embedding
-    fallback. Input: entities(uuid, group_id, name). Output: (src, dst)
-    accepted duplicate pairs (src ≠ dst, undirected, distinct)."""
-    embed_udf = make_embed_udf()
+def banded_names(entities: DataFrame) -> DataFrame:
+    """(uuid, group_id, name) → one row per LSH band of every
+    fuzzy-eligible name: (uuid, group_id, name, shingles, band_idx,
+    band_key). The shared blocking front-end of batch self-dedup (D12)
+    and incremental resolve-vs-existing-graph (D9)."""
     prepared = (
         entities.withColumn("fuzzy", normalize_name_for_fuzzy_col(F.col("name")))
         .withColumn("gate", entropy_gate_col(F.col("fuzzy")))
@@ -81,8 +81,7 @@ def duplicate_pairs(entities: DataFrame) -> DataFrame:
         .withColumn("sig", minhash_signature_udf(F.col("shingles")))
         .withColumn("bands", lsh_band_keys_col(F.col("sig")))
     )
-
-    banded = prepared.select(
+    return prepared.select(
         "uuid",
         "group_id",
         "name",
@@ -97,15 +96,70 @@ def duplicate_pairs(entities: DataFrame) -> DataFrame:
         F.col("band.band_key").alias("band_key"),
     )
 
-    # Blocking join: candidates share any (band_idx, band_key) bucket
-    # within a group partition. Cap pathological buckets.
+
+def capped_buckets(
+    banded: DataFrame, max_bucket: int = MAX_BUCKET_SIZE
+) -> tuple[DataFrame, DataFrame]:
+    """Split banded rows into (kept, dropped_bucket_metrics).
+
+    A bucket above max_bucket is a pathological LSH collision (e.g. all-
+    identical band values); dropping it bounds the pair join but LOSES
+    RECALL, so the drop is surfaced as a metrics frame
+    (group_id, band_idx, band_key, bucket_n) instead of silently
+    vanishing — callers feed it to lineage/bench output."""
     bucket_sizes = banded.groupBy("group_id", "band_idx", "band_key").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )
-    capped = banded.join(
-        bucket_sizes.filter(F.col("bucket_n") <= MAX_BUCKET_SIZE),
+    kept = banded.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
         ["group_id", "band_idx", "band_key"],
     )
+    dropped = bucket_sizes.filter(F.col("bucket_n") > max_bucket)
+    return kept, dropped
+
+
+def _score_candidate_pairs(pairs: DataFrame) -> DataFrame:
+    """Shared D7/D8' acceptance: exact Jaccard ≥ 0.9, else near-misses
+    (0.5 ≤ j < 0.9) escalate to embedding cosine ≥ 0.95. Input columns:
+    a_uuid, a_name, a_shingles, b_uuid, b_name, b_shingles."""
+    embed_udf = make_embed_udf()
+    scored = pairs.withColumn(
+        "jaccard", jaccard_col(F.col("a_shingles"), F.col("b_shingles"))
+    )
+    by_jaccard = scored.filter(F.col("jaccard") >= FUZZY_JACCARD_THRESHOLD)
+    near_miss = (
+        scored.filter(
+            (F.col("jaccard") < FUZZY_JACCARD_THRESHOLD) & (F.col("jaccard") >= 0.5)
+        )
+        .withColumn("a_emb", embed_udf(F.col("a_name")))
+        .withColumn("b_emb", embed_udf(F.col("b_name")))
+        .withColumn("cos", cosine_col(F.col("a_emb"), F.col("b_emb")))
+        .filter(F.col("cos") >= EMBED_COSINE_THRESHOLD)
+    )
+    return (
+        by_jaccard.select(F.col("a_uuid").alias("src"), F.col("b_uuid").alias("dst"))
+        .union(
+            near_miss.select(
+                F.col("a_uuid").alias("src"), F.col("b_uuid").alias("dst")
+            )
+        )
+        .distinct()
+    )
+
+
+def duplicate_pairs(
+    entities: DataFrame, dropped_sink: list | None = None
+) -> DataFrame:
+    """Fuzzy duplicate discovery: LSH blocking + Jaccard + embedding
+    fallback. Input: entities(uuid, group_id, name). Output: (src, dst)
+    accepted duplicate pairs (src ≠ dst, undirected, distinct).
+
+    ``dropped_sink``: optional list; if given, the dropped-bucket metrics
+    DataFrame is appended (lazily evaluated by the caller)."""
+    banded = banded_names(entities)
+    capped, dropped = capped_buckets(banded)
+    if dropped_sink is not None:
+        dropped_sink.append(dropped)
 
     left = capped.select(
         "group_id",
@@ -126,36 +180,74 @@ def duplicate_pairs(entities: DataFrame) -> DataFrame:
     pairs = (
         left.join(right, ["group_id", "band_idx", "band_key"])
         .filter(F.col("a_uuid") < F.col("b_uuid"))
-        .select("group_id", "a_uuid", "a_name", "a_shingles", "b_uuid", "b_name", "b_shingles")
+        .select("a_uuid", "a_name", "a_shingles", "b_uuid", "b_name", "b_shingles")
         .dropDuplicates(["a_uuid", "b_uuid"])
     )
+    return _score_candidate_pairs(pairs)
 
-    scored = pairs.withColumn(
-        "jaccard", jaccard_col(F.col("a_shingles"), F.col("b_shingles"))
+
+def duplicate_pairs_between(
+    new_entities: DataFrame,
+    existing_entities: DataFrame,
+    dropped_sink: list | None = None,
+) -> DataFrame:
+    """D9 batch form — resolve NEW names against the EXISTING graph's
+    name index (reference node_operations.py:211-243 retrieves
+    candidates per extracted name; here one LSH band join does it for
+    the whole batch). Acceptance rules identical to duplicate_pairs.
+    Output (src, dst) with src < dst so downstream CC treats the union
+    of within-batch and cross-batch pairs uniformly."""
+    new_banded = banded_names(new_entities)
+    old_banded = banded_names(existing_entities)
+    # cap on the combined bucket population (mirrors what one big batch
+    # would have seen)
+    combined, dropped = capped_buckets(new_banded.unionByName(old_banded))
+    if dropped_sink is not None:
+        dropped_sink.append(dropped)
+    keys = ["group_id", "band_idx", "band_key"]
+    kept_keys = combined.select(*keys).distinct()
+    left = new_banded.join(kept_keys, keys).select(
+        *keys,
+        F.col("uuid").alias("a_uuid"),
+        F.col("name").alias("a_name"),
+        F.col("shingles").alias("a_shingles"),
     )
-    by_jaccard = scored.filter(F.col("jaccard") >= FUZZY_JACCARD_THRESHOLD)
-
-    # D8' embedding fallback for near-misses (reference escalates to LLM;
-    # north_star replaces it with embedding cosine).
-    near_miss = (
-        scored.filter(
-            (F.col("jaccard") < FUZZY_JACCARD_THRESHOLD) & (F.col("jaccard") >= 0.5)
+    right = old_banded.join(kept_keys, keys).select(
+        *keys,
+        F.col("uuid").alias("b_uuid"),
+        F.col("name").alias("b_name"),
+        F.col("shingles").alias("b_shingles"),
+    )
+    pairs = (
+        left.join(right, keys)
+        .filter(F.col("a_uuid") != F.col("b_uuid"))
+        .select(
+            F.least("a_uuid", "b_uuid").alias("lo"),
+            F.greatest("a_uuid", "b_uuid").alias("hi"),
+            F.when(F.col("a_uuid") < F.col("b_uuid"), F.col("a_name"))
+            .otherwise(F.col("b_name"))
+            .alias("lo_name"),
+            F.when(F.col("a_uuid") < F.col("b_uuid"), F.col("b_name"))
+            .otherwise(F.col("a_name"))
+            .alias("hi_name"),
+            F.when(F.col("a_uuid") < F.col("b_uuid"), F.col("a_shingles"))
+            .otherwise(F.col("b_shingles"))
+            .alias("lo_shingles"),
+            F.when(F.col("a_uuid") < F.col("b_uuid"), F.col("b_shingles"))
+            .otherwise(F.col("a_shingles"))
+            .alias("hi_shingles"),
         )
-        .withColumn("a_emb", embed_udf(F.col("a_name")))
-        .withColumn("b_emb", embed_udf(F.col("b_name")))
-        .withColumn("cos", cosine_col(F.col("a_emb"), F.col("b_emb")))
-        .filter(F.col("cos") >= EMBED_COSINE_THRESHOLD)
-    )
-
-    return (
-        by_jaccard.select(F.col("a_uuid").alias("src"), F.col("b_uuid").alias("dst"))
-        .union(
-            near_miss.select(
-                F.col("a_uuid").alias("src"), F.col("b_uuid").alias("dst")
-            )
+        .dropDuplicates(["lo", "hi"])
+        .select(
+            F.col("lo").alias("a_uuid"),
+            F.col("lo_name").alias("a_name"),
+            F.col("lo_shingles").alias("a_shingles"),
+            F.col("hi").alias("b_uuid"),
+            F.col("hi_name").alias("b_name"),
+            F.col("hi_shingles").alias("b_shingles"),
         )
-        .distinct()
     )
+    return _score_candidate_pairs(pairs)
 
 
 def canonical_uuid_map(entities: DataFrame, pairs: DataFrame) -> DataFrame:

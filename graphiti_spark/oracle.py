@@ -111,8 +111,8 @@ edges AS (
     fact,
     min(valid_at) AS valid_at,
     count(DISTINCT episode_uuid) AS episode_count,
-    min(episode_uuid) AS first_episode_uuid,
-    max(episode_uuid) AS last_episode_uuid
+    min(struct_pack(o := valid_at, u := episode_uuid))['u'] AS first_episode_uuid,
+    max(struct_pack(o := valid_at, u := episode_uuid))['u'] AS last_episode_uuid
   FROM triples
   GROUP BY group_id, subj_name, obj_name, pred, fact
 )"""
@@ -600,6 +600,13 @@ ranked AS (
 )
 SELECT entity_uuid, attr, value FROM ranked WHERE rn = 1
 ORDER BY entity_uuid, attr"""
+
+    # D9/Q7/Q8 incremental ingest: the Spark side runs batch A then
+    # merges batch B incrementally against A's graph; the oracle is the
+    # ONE-BATCH pipeline over the full corpus. A value-hash match proves
+    # incremental ≡ batch (the associativity contract of
+    # operators/incremental.py).
+    q["incremental_merge"] = q["flagship_triples"]
 
     # Q9: AND-of-OR datetime filter tree over temporal edges.
     q["filtered_edges"] = f"""WITH {EDGES_TEMPORAL_CTE}

@@ -61,8 +61,12 @@ def build_nodes(
     :544-573 replaced per SURVEY.md E8). Nodes without facts summarize to
     their own name.
     """
+    # No forced broadcast: uuid_map covers every distinct entity and at
+    # web scale is 10⁸⁺ rows — the planner/AQE broadcasts it only when
+    # its measured size is under the broadcast threshold, else this is a
+    # shuffle join on uuid (both sides key-partitioned, no hot key).
     remapped = (
-        entities.join(F.broadcast(uuid_map), "uuid", "left")
+        entities.join(uuid_map, "uuid", "left")
         .withColumn("canonical_uuid", F.coalesce("canonical_uuid", "uuid"))
     )
     canonical = (
@@ -129,6 +133,17 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """pages → {episodes, mentions, triples, entities, uuid_map, nodes,
     edges, mention_edges}. All outputs deterministic for a fixed cfg."""
+    return run_pipeline_from_pages(spark, None, cfg, sf_dir=sf_dir)
+
+
+def run_pipeline_from_pages(
+    spark: SparkSession,
+    pages_df: DataFrame | None,
+    cfg: RunConfig | None = None,
+    sf_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Same DAG over an explicit pages DataFrame (used by incremental
+    ingest / batch-split tests); pass sf_dir instead to scan the corpus."""
     cfg = cfg or RunConfig()
     ckpt, rid = cfg.checkpoint_dir, cfg.run_id
 
@@ -148,7 +163,12 @@ def run_pipeline(
             return thunk()
         return materialize_stage(spark, thunk, ckpt, rid, name, partition_by)
 
-    pages = stage("pages", lambda: load_pages(spark, sf_dir))
+    pages = stage(
+        "pages",
+        (lambda: pages_df) if pages_df is not None else (
+            lambda: load_pages(spark, sf_dir)
+        ),
+    )
     episodes = stage("episodes", lambda: pages_to_episodes(pages, cfg.run_ts))
 
     # Extraction produces two outputs from one token stream; materialize

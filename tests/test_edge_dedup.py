@@ -57,6 +57,26 @@ def test_edge_duplicate_pairs(edges):
     assert ("e1", "e3") not in pairs and ("e2", "e3") not in pairs
 
 
+def test_edge_duplicate_pairs_overlap_alone_qualifies(spark):
+    """Reference OR rule (bulk_utils.py:430-432): a single shared fact
+    word qualifies a same-endpoint pair even when embedding cosine is
+    far below min_score."""
+    from graphiti_spark.functions.embed import cosine
+
+    f_a = "alice works at acme"
+    f_b = "acme headquarters tall downtown building yesterday"
+    assert cosine(embed_text(f_a), embed_text(f_b)) < 0.6  # overlap-only pair
+    edges = _edges(
+        spark,
+        [
+            ("o1", "a", "b", "R", f_a, ["ep1"], 1),
+            ("o2", "a", "b", "R", f_b, ["ep2"], 2),
+        ],
+    )
+    pairs = {(r.src, r.dst) for r in edge_duplicate_pairs(edges, 0.6).collect()}
+    assert ("o1", "o2") in pairs
+
+
 def test_merge_duplicate_edges(spark, edges):
     pairs = spark.range(1).select(
         F.lit("e1").alias("src"), F.lit("e2").alias("dst")

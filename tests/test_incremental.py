@@ -1,0 +1,135 @@
+"""Incremental ingest (D9/Q7/Q8): incremental ≡ batch, uuid stability,
+state roundtrip through materialize, and the batch probes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.config import RunConfig
+from graphiti_spark.operators.incremental import (
+    get_relevant_edges,
+    get_relevant_nodes,
+    ingest_incremental,
+)
+from graphiti_spark.pipeline import run_pipeline_from_pages
+from graphiti_spark.sources.pages import load_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split_run(spark):
+    """Batch A (even doc_id) ingested, then batch B (odd) incrementally;
+    plus the one-batch reference over the full corpus."""
+    pages = load_pages(spark, SF).persist()
+    out_a = run_pipeline_from_pages(
+        spark, pages.filter(F.col("doc_id") % 2 == 0), RunConfig()
+    )
+    merged = ingest_incremental(
+        spark, pages.filter(F.col("doc_id") % 2 == 1), out_a
+    )
+    full = run_pipeline_from_pages(spark, pages, RunConfig())
+    return out_a, merged, full
+
+
+def _rows(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_incremental_equals_batch_nodes(split_run):
+    _, merged, full = split_run
+    got = _rows(merged["nodes"], "uuid", "name", "group_id", "mention_count",
+                "summary")
+    want = _rows(full["nodes"], "uuid", "name", "group_id", "mention_count",
+                 "summary")
+    assert got == want
+
+
+def test_incremental_equals_batch_edges(split_run):
+    _, merged, full = split_run
+    cols = ["uuid", "group_id", "source_node_uuid", "target_node_uuid",
+            "name", "fact", "valid_at", "invalid_at", "expired_at"]
+    assert _rows(merged["edges"], *cols) == _rows(full["edges"], *cols)
+
+
+def test_incremental_episode_provenance_matches_batch(split_run):
+    """episodes arrays (temporal order → episodes[0] = creating episode)
+    must merge identically across batches."""
+    _, merged, full = split_run
+    got = {(r.uuid, tuple(r.episodes)) for r in
+           merged["edges_merged"].select("uuid", "episodes").collect()}
+    want = {(r.uuid, tuple(r.episodes)) for r in
+            full["edges_merged"].select("uuid", "episodes").collect()}
+    assert got == want
+
+
+def test_uuid_stability_across_runs(split_run):
+    """Content-derived ids: every batch-A canonical node that was not
+    merged with a batch-B alias keeps its uuid in the merged graph."""
+    out_a, merged, _ = split_run
+    a_nodes = {r.uuid for r in out_a["nodes"].select("uuid").collect()}
+    merged_nodes = {r.uuid for r in merged["nodes"].select("uuid").collect()}
+    remapped = {
+        r.uuid
+        for r in merged["uuid_map"]
+        .filter(F.col("uuid") != F.col("canonical_uuid"))
+        .collect()
+    }
+    surviving = a_nodes - remapped
+    assert surviving  # the common case: most nodes are stable
+    assert surviving <= merged_nodes
+
+
+def test_incremental_from_saved_state(spark, split_run, tmp_path):
+    """The resolution state survives a save_graph/load_graph roundtrip:
+    incremental ingest from the LOADED prior equals the in-memory path."""
+    from graphiti_spark.materialize import load_graph, save_graph
+
+    out_a, merged, _ = split_run
+    save_graph(out_a, str(tmp_path))
+    prior = load_graph(spark, str(tmp_path))
+    assert set(prior) >= {"nodes", "edges", "mention_edges", "episodes",
+                          "entities", "pairs"}
+    pages = load_pages(spark, SF)
+    merged2 = ingest_incremental(
+        spark, pages.filter(F.col("doc_id") % 2 == 1), prior
+    )
+    assert _rows(merged2["nodes"], "uuid", "mention_count") == _rows(
+        merged["nodes"], "uuid", "mention_count"
+    )
+
+
+def test_get_relevant_nodes_probe(spark):
+    """Q7: a probe name retrieves its near-duplicate existing candidates
+    through the LSH index (and not unrelated names)."""
+    existing = spark.createDataFrame(
+        [("e1", "g", "the acme corporation"), ("e2", "g", "zyx widgets inc")],
+        "uuid string, group_id string, name string",
+    )
+    probes = spark.createDataFrame(
+        [("p1", "g", "the acme corporation")],
+        "uuid string, group_id string, name string",
+    )
+    got = {(r.probe_uuid, r.candidate_uuid)
+           for r in get_relevant_nodes(probes, existing).collect()}
+    assert ("p1", "e1") in got
+    assert ("p1", "e2") not in got
+
+
+def test_get_relevant_edges_probe(spark):
+    """Q8: candidates share BOTH endpoints within the group."""
+    mk = lambda u, s, d: (u, "g", s, d)  # noqa: E731
+    existing = spark.createDataFrame(
+        [mk("x1", "a", "b"), mk("x2", "a", "c")],
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string",
+    )
+    probes = spark.createDataFrame(
+        [mk("p1", "a", "b")],
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string",
+    )
+    got = {(r.probe_uuid, r.candidate_uuid)
+           for r in get_relevant_edges(probes, existing).collect()}
+    assert got == {("p1", "x1")}

@@ -32,10 +32,7 @@ def test_filter_pushdown_to_scan(spark):
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
 
 
-def test_edge_remap_uses_broadcast(spark):
-    """D15 pointer remap must broadcast the (small) uuid_map — a
-    shuffle-hash or sort-merge join here would reshuffle the full edge
-    stream twice at corpus scale."""
+def _remap_frames(spark):
     from graphiti_spark.operators.edges import resolve_edge_pointers
 
     edges = spark.range(100).select(
@@ -46,9 +43,50 @@ def test_edge_remap_uses_broadcast(spark):
         F.col("id").cast("string").alias("uuid"),
         F.col("id").cast("string").alias("canonical_uuid"),
     )
-    plan = _plan(resolve_edge_pointers(edges, umap))
+    return resolve_edge_pointers(edges, umap)
+
+
+def test_edge_remap_broadcasts_when_small(spark):
+    """D15 pointer remap must broadcast a SMALL uuid_map (size-gated by
+    the planner, not a forced hint — at web scale the map outgrows the
+    driver and the same code must fall back to a shuffle join)."""
+    plan = _plan(_remap_frames(spark))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_edge_remap_survives_large_map(spark):
+    """With broadcasting disabled (stand-in for a uuid_map above the
+    broadcast threshold) the remap must still complete as a shuffle
+    join — no forced-broadcast hint, no driver-side materialization."""
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out = _remap_frames(spark)
+        assert out.count() == 100  # completes
+        plan = _plan(out)
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    """The embedding-dedup pair generation must go through LSH bucket
+    joins — a CartesianProduct/BroadcastNestedLoopJoin here is the
+    10¹⁸-pair scale-killer at a 10⁹-doc corpus."""
+    from graphiti_spark.operators.dedup_docs import embedding_near_dup
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_near_dup(embs, threshold=0.45))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_extraction_is_pure_codegen(spark):
