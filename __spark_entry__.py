@@ -123,7 +123,42 @@ def _q_flagship(spark, sf_dir):
 
 def _q_nodes(spark, sf_dir):
     return _pipe(spark, sf_dir)["nodes"].select(
-        "uuid", "name", "group_id", "mention_count", "summary"
+        "uuid", "name", "group_id", "mention_count", "summary",
+        F.element_at("labels", -1).alias("label"),
+    )
+
+
+def _q_typed_exclusion(spark, sf_dir):
+    """E3 end-to-end: the pipeline with excluded_entity_types=('System',)
+    — System-typed mentions are suppressed pre-window, so their facts
+    and nodes never materialize."""
+    from graphiti_spark.config import BATCH_PERSIST_STAGES
+    from graphiti_spark.pipeline import run_pipeline
+
+    cfg = RunConfig(
+        excluded_entity_types=("System",), persist_stages=BATCH_PERSIST_STAGES
+    )
+    nodes = run_pipeline(spark, sf_dir, cfg)["nodes"]
+    return nodes.select(
+        "uuid", "name", "group_id", "mention_count",
+        F.element_at("labels", -1).alias("label"),
+    )
+
+
+def _q_edges_type_enforced(spark, sf_dir):
+    """D19 on real pipeline output: every extracted predicate is a
+    custom type; names not permitted for the (src_label, dst_label)
+    pair reset to RELATES_TO."""
+    from graphiti_spark.config import CUSTOM_EDGE_TYPES, EDGE_TYPE_MAP
+    from graphiti_spark.operators.edge_dedup import enforce_edge_types
+
+    out = _pipe(spark, sf_dir)
+    enforced = enforce_edge_types(
+        out["edges_merged"], out["nodes"], EDGE_TYPE_MAP, set(CUSTOM_EDGE_TYPES)
+    )
+    return enforced.select(
+        "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name",
+        "fact",
     )
 
 
@@ -369,6 +404,64 @@ def _q_invalidation_candidates(spark, sf_dir):
     return invalidation_candidates(new, edges, min_score=0.6)
 
 
+def _q_edges_temporal_t4(spark, sf_dir):
+    """T4→T1: contradiction candidates (either-endpoint sharers, no
+    similarity gate so the oracle can reproduce the set) close edges
+    across predicates under the reference truth table."""
+    from graphiti_spark.config import DEFAULT_RUN_TS
+    from graphiti_spark.operators.edge_dedup import invalidation_candidates
+    from graphiti_spark.operators.temporal import invalidate_by_candidates
+
+    edges = _pipe(spark, sf_dir)["edges_merged"]
+    cands = invalidation_candidates(edges, edges, min_score=None)
+    out = invalidate_by_candidates(edges, cands, DEFAULT_RUN_TS)
+    df = out.select(
+        "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name",
+        "fact", "valid_at", "invalid_at", "expired_at",
+    )
+    return _fmt_ts(df, "valid_at", "invalid_at", "expired_at")
+
+
+def _q_edges_dated(spark, sf_dir):
+    """E6 with real work to do: the corpus text is deterministically
+    augmented with date phrases (doc_id-derived, mirrored in the oracle
+    SQL), so extracted facts carry IN-TEXT dates ≠ warc_ts resolved by
+    the reference's DATETIME RULES (year → Jan 1; ISO date → midnight;
+    none → reference time)."""
+    from graphiti_spark.operators.extract import extract_mentions_and_triples
+    from graphiti_spark.sources.pages import CRAWL_EPOCH, URL_PREFIX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    iso = F.concat(
+        F.lit("2020-"),
+        F.lpad(((d % 12) + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+    )
+    text2 = (
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(" since "),
+                                    (F.lit(2015) + d % 8).cast("string")))
+        .when(d % 3 == 1, F.concat(F.col("text"), F.lit(" on "), iso))
+        .otherwise(F.col("text"))
+    )
+    episodes = docs.select(
+        F.sha2(F.concat(F.lit(URL_PREFIX), d.cast("string")), 256).alias("uuid"),
+        F.col("source").alias("group_id"),
+        text2.alias("content"),
+        (
+            F.to_timestamp(F.lit(CRAWL_EPOCH))
+            + F.make_interval(mins=d.cast("int"))
+        ).alias("valid_at"),
+    )
+    _, triples = extract_mentions_and_triples(episodes)
+    df = triples.select(
+        "episode_uuid", "group_id", "subj_name", "pred", "obj_name", "fact",
+        "valid_at",
+    )
+    return _fmt_ts(df, "valid_at")
+
+
 def _q_incremental_merge(spark, sf_dir):
     """D9/Q7/Q8 end-to-end: ingest the even-doc_id half as batch A, then
     ingest the odd half INCREMENTALLY against A's persisted-state tables.
@@ -410,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_temporal": _q_edges_temporal,
         "flagship_triples": _q_flagship,
         "nodes": _q_nodes,
+        "typed_exclusion": _q_typed_exclusion,
+        "edges_type_enforced": _q_edges_type_enforced,
         "mention_edges": _q_mention_edges,
         "episode_context": _q_episode_context,
         "nodes_paginated": _q_nodes_paginated,
@@ -445,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_attributes": _q_node_attributes,
         # D9/Q7/Q8 incremental ingest vs existing graph
         "incremental_merge": _q_incremental_merge,
+        # E6 in-text date extraction (valid_at ≠ warc_ts)
+        "edges_dated": _q_edges_dated,
+        # T4-driven cross-predicate invalidation (reference truth table)
+        "edges_temporal_t4": _q_edges_temporal_t4,
     }
 
 

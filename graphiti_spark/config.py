@@ -70,6 +70,36 @@ ENTITY_NOUNS_SORTED = tuple(sorted(ENTITY_NOUNS))
 RELATION_VERBS_SORTED = tuple(sorted(RELATION_VERBS))
 ADJECTIVES_SORTED = tuple(sorted(ADJECTIVES))
 
+# --- FROZEN entity-type ontology (E3/D19; reference classifies each
+# mention into user-supplied entity types, node_operations.py:133-208,
+# and attaches labels, nodes.py:435-443). Deterministic replacement:
+# the mention's HEAD NOUN (last token) maps to a type; every node gets
+# labels = ["Entity", <type>]. ---
+DEFAULT_ENTITY_TYPE = "Entity"
+NOUN_ENTITY_TYPES: dict[str, str] = {
+    "customer": "Person",
+    "spark": "System", "stream": "System", "batch": "System",
+    "query": "System", "window": "System", "hash": "System",
+    "table": "DataAsset", "row": "DataAsset", "data": "DataAsset",
+    "line": "DataAsset", "value": "DataAsset", "column": "DataAsset",
+    "vector": "DataAsset", "key": "DataAsset", "part": "DataAsset",
+    "order": "DataAsset",
+}
+ENTITY_TYPES_SORTED = tuple(sorted(set(NOUN_ENTITY_TYPES.values())))
+
+# D19 edge ontology: which custom edge names are allowed per
+# (src_type, dst_type); a custom name on a non-permitted pair resets to
+# RELATES_TO (reference edge_operations.py:575-613). Non-custom names
+# pass through untouched.
+EDGE_TYPE_MAP: dict[tuple[str, str], list[str]] = {
+    ("Person", "DataAsset"): ["JOIN", "SCAN", "FILTER"],
+    ("System", "DataAsset"): ["SCAN", "FILTER", "SORT", "GROUP", "AGG", "JOIN"],
+    ("DataAsset", "DataAsset"): ["JOIN", "MERGE", "DUP", "SORT"],
+    ("DataAsset", "System"): ["GROUP", "AGG"],
+    ("System", "System"): ["MERGE"],
+}
+CUSTOM_EDGE_TYPES = frozenset(v.upper() for v in RELATION_VERBS)
+
 
 def sql_in_list(values: tuple[str, ...]) -> str:
     """Render a tuple of strings as a SQL IN-list literal."""
@@ -86,6 +116,9 @@ class RunConfig:
     n_salt: int = N_SALT
     fuzzy_jaccard_threshold: float = FUZZY_JACCARD_THRESHOLD
     embed_cosine_threshold: float = EMBED_COSINE_THRESHOLD
+    # E3: entity types whose mentions (and touching facts) are excluded
+    # from the graph (reference excluded_entity_types). Empty = keep all.
+    excluded_entity_types: tuple = ()
     checkpoint_dir: str | None = None   # enables lineage + stage resume
     # Which stages to cache. True = all (interactive/bench mode);
     # False = none; a set of stage names = selective (single-output

@@ -203,11 +203,13 @@ def enforce_edge_types(
 def invalidation_candidates(
     new_edges: DataFrame,
     existing_edges: DataFrame,
-    min_score: float = DEFAULT_MIN_SCORE,
+    min_score: float | None = DEFAULT_MIN_SCORE,
 ) -> DataFrame:
     """T4: per new edge, existing edges sharing EITHER endpoint with fact
     cosine ≥ min_score (reference search_utils.py:1545-1729, endpoint
     clause at :1680). Output (new_uuid, candidate_uuid, cos).
+    min_score=None disables the similarity gate (pure endpoint-sharing
+    candidates — the SQL-oracle-able subset).
 
     Two endpoint-keyed joins unioned — never an OR-join (which would
     force a cross-product per group). Hub endpoints are the skew risk;
@@ -227,11 +229,14 @@ def invalidation_candidates(
         ).alias("endpoint"),
         F.col("fact_embedding").alias("old_emb"),
     )
-    return (
-        new_sides.join(old_sides, "endpoint")
-        .filter(F.col("new_uuid") != F.col("candidate_uuid"))
-        .withColumn("cos", F.round(cosine_col(F.col("new_emb"), F.col("old_emb")), 4))
-        .filter(F.col("cos") >= min_score)
-        .select("new_uuid", "candidate_uuid", "cos")
-        .distinct()
+    joined = new_sides.join(old_sides, "endpoint").filter(
+        F.col("new_uuid") != F.col("candidate_uuid")
     )
+    if min_score is None:
+        # no similarity gate → don't pay the cosine either
+        joined = joined.withColumn("cos", F.lit(None).cast("double"))
+    else:
+        joined = joined.withColumn(
+            "cos", F.round(cosine_col(F.col("new_emb"), F.col("old_emb")), 4)
+        ).filter(F.col("cos") >= min_score)
+    return joined.select("new_uuid", "candidate_uuid", "cos").distinct()

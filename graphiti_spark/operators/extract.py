@@ -97,6 +97,30 @@ def extract_from_text(text: str) -> tuple[list[str], list[tuple[str, str, str, s
 # ---------------------------------------------------------------- spark ---
 
 
+# E6 in-text date extraction (replaces the reference's LLM date prompt,
+# prompts/extract_edges.py DATETIME RULES + temporal_operations.py:33-71):
+#   - first ISO date (yyyy-mm-dd) in the content → that date at 00:00:00
+#   - else first standalone year (19xx/20xx)     → January 1st (rule:
+#     "If only a year is mentioned, use January 1st at 00:00:00")
+#   - else (ongoing / no time stated)            → REFERENCE_TIME, which
+#     for a crawled page is its warc_ts (rule: "If the fact is ongoing,
+#     set valid_at to REFERENCE_TIME")
+_ISO_DATE_RE = r"\b(\d{4}-\d{2}-\d{2})\b"
+_YEAR_RE = r"\b((?:19|20)\d{2})\b"
+
+
+def stated_date_col(content, reference_time):
+    """First stated date in ``content`` resolved against
+    ``reference_time`` (native regexp_extract + to_timestamp)."""
+    iso = F.regexp_extract(content, _ISO_DATE_RE, 1)
+    year = F.regexp_extract(content, _YEAR_RE, 1)
+    return (
+        F.when(iso != "", F.to_timestamp(iso, "yyyy-MM-dd"))
+        .when(year != "", F.to_timestamp(F.concat(year, F.lit("-01-01")), "yyyy-MM-dd"))
+        .otherwise(reference_time)
+    )
+
+
 def tokens_df(episodes: DataFrame) -> DataFrame:
     """episodes(uuid, group_id, valid_at, content) → one row per token with
     its 0-based position and the previous token (for adjective attachment)."""
@@ -132,10 +156,31 @@ def _mention_name_col():
 
 def extract_mentions_and_triples(
     episodes: DataFrame,
+    excluded_entity_types: tuple = (),
 ) -> tuple[DataFrame, DataFrame]:
-    """Native-Spark twin of extract_from_text over the whole corpus."""
+    """Native-Spark twin of extract_from_text over the whole corpus.
+
+    ``excluded_entity_types`` (E3, reference node_operations.py:188-192):
+    mentions classified into an excluded type are suppressed BEFORE the
+    subject/object windows, so a verb between an excluded mention and an
+    included one binds to the nearest SURVIVING mention — exactly the
+    reference behaviour of extracting edges over the filtered entity
+    list."""
+    # E6: facts carry the episode's stated in-text date (else warc_ts);
+    # pure regexp — a corpus without temporal expressions is unchanged.
+    episodes = episodes.withColumn(
+        "valid_at", stated_date_col(F.col("content"), F.col("valid_at"))
+    )
     toks = tokens_df(episodes)
-    tagged = toks.withColumn("mention_name", _mention_name_col()).withColumn(
+    mention_name = _mention_name_col()
+    if excluded_entity_types:
+        from graphiti_spark.functions.typing import entity_type_col
+
+        mention_name = F.when(
+            entity_type_col(mention_name).isin(sorted(excluded_entity_types)),
+            F.lit(None),
+        ).otherwise(mention_name)
+    tagged = toks.withColumn("mention_name", mention_name).withColumn(
         "is_verb", F.col("tok").isin(*RELATION_VERBS_SORTED)
     )
     # Only mention/verb rows participate in the windows.

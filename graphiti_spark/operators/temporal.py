@@ -49,6 +49,89 @@ def invalidate_edges(edges: DataFrame, run_ts) -> DataFrame:
     )
 
 
+def invalidate_by_candidates(
+    edges: DataFrame, candidates: DataFrame, run_ts
+) -> DataFrame:
+    """T4→T1 wiring: close edges against their contradiction CANDIDATES
+    (either-endpoint sharers from edge_dedup.invalidation_candidates)
+    under the reference truth table (edge_operations.py:406-441,
+    FIXTURES.md §5):
+
+      - pairs whose intervals are already disjoint are skipped
+        (E.invalid_at ≤ N.valid_at, or N.invalid_at ≤ E.valid_at);
+      - a candidate N with LATER valid_at closes E:
+        E.invalid_at := N.valid_at, E.expired_at := run_ts (T3);
+      - batch form: all pairs are evaluated against the INITIAL edge
+        state in one synchronized round, and the EARLIEST closing
+        instant wins (min over qualifying N.valid_at) — the
+        deterministic equivalent of the reference's per-edge loop.
+
+    Unlike invalidate_edges' same-(group, subject, predicate) window,
+    candidates span predicates and either endpoint — a fact can be
+    closed by a contradicting fact about the same entity under a
+    different relation name.
+
+    candidates: (new_uuid, candidate_uuid, …) — candidate_uuid is the
+    edge being closed, new_uuid the potential closer. Pass the output of
+    invalidation_candidates(edges, edges, …) for a full-batch pass.
+    """
+    e = edges.select(
+        F.col("uuid").alias("candidate_uuid"),
+        F.col("valid_at").alias("e_valid"),
+        F.col("invalid_at").alias("e_invalid")
+        if "invalid_at" in edges.columns
+        else F.lit(None).cast("timestamp").alias("e_invalid"),
+    )
+    n = edges.select(
+        F.col("uuid").alias("new_uuid"),
+        F.col("valid_at").alias("n_valid"),
+        F.col("invalid_at").alias("n_invalid")
+        if "invalid_at" in edges.columns
+        else F.lit(None).cast("timestamp").alias("n_invalid"),
+    )
+    pairs = candidates.select("new_uuid", "candidate_uuid").join(
+        e, "candidate_uuid"
+    ).join(n, "new_uuid")
+    disjoint = (
+        (F.col("e_invalid").isNotNull() & (F.col("e_invalid") <= F.col("n_valid")))
+        | (F.col("n_invalid").isNotNull() & (F.col("n_invalid") <= F.col("e_valid")))
+    )
+    closing = (
+        pairs.filter(~disjoint)
+        .filter(
+            F.col("e_valid").isNotNull()
+            & F.col("n_valid").isNotNull()
+            & (F.col("e_valid") < F.col("n_valid"))
+        )
+        .groupBy("candidate_uuid")
+        .agg(F.min("n_valid").alias("closing_at"))
+    )
+    out = edges.join(
+        closing.withColumnRenamed("candidate_uuid", "uuid"), "uuid", "left"
+    )
+    if "invalid_at" in edges.columns:
+        # closing takes precedence: the reference OVERWRITES invalid_at
+        # with the closer's valid_at (edge_operations.py:436), and the
+        # disjointness guard guarantees every qualifying closer precedes
+        # the existing invalid_at.
+        out = out.withColumn(
+            "invalid_at", F.coalesce(F.col("closing_at"), F.col("invalid_at"))
+        )
+    else:
+        out = out.withColumn("invalid_at", F.col("closing_at"))
+    prior_expired = (
+        F.col("expired_at")
+        if "expired_at" in edges.columns
+        else F.lit(None).cast("timestamp")
+    )
+    return out.withColumn(
+        "expired_at",
+        F.when(F.col("invalid_at").isNotNull(),
+               F.coalesce(prior_expired, F.lit(run_ts)))
+        .otherwise(prior_expired),
+    ).drop("closing_at")
+
+
 def episode_context_window(episodes: DataFrame, last_n: int = 3) -> DataFrame:
     """Previous-episode context (SURVEY.md S3/T5; reference
     graph_data_operations.py:61-120): for each episode, the ≤ last_n

@@ -15,10 +15,14 @@ from __future__ import annotations
 
 from graphiti_spark.config import (
     ADJECTIVES_SORTED,
+    CUSTOM_EDGE_TYPES,
+    EDGE_TYPE_MAP,
     ENTITY_NOUNS_SORTED,
+    NOUN_ENTITY_TYPES,
     RELATION_VERBS_SORTED,
     sql_in_list,
 )
+from graphiti_spark.functions.typing import sql_entity_type
 from graphiti_spark.sources.pages import SQL_URL, SQL_WARC_TS
 
 NOUNS = sql_in_list(ENTITY_NOUNS_SORTED)
@@ -176,7 +180,8 @@ node_summary AS (
 ),
 nodes AS (
   SELECT e.uuid, e.name, e.group_id, e.mention_count,
-         coalesce(ns.summary, e.name) AS summary
+         coalesce(ns.summary, e.name) AS summary,
+         {sql_entity_type("e.name")} AS label
   FROM entities e
   LEFT JOIN node_summary ns ON ns.source_node_uuid = e.uuid
 )"""
@@ -240,7 +245,71 @@ SELECT uuid, group_id, source_node_uuid, target_node_uuid,
 FROM edges_temporal ORDER BY uuid"""
 
     q["nodes"] = f"""WITH {NODES_CTE}
-SELECT uuid, name, group_id, mention_count, summary FROM nodes ORDER BY uuid"""
+SELECT uuid, name, group_id, mention_count, summary, label
+FROM nodes ORDER BY uuid"""
+
+    # E3 typed exclusion: System-typed mentions suppressed BEFORE the
+    # subject/object windows (the surviving-neighbour binding rule), so
+    # their entities and any fact touching them never exist.
+    _sys_nouns = sql_in_list(
+        tuple(sorted(n for n, t in NOUN_ENTITY_TYPES.items() if t == "System"))
+    )
+    q["typed_exclusion"] = f"""WITH {TOKENS_CTE},
+mention_pos AS (
+  SELECT episode_uuid, group_id, valid_at, pos,
+         CASE WHEN prev_tok IN {ADJS} THEN prev_tok || ' ' || tok
+              ELSE tok END AS name
+  FROM tagged WHERE tok IN {NOUNS} AND tok NOT IN {_sys_nouns}
+),
+mentions AS (
+  SELECT DISTINCT episode_uuid, group_id, name FROM mention_pos
+),
+entities AS (
+  SELECT group_id, name,
+         sha256(group_id || '|' || name) AS uuid,
+         count(*) AS mention_count
+  FROM (SELECT episode_uuid, group_id, name FROM mentions) m
+  GROUP BY group_id, name
+)
+SELECT uuid, name, group_id, mention_count,
+       {sql_entity_type("name")} AS label
+FROM entities ORDER BY uuid"""
+
+    # D19 on pipeline output: every extracted predicate is custom; a
+    # name not permitted for (src_type, dst_type) resets to RELATES_TO.
+    # Endpoint types derive from the subject/object head nouns (the
+    # canonical node's own name — this corpus has no fuzzy merges, the
+    # same identity assumption every edge oracle here makes).
+    _d19_arms = []
+    for (src_t, dst_t), names in sorted(EDGE_TYPE_MAP.items()):
+        _d19_arms.append(
+            f"(src_type = '{src_t}' AND dst_type = '{dst_t}' "
+            f"AND name IN {sql_in_list(tuple(sorted(names)))})"
+        )
+    _d19_allowed = "\n       OR ".join(_d19_arms)
+    _custom = sql_in_list(tuple(sorted(CUSTOM_EDGE_TYPES)))
+    q["edges_type_enforced"] = f"""WITH {TRIPLES_CTE},
+edges AS (
+  SELECT
+    sha256(group_id || '|' ||
+           sha256(group_id || '|' || subj_name) || '|' ||
+           sha256(group_id || '|' || obj_name) || '|' ||
+           pred || '|' || fact) AS uuid,
+    group_id,
+    sha256(group_id || '|' || subj_name) AS source_node_uuid,
+    sha256(group_id || '|' || obj_name) AS target_node_uuid,
+    pred AS name,
+    fact,
+    {sql_entity_type("subj_name")} AS src_type,
+    {sql_entity_type("obj_name")} AS dst_type
+  FROM triples
+  GROUP BY group_id, subj_name, obj_name, pred, fact
+)
+SELECT uuid, group_id, source_node_uuid, target_node_uuid,
+       CASE WHEN name IN {_custom} AND NOT ({_d19_allowed})
+            THEN 'RELATES_TO' ELSE name END AS name,
+       fact
+FROM edges ORDER BY uuid"""
 
     q["mention_edges"] = f"""WITH {MENTION_EDGES_CTE}
 SELECT uuid, group_id, episode_uuid, entity_uuid
@@ -600,6 +669,106 @@ ranked AS (
 )
 SELECT entity_uuid, attr, value FROM ranked WHERE rn = 1
 ORDER BY entity_uuid, attr"""
+
+    # T4→T1: either-endpoint contradiction candidates close edges across
+    # predicates; earliest later-valid_at candidate wins; expired_at :=
+    # run_ts where closed (reference edge_operations.py:406-441 truth
+    # table — the disjointness guard is vacuous here because merged
+    # edges start with null invalid_at; the guard branch is pinned by
+    # tests/test_temporal_t4.py on pre-closed fixtures).
+    q["edges_temporal_t4"] = f"""WITH {EDGES_CTE},
+closing AS (
+  SELECT e.uuid, min(n.valid_at) AS closing_at
+  FROM edges e
+  JOIN edges n
+    ON e.uuid <> n.uuid
+   AND (e.source_node_uuid = n.source_node_uuid
+        OR e.source_node_uuid = n.target_node_uuid
+        OR e.target_node_uuid = n.source_node_uuid
+        OR e.target_node_uuid = n.target_node_uuid)
+  WHERE e.valid_at < n.valid_at
+  GROUP BY e.uuid
+)
+SELECT e.uuid, e.group_id, e.source_node_uuid, e.target_node_uuid,
+       e.name, e.fact,
+       strftime(e.valid_at, '%Y-%m-%d %H:%M:%S') AS valid_at,
+       strftime(c.closing_at, '%Y-%m-%d %H:%M:%S') AS invalid_at,
+       CASE WHEN c.closing_at IS NOT NULL
+            THEN strftime({RUN_TS_SQL}, '%Y-%m-%d %H:%M:%S') END AS expired_at
+FROM edges e LEFT JOIN closing c USING (uuid)
+ORDER BY e.uuid"""
+
+    # E6 in-text dates: deterministic date augmentation (mirrors the
+    # Spark query) + the DATETIME RULES (ISO date → midnight; year →
+    # Jan 1; none → reference time = warc_ts).
+    q["edges_dated"] = f"""WITH
+docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' since ' || CAST(2015 + doc_id % 8 AS VARCHAR)
+              WHEN doc_id % 3 = 1
+              THEN text || ' on 2020-' ||
+                   lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+                   lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+              ELSE text END AS content,
+         source AS group_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + CAST(doc_id AS INT) * INTERVAL 1 MINUTE AS warc_ts
+  FROM documents
+),
+episodes2 AS (
+  SELECT sha256('https://ex.test/' || CAST(doc_id AS VARCHAR)) AS uuid,
+         group_id, content,
+         CASE
+           WHEN regexp_extract(content, '\\b(\\d{{4}}-\\d{{2}}-\\d{{2}})\\b', 1) <> ''
+           THEN CAST(regexp_extract(content, '\\b(\\d{{4}}-\\d{{2}}-\\d{{2}})\\b', 1) AS TIMESTAMP)
+           WHEN regexp_extract(content, '\\b((?:19|20)\\d{{2}})\\b', 1) <> ''
+           THEN CAST(regexp_extract(content, '\\b((?:19|20)\\d{{2}})\\b', 1) || '-01-01' AS TIMESTAMP)
+           ELSE warc_ts END AS valid_at
+  FROM docs2
+),
+toks2 AS (
+  SELECT uuid AS episode_uuid, group_id, valid_at,
+         unnest(string_split(content, ' ')) AS tok,
+         generate_subscripts(string_split(content, ' '), 1) - 1 AS pos
+  FROM episodes2
+),
+tagged2 AS (
+  SELECT *, lag(tok) OVER (PARTITION BY episode_uuid ORDER BY pos) AS prev_tok
+  FROM toks2 WHERE tok <> ''
+),
+mention_pos2 AS (
+  SELECT episode_uuid, group_id, valid_at, pos,
+         CASE WHEN prev_tok IN {ADJS} THEN prev_tok || ' ' || tok
+              ELSE tok END AS name
+  FROM tagged2 WHERE tok IN {NOUNS}
+),
+stream2 AS (
+  SELECT episode_uuid, group_id, valid_at, pos, name,
+         CAST(NULL AS VARCHAR) AS verb
+  FROM mention_pos2
+  UNION ALL
+  SELECT episode_uuid, group_id, valid_at, pos, NULL, tok
+  FROM tagged2 WHERE tok IN {VERBS}
+),
+win2 AS (
+  SELECT *,
+    last_value(name IGNORE NULLS) OVER (
+      PARTITION BY episode_uuid ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS subj_name,
+    first_value(name IGNORE NULLS) OVER (
+      PARTITION BY episode_uuid ORDER BY pos
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS obj_name
+  FROM stream2
+)
+SELECT DISTINCT episode_uuid, group_id, subj_name,
+       upper(verb) AS pred, obj_name,
+       subj_name || ' ' || verb || ' ' || obj_name AS fact,
+       strftime(valid_at, '%Y-%m-%d %H:%M:%S') AS valid_at
+FROM win2
+WHERE verb IS NOT NULL AND subj_name IS NOT NULL
+  AND obj_name IS NOT NULL AND subj_name <> obj_name
+ORDER BY episode_uuid, subj_name, pred, obj_name"""
 
     # D9/Q7/Q8 incremental ingest: the Spark side runs batch A then
     # merges batch B incrementally against A's graph; the oracle is the

@@ -38,6 +38,7 @@ from graphiti_spark.operators.resolve import (
     extracted_entities,
 )
 from graphiti_spark.operators.temporal import invalidate_edges
+from graphiti_spark.functions.typing import labels_col
 from graphiti_spark.sources.pages import load_pages, pages_to_episodes
 from graphiti_spark.textnorm import truncate_at_sentence_col
 
@@ -113,7 +114,8 @@ def build_nodes(
             "uuid",
             "name",
             "group_id",
-            F.array(F.lit("Entity")).alias("labels"),
+            # E3 typing: ["Entity", <frozen head-noun type>]
+            labels_col(F.col("name")).alias("labels"),
             F.lit(run_ts).alias("created_at"),
             "summary",
             embed_udf(F.col("name")).alias("name_embedding"),
@@ -172,12 +174,14 @@ def run_pipeline_from_pages(
     episodes = stage("episodes", lambda: pages_to_episodes(pages, cfg.run_ts))
 
     # Extraction produces two outputs from one token stream; materialize
-    # them as separate stages so resume is per-output.
+    # them as separate stages so resume is per-output. E3 exclusion (if
+    # configured) suppresses excluded-type mentions inside the extractor,
+    # before the subject/object windows.
     def _mentions():
-        return extract_mentions_and_triples(episodes)[0]
+        return extract_mentions_and_triples(episodes, cfg.excluded_entity_types)[0]
 
     def _triples():
-        return extract_mentions_and_triples(episodes)[1]
+        return extract_mentions_and_triples(episodes, cfg.excluded_entity_types)[1]
 
     mentions = stage("mentions", _mentions)
     triples = stage("triples", _triples)

@@ -96,3 +96,44 @@ def test_extraction_plan_is_native(spark):
     plan = triples_df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_extraction_excluded_types_rebind_windows(spark):
+    """E3: with System excluded, a verb between a System mention and a
+    DataAsset mention binds to the nearest SURVIVING mention — not just
+    a post-hoc filter of typed triples."""
+    # "table query join row": subj window sees [table, query(System)],
+    # obj window sees [row]. Excluding System rebinds subj to 'table'.
+    episodes = _episodes_df(spark, ["table query join row"])
+    _, triples = extract_mentions_and_triples(
+        episodes, excluded_entity_types=("System",)
+    )
+    got = {(r.subj_name, r.pred, r.obj_name) for r in triples.collect()}
+    assert got == {("table", "JOIN", "row")}
+    # unexcluded baseline binds to the nearer 'query'
+    _, base = extract_mentions_and_triples(episodes)
+    assert {(r.subj_name, r.pred, r.obj_name) for r in base.collect()} == {
+        ("query", "JOIN", "row")
+    }
+
+
+def test_stated_date_rules(spark):
+    """E6 DATETIME RULES: ISO date → midnight; year-only → Jan 1;
+    none/ongoing → reference time (warc_ts)."""
+    from datetime import datetime
+
+    episodes = _episodes_df(
+        spark,
+        [
+            "table join row on 2021-07-09",
+            "table join row since 2019",
+            "table join row ongoing",
+        ],
+    )
+    _, triples = extract_mentions_and_triples(episodes)
+    got = {r.episode_uuid: r.valid_at for r in triples.collect()}
+    assert got["ep0"] == datetime(2021, 7, 9)
+    assert got["ep1"] == datetime(2019, 1, 1)
+    assert got["ep2"].year == _episodes_df(
+        spark, ["x"]
+    ).select("valid_at").first()[0].year  # reference time passthrough
