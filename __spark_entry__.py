@@ -316,6 +316,24 @@ def _q_hybrid_search(spark, sf_dir):
     return res["edges"]
 
 
+def _q_hybrid_search_docs(spark, sf_dir):
+    """Q1 composition with a full oracle: BM25 + cosine channels over the
+    documents/embeddings corpus, RRF-fused (query vector = embeddings
+    row 0 so DuckDB can reproduce the cosine channel exactly)."""
+    from graphiti_spark.search.fulltext import bm25_search, build_postings
+    from graphiti_spark.search.fuse import rrf
+    from graphiti_spark.search.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bm25 = bm25_search(
+        build_postings(docs, "doc_id", "text"), ["fast", "merge", "table"],
+        limit=20,
+    )
+    cos = cosine_topk(emb, _query_vec(spark, sf_dir), limit=20)
+    return rrf([bm25, cos], limit=10)
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -512,20 +530,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval layer (Q1-Q9, G1, G5-G7)
         "bm25_documents": _q_bm25_documents,
         "cosine_topk_embeddings": _q_cosine_topk,
-        "ann_lsh_embeddings": _q_ann_lsh,          # rows-only (approximate)
-        "mmr_embeddings": _q_mmr,                  # rows-only (iterative greedy)
+        "ann_lsh_embeddings": _q_ann_lsh,          # rows-only (hash hyperplanes)
+        "mmr_embeddings": _q_mmr,                  # oracle: unrolled greedy CTEs
         "bfs_reachable": _q_bfs_reachable,
         "node_distance_src1": _q_node_distance,
         "mentions_rerank": _q_mentions_rerank,
         "neighbor_weights": _q_neighbor_weights,
         "filtered_edges": _q_filtered_edges,
-        "communities": _q_communities,             # rows-only (iterative LP)
-        "hybrid_search_edges": _q_hybrid_search,   # rows-only (composition)
+        "communities": _q_communities,
+        "hybrid_search_edges": _q_hybrid_search,   # rows-only (hash embeds)
+        "hybrid_search_docs": _q_hybrid_search_docs,
         # training-data pipeline ops over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_near_dup": _q_docs_near_dup,
         "docs_simhash": _q_docs_simhash,           # rows-only (blake2b hashes)
-        "docs_canonical": _q_docs_canonical,       # rows-only (iterative CC)
+        "docs_canonical": _q_docs_canonical,       # oracle: recursive-CTE closure
         "embeddings_near_dup": _q_embeddings_near_dup,
         "docs_language_id": _q_docs_language_id,
         "docs_token_stats": _q_docs_token_stats,

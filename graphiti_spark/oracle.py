@@ -777,6 +777,212 @@ ORDER BY episode_uuid, subj_name, pred, obj_name"""
     # operators/incremental.py).
     q["incremental_merge"] = q["flagship_triples"]
 
+    # G2/G3 communities: label propagation UNROLLED to the Spark
+    # implementation's max_iterations (synchronous rounds; plurality of
+    # neighbor weight, ties toward the larger label). Post-fixpoint
+    # rounds are identity, so unrolling past convergence is safe; if LP
+    # never converges, both sides stop at exactly the same round count.
+    from graphiti_spark.operators.communities import MAX_LP_ITERATIONS
+
+    lp_rounds = []
+    for i in range(1, MAX_LP_ITERATIONS + 1):
+        lp_rounds.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT v.src AS uuid, max(struct_pack(w := v.w, c := v.nbr_comm))['c'] AS community
+  FROM (
+    SELECT n.src, l.community AS nbr_comm, sum(n.weight) AS w
+    FROM nbrs n JOIN l{i - 1} l ON l.uuid = n.dst
+    GROUP BY n.src, l.community
+  ) v GROUP BY v.src
+)"""
+        )
+    lp_chain = ",\n".join(lp_rounds)
+    q["communities"] = f"""WITH {EDGES_CTE},
+sym AS (
+  SELECT source_node_uuid AS src, target_node_uuid AS dst FROM edges
+  UNION ALL
+  SELECT target_node_uuid, source_node_uuid FROM edges
+),
+nbrs AS MATERIALIZED (
+  SELECT src, dst, count(*) AS weight FROM sym
+  WHERE src <> dst GROUP BY src, dst
+),
+entities2 AS (
+  SELECT group_id, name, sha256(group_id || '|' || name) AS uuid
+  FROM (SELECT DISTINCT group_id, subj_name AS name FROM triples
+        UNION SELECT DISTINCT group_id, obj_name FROM triples) n
+),
+l0 AS (SELECT DISTINCT src AS uuid, src AS community FROM nbrs),
+{lp_chain},
+members AS (
+  SELECT e.group_id, l.community, e.uuid, e.name
+  FROM entities2 e JOIN l{MAX_LP_ITERATIONS} l USING (uuid)
+),
+agg AS (
+  SELECT group_id, community, count(*) AS member_count,
+         min(uuid) AS min_member_uuid, min(name) AS min_member_name
+  FROM members GROUP BY group_id, community
+)
+SELECT sha256(group_id || '|' || 'community|' || min_member_uuid) AS uuid,
+       'community ' || min_member_name AS name,
+       group_id, member_count
+FROM agg ORDER BY uuid"""
+
+    # Q5 MMR: the greedy selection UNROLLED to limit steps (argmax of
+    # λ·sim_q − (1−λ)·max-sim-to-picked over the unpicked top-20
+    # candidates; ties → lowest id; score = selection-time MMR value).
+    mmr_steps = []
+    for i in range(2, 11):
+        mmr_steps.append(
+            f"""pick{i} AS MATERIALIZED (
+  SELECT c.id, c.u, c.sq,
+         round(0.5 * c.sq - 0.5 * (
+           SELECT max(list_inner_product(c.u, p.u)) FROM sel{i - 1} p
+         ), 4) + 0.0 AS mmr, {i} AS rank
+  FROM simq c WHERE c.id NOT IN (SELECT id FROM sel{i - 1})
+  ORDER BY mmr DESC, c.id ASC LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})"""
+        )
+    mmr_chain = ",\n".join(mmr_steps)
+    q["mmr_embeddings"] = f"""WITH
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         round(
+           list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT q FROM qv))
+           / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+              * sqrt(list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)))),
+         4) AS s
+  FROM embeddings
+),
+cands AS (SELECT id, v FROM scored ORDER BY s DESC, id ASC LIMIT 20),
+unitq AS (
+  SELECT list_transform(q, x -> x / sqrt(list_inner_product(q, q))) AS uq
+  FROM qv
+),
+unitc AS (
+  SELECT id,
+         list_transform(v, x -> x / (CASE WHEN sqrt(list_inner_product(v, v)) = 0
+                                          THEN 1.0
+                                          ELSE sqrt(list_inner_product(v, v)) END)) AS u
+  FROM cands
+),
+simq AS MATERIALIZED (
+  SELECT id, u, list_inner_product(u, (SELECT uq FROM unitq)) AS sq
+  FROM unitc
+),
+sel1 AS MATERIALIZED (
+  SELECT id, u, sq, round(0.5 * sq, 4) + 0.0 AS mmr, 1 AS rank
+  FROM simq ORDER BY round(0.5 * sq, 4) DESC, id ASC LIMIT 1
+),
+{mmr_chain}
+SELECT id, mmr AS score, CAST(rank AS INT) AS rank
+FROM sel10 ORDER BY rank"""
+
+    # D16 edge duplicate pairs (src1): same endpoints + (word overlap OR
+    # fact cosine ≥ 0.6). The SQL encodes the overlap half exactly; on
+    # this corpus facts sharing endpoints always share words (verified:
+    # 0 cosine-only pairs), so overlap-only IS the full prediction — any
+    # Spark-side drift in the cosine branch breaks the row/hash match,
+    # and the cosine branch itself is pinned by test_edge_dedup.py.
+    q["edge_dup_pairs_src1"] = f"""WITH {EDGES_CTE},
+e1 AS (SELECT * FROM edges WHERE group_id = 'src1'),
+pairs AS (
+  SELECT a.uuid AS src, b.uuid AS dst
+  FROM e1 a JOIN e1 b
+    ON a.source_node_uuid = b.source_node_uuid
+   AND a.target_node_uuid = b.target_node_uuid
+   AND a.uuid < b.uuid
+  WHERE len(list_intersect(
+          list_distinct(string_split(lower(a.fact), ' ')),
+          list_distinct(string_split(lower(b.fact), ' ')))) > 0
+)
+SELECT DISTINCT src, dst FROM pairs ORDER BY src, dst"""
+
+    # Canonical docs: near-dup pairs (word Jaccard ≥ 0.95, the
+    # docs_near_dup ground truth) → transitive closure via a recursive
+    # CTE → min reachable id per doc (the CC min-uuid rule).
+    q["docs_canonical"] = """WITH RECURSIVE
+s AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+p AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM s a JOIN s b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.w, b.w))) >= 0.95
+),
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM p
+  UNION SELECT b_id, a_id FROM p
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, s2.b FROM reach w JOIN sym s2 ON s2.a = w.r
+)
+SELECT id, min(r) AS canonical_id FROM reach GROUP BY id ORDER BY id"""
+
+    # Q1 composition, fully oracle-able twin: BM25 + cosine channels over
+    # the documents/embeddings corpus fused with RRF (1/(rank-1+1)
+    # contributions, round 4dp, ties → id asc). The edge-channel hybrid
+    # stays rows-only because fact embeddings are engine-side hashes.
+    q["hybrid_search_docs"] = """WITH
+toks AS (
+  SELECT doc_id AS id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE term <> ''),
+postings AS (SELECT id, term, count(*) AS tf FROM toks_ne GROUP BY id, term),
+doclen AS (SELECT id, count(*) AS dl FROM toks_ne GROUP BY id),
+docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+qterms AS (SELECT unnest(['fast','merge','table']) AS term),
+bm25_scored AS (
+  SELECT p.id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+           * (CAST(p.tf AS DOUBLE) * 2.2)
+           / (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+         ), 4) AS score
+  FROM postings p
+  JOIN qterms USING (term) JOIN docfreq d USING (term)
+  JOIN doclen l USING (id) CROSS JOIN stats s
+  GROUP BY p.id
+),
+bm25_ranked AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+  FROM bm25_scored ORDER BY rank LIMIT 20
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+cos_scored AS (
+  SELECT vec_id AS id,
+         round(
+           list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT q FROM qv))
+           / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+              * sqrt(list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)))),
+         4) AS score
+  FROM embeddings
+),
+cos_ranked AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+  FROM cos_scored ORDER BY rank LIMIT 20
+),
+fused AS (
+  SELECT id, round(sum(1.0 / CAST(rank AS DOUBLE)), 4) AS score
+  FROM (SELECT * FROM bm25_ranked UNION ALL SELECT * FROM cos_ranked)
+  GROUP BY id
+),
+topk AS (SELECT * FROM fused ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM topk ORDER BY rank"""
+
     # Q9: AND-of-OR datetime filter tree over temporal edges.
     q["filtered_edges"] = f"""WITH {EDGES_TEMPORAL_CTE}
 SELECT uuid, group_id, name,

@@ -99,11 +99,16 @@ def mmr_rerank(
                 if chosen_mask.any()
                 else np.zeros(n)
             )
-            mmr = lam * sim_q - (1.0 - lam) * max_to_picked
+            # Round BEFORE ranking (repo-wide score rule): raw MMR values
+            # that tie at presentation precision would otherwise be
+            # ordered by BLAS summation noise — not reproducible across
+            # platforms (or against the DuckDB oracle).
+            # (+0.0 normalizes IEEE -0.0 so renderings agree everywhere)
+            mmr = np.round(lam * sim_q - (1.0 - lam) * max_to_picked, 4) + 0.0
             mmr[chosen_mask] = -np.inf
             best = int(np.argmin(-mmr))  # first max (ties → lowest id)
             picked.append(best)
-            scores.append(round(float(mmr[best]), 4))
+            scores.append(float(mmr[best]))
             chosen_mask[best] = True
         return pd.DataFrame(
             {
