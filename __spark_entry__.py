@@ -28,20 +28,33 @@ from graphiti_spark.oracle import oracle_queries
 from graphiti_spark.pipeline import flagship_select, run_pipeline
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
-_CACHE: dict[str, dict[str, DataFrame]] = {}
+# sf_dir → (weakref to owning session, outputs). A weakref (not id())
+# avoids serving DataFrames bound to a dead session whose id CPython
+# recycled; liveness is re-checked on every hit.
+_CACHE: dict[str, tuple] = {}
+
+
+def _session_alive(spark: SparkSession) -> bool:
+    try:
+        return not spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
 
 
 def _pipe(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Run (or fetch) the cached pipeline outputs for one sf_dir.
 
-    Keyed by (session, sf_dir): cached DataFrames are bound to the
-    SparkSession that created them."""
-    key = f"{id(spark)}|{sf_dir}"
-    cached = _CACHE.get(key)
+    Cached DataFrames are bound to the SparkSession that created them;
+    the cache serves them only to that same, still-running session."""
+    import weakref
+
+    cached = _CACHE.get(sf_dir)
     if cached is not None:
-        return cached
+        ref, out = cached
+        if ref() is spark and _session_alive(spark):
+            return out
     out = run_pipeline(spark, sf_dir, RunConfig())  # stages self-persist
-    _CACHE[key] = out
+    _CACHE[sf_dir] = (weakref.ref(spark), out)
     return out
 
 
@@ -422,6 +435,43 @@ def _q_invalidation_candidates(spark, sf_dir):
     return invalidation_candidates(new, edges, min_score=0.6)
 
 
+def _q_episodes_typed_mentions(spark, sf_dir):
+    """EpisodeType variants end-to-end: docs become message (speaker
+    prefix), json (real JSON object the flattener traverses) or text
+    episodes by doc_id; mentions = frozen grammar over the per-type
+    token stream + the speaker-first rule for messages."""
+    from graphiti_spark.sources.episode_types import extract_typed
+    from graphiti_spark.sources.pages import CRAWL_EPOCH, URL_PREFIX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    content = (
+        F.when(d % 3 == 0, F.concat(F.lit("user"), (d % 5).cast("string"),
+                                    F.lit(": "), F.col("text")))
+        .when(d % 3 == 1, F.concat(F.lit('{"body": "'), F.col("text"),
+                                   F.lit('", "channel": "ch'),
+                                   (d % 7).cast("string"), F.lit('"}')))
+        .otherwise(F.col("text"))
+    )
+    src = (
+        F.when(d % 3 == 0, F.lit("message"))
+        .when(d % 3 == 1, F.lit("json"))
+        .otherwise(F.lit("text"))
+    )
+    episodes = docs.select(
+        F.sha2(F.concat(F.lit(URL_PREFIX), d.cast("string")), 256).alias("uuid"),
+        F.col("source").alias("group_id"),
+        src.alias("source"),
+        content.alias("content"),
+        (
+            F.to_timestamp(F.lit(CRAWL_EPOCH))
+            + F.make_interval(mins=d.cast("int"))
+        ).alias("valid_at"),
+    )
+    mentions, _ = extract_typed(episodes)
+    return mentions.select("episode_uuid", "group_id", "name")
+
+
 def _q_edges_temporal_t4(spark, sf_dir):
     """T4→T1: contradiction candidates (either-endpoint sharers, no
     similarity gate so the oracle can reproduce the set) close edges
@@ -563,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_dated": _q_edges_dated,
         # T4-driven cross-predicate invalidation (reference truth table)
         "edges_temporal_t4": _q_edges_temporal_t4,
+        # EpisodeType variants (message speaker rule / json traversal)
+        "episodes_typed_mentions": _q_episodes_typed_mentions,
     }
 
 

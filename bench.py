@@ -23,22 +23,46 @@ import sys
 import time
 
 
-def replicate_corpus(sf_dir: str, factor: int) -> str:
-    """Materialize a deterministic ×factor replica of documents.parquet
-    (doc_id offset per copy) so the scaling runs are compute-bound rather
-    than fixed-overhead-bound. Same input for every parallelism level."""
+def replicate_corpus(sf_dir: str, factor: int, vary: bool = True) -> str:
+    """Materialize a deterministic ×factor scale-up of documents.parquet.
+
+    ``vary=True`` (the scaling-protocol default) appends a per-copy
+    VOCAB-WORD tail derived from pure integer arithmetic on (doc_id, k):
+    copies then produce distinct mentions/facts, so the embedding and
+    dedup stages do real per-copy work instead of hitting the per-batch
+    memo on 64 identical texts (the round-1 scaling run's measured flat
+    stage). vary=False reproduces the old byte-identical replication."""
     import duckdb
 
-    out_dir = f"/tmp/graphiti_bench_rep{factor}_{os.path.basename(sf_dir.rstrip('/'))}"
+    from graphiti_spark.config import (
+        ADJECTIVES_SORTED,
+        ENTITY_NOUNS_SORTED,
+        RELATION_VERBS_SORTED,
+    )
+
+    tag = "var" if vary else "rep"
+    out_dir = f"/tmp/graphiti_bench_{tag}{factor}_{os.path.basename(sf_dir.rstrip('/'))}"
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+
+    vocab = list(ADJECTIVES_SORTED + ENTITY_NOUNS_SORTED + RELATION_VERBS_SORTED)
+    arr = "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
+    n = len(vocab)
+    # 8 deterministic vocab words per (doc_id, copy) — Knuth-style mixes,
+    # no RNG, reproducible across engines/runs
+    tail = " || ".join(
+        f"' ' || ({arr})[1 + ((doc_id + 1) * 2654435761 * ({i} + 3) "
+        f"+ k * 40503 * ({i} + 7)) % {n}]"
+        for i in range(8)
+    )
+    text_expr = f"text || {tail}" if vary else "text"
     con = duckdb.connect()
     con.execute(
         f"""
         COPY (
-          SELECT doc_id + k * 1000000 AS doc_id, text, lang,
+          SELECT doc_id + k * 1000000 AS doc_id, {text_expr} AS text, lang,
                  source || '-' || CAST(k AS VARCHAR) AS source, n_chars
           FROM read_parquet('{sf_dir}/documents.parquet'), range(0, {factor}) r(k)
         ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
@@ -79,7 +103,9 @@ def run_bench(
     if fast:
         from graphiti_spark.config import BATCH_PERSIST_STAGES
 
-        cfg = RunConfig(persist_stages=BATCH_PERSIST_STAGES)
+        cfg = RunConfig(
+            persist_stages=frozenset(BATCH_PERSIST_STAGES | {"edges_merged"})
+        )
     else:
         cfg = RunConfig()
     out = run_pipeline(spark, sf_dir, cfg)
@@ -93,8 +119,11 @@ def run_bench(
         # (a parquet write of the same tables measured 438 s at 2 cores
         # vs 420 s at 8 — pure IO floor).
         t0 = time.monotonic()
+        counts["edges_merged"] = out["edges_merged"].count()
+        timings["construction"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
         counts["edges"] = out["edges"].count()
-        timings["edges_dag"] = round(time.monotonic() - t0, 3)
+        timings["temporal"] = round(time.monotonic() - t0, 3)
     else:
         # Force stages in dependency order; persist-backed, so each count
         # reflects (approximately) that stage's own marginal work.
@@ -106,6 +135,10 @@ def run_bench(
             counts[name] = out[name].count()
             timings[name] = round(time.monotonic() - t0, 3)
     total = round(time.monotonic() - t_total0, 3)
+
+    # dropped-LSH-bucket observability: capped buckets lose dedup recall
+    # and must never vanish silently (0 on healthy corpora)
+    dropped = out["dropped_buckets"].count() if "dropped_buckets" in out else 0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     triples = counts["edges"]
@@ -119,6 +152,7 @@ def run_bench(
         "rows": counts,
         "wall_sec": total,
         "cores": sc_cores,
+        "dropped_lsh_buckets": dropped,
     }
     spark.stop()
     return result
@@ -151,11 +185,18 @@ def run_scaling(
     t_large = results[n_large]["wall_sec"]
     ratio = n_large / n_small
     efficiency = t_small / (ratio * t_large)  # == tput(4N) / (4 * tput(N))
+    phase_eff = {}
+    for ph in ("construction", "temporal"):
+        a = results[n_small]["queries"].get(ph)
+        b = results[n_large]["queries"].get(ph)
+        if a and b:
+            phase_eff[ph] = round(a / (ratio * b), 3)
     return {
         "metric": "scaling_efficiency",
         "value": round(efficiency, 3),
         "unit": f"throughput({n_large})/( {ratio:.0f} * throughput({n_small}) )",
         "sf": results[n_large]["sf"],
+        "phase_efficiency": phase_eff,
         "runs": {str(k): v for k, v in results.items()},
     }
 

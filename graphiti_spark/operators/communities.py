@@ -127,6 +127,124 @@ def build_communities(
     return {"communities": communities.drop("community_key"), "has_member": has_member}
 
 
+def update_communities(
+    communities: DataFrame,
+    has_member: DataFrame,
+    edges: DataFrame,
+    new_nodes: DataFrame,
+    run_ts,
+) -> dict[str, DataFrame]:
+    """G4 second half (reference update_community,
+    community_operations.py:303-331), batched over every new node:
+
+      1. assign each new node a community — direct membership wins, else
+         the MODE of its neighbors' communities (ties → smaller
+         community uuid; nodes with neither stay unassigned, reference
+         returns ([], []));
+      2. newly-assigned nodes append a HAS_MEMBER edge;
+      3. an updated community row folds the new members' summaries into
+         its summary (deterministic stand-in for the reference's
+         summarize_pair LLM call: '. '-join, sorted, sentence-truncated)
+         and bumps member_count.
+
+    Returns {"communities": full updated table, "has_member": full table
+    including appended memberships}.
+    """
+    new_ids = new_nodes.select("uuid", "summary")
+
+    direct = new_ids.join(
+        has_member.select(F.col("entity_uuid").alias("uuid"), "community_uuid"),
+        "uuid",
+    ).select("uuid", "community_uuid", F.lit(False).alias("is_new"))
+
+    undirect = new_ids.join(direct.select("uuid"), "uuid", "left_anti")
+    nbrs = neighbor_weights(edges).select(
+        F.col("src").alias("uuid"), F.col("dst").alias("nbr")
+    )
+    votes = (
+        undirect.join(nbrs, "uuid")
+        .join(
+            has_member.select(
+                F.col("entity_uuid").alias("nbr"), "community_uuid"
+            ),
+            "nbr",
+        )
+        .groupBy("uuid", "community_uuid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # mode with deterministic tie-break: max (n, reversed-uuid) ≈ max n,
+    # then min community_uuid — expressed as min over (-n, uuid)
+    by_nbr = (
+        votes.groupBy("uuid")
+        .agg(F.min(F.struct(-F.col("n"), F.col("community_uuid"))).alias("best"))
+        .select(
+            "uuid",
+            F.col("best.community_uuid").alias("community_uuid"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    assigned = direct.unionByName(by_nbr)
+
+    appended = (
+        assigned.filter(F.col("is_new"))
+        .join(
+            communities.select(
+                F.col("uuid").alias("community_uuid"), "group_id"
+            ),
+            "community_uuid",
+        )
+        .select(
+            ids.mention_uuid_col(
+                F.col("community_uuid"), F.col("uuid")
+            ).alias("uuid"),
+            "group_id",
+            "community_uuid",
+            F.col("uuid").alias("entity_uuid"),
+            F.lit(run_ts).alias("created_at"),
+        )
+    )
+
+    folded = (
+        assigned.join(new_ids, "uuid")
+        .groupBy("community_uuid")
+        .agg(
+            F.concat_ws(
+                ". ", F.array_sort(F.collect_list("summary"))
+            ).alias("new_members_cat"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_added"),
+        )
+    )
+    updated = (
+        communities.join(
+            folded.withColumnRenamed("community_uuid", "uuid"), "uuid", "left"
+        )
+        .withColumn(
+            "summary",
+            F.when(
+                F.col("new_members_cat").isNotNull(),
+                truncate_at_sentence_col(
+                    F.concat(
+                        F.regexp_replace(F.col("summary"), r"\.$", ""),
+                        F.lit(". "),
+                        F.col("new_members_cat"),
+                        F.lit("."),
+                    ),
+                    MAX_SUMMARY_CHARS,
+                ),
+            ).otherwise(F.col("summary")),
+        )
+        .withColumn(
+            "member_count",
+            F.col("member_count") + F.coalesce(F.col("n_added"), F.lit(0)),
+        )
+        .drop("new_members_cat", "n_added")
+    )
+    return {
+        "communities": updated,
+        "has_member": has_member.unionByName(appended),
+    }
+
+
 def determine_entity_community(
     entity_uuid: str, has_member: DataFrame, edges: DataFrame
 ) -> DataFrame:

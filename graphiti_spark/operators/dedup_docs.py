@@ -92,10 +92,18 @@ def minhash_near_dup(
     text_col: str = "text",
     threshold: float = 0.95,
     mode: str = "word",
+    max_bucket: int = MAX_BUCKET,
+    dropped_sink: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH blocked near-dup pairs verified by exact Jaccard.
     Output (a_id, b_id, jaccard) with a_id < b_id, jaccard ≥ threshold,
-    rounded to 4 dp. Deterministic: blake2b MinHash (no RNG)."""
+    rounded to 4 dp. Deterministic: blake2b MinHash (no RNG).
+
+    ``dropped_sink``: optional list; if given, a (band_idx, band_key,
+    bucket_n) metrics frame of capped (recall-losing) buckets is
+    appended — never drop silently."""
+    from graphiti_spark.operators.resolve import capped_buckets
+
     prepared = docs.select(
         F.col(id_col).alias("id"),
         shingles_of(F.col(text_col), mode).alias("shingles"),
@@ -109,12 +117,11 @@ def minhash_near_dup(
         F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_key").alias("band_key"),
     )
-    sizes = banded.groupBy("band_idx", "band_key").agg(
-        F.count(F.lit(1)).alias("n")
+    capped, dropped = capped_buckets(
+        banded, max_bucket, keys=["band_idx", "band_key"]
     )
-    capped = banded.join(
-        sizes.filter(F.col("n") <= MAX_BUCKET), ["band_idx", "band_key"]
-    )
+    if dropped_sink is not None:
+        dropped_sink.append(dropped)
     left = capped.select(
         "band_idx", "band_key",
         F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"),

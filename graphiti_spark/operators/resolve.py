@@ -98,22 +98,22 @@ def banded_names(entities: DataFrame) -> DataFrame:
 
 
 def capped_buckets(
-    banded: DataFrame, max_bucket: int = MAX_BUCKET_SIZE
+    banded: DataFrame,
+    max_bucket: int = MAX_BUCKET_SIZE,
+    keys: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split banded rows into (kept, dropped_bucket_metrics).
 
     A bucket above max_bucket is a pathological LSH collision (e.g. all-
     identical band values); dropping it bounds the pair join but LOSES
     RECALL, so the drop is surfaced as a metrics frame
-    (group_id, band_idx, band_key, bucket_n) instead of silently
-    vanishing — callers feed it to lineage/bench output."""
-    bucket_sizes = banded.groupBy("group_id", "band_idx", "band_key").agg(
+    (*keys, bucket_n) instead of silently vanishing — callers feed it to
+    lineage/bench output."""
+    keys = keys or ["group_id", "band_idx", "band_key"]
+    bucket_sizes = banded.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("bucket_n")
     )
-    kept = banded.join(
-        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
-        ["group_id", "band_idx", "band_key"],
-    )
+    kept = banded.join(bucket_sizes.filter(F.col("bucket_n") <= max_bucket), keys)
     dropped = bucket_sizes.filter(F.col("bucket_n") > max_bucket)
     return kept, dropped
 

@@ -670,6 +670,57 @@ ranked AS (
 SELECT entity_uuid, attr, value FROM ranked WHERE rn = 1
 ORDER BY entity_uuid, attr"""
 
+    # EpisodeType variants: the oracle builds each type's TOKEN STREAM
+    # directly — 'userN: ' prefix for messages, the sorted-key traversal
+    # string for json ("body <text> channel chN", exactly what the Spark
+    # flattener emits for the constructed object) — runs the grammar,
+    # and unions the speaker-first mentions.
+    q["episodes_typed_mentions"] = f"""WITH
+typed AS (
+  SELECT doc_id, source AS group_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'user' || CAST(doc_id % 5 AS VARCHAR) || ': ' || text
+              WHEN doc_id % 3 = 1
+              THEN 'body ' || text || ' channel ch' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS content,
+         CASE WHEN doc_id % 3 = 0 THEN 'message'
+              WHEN doc_id % 3 = 1 THEN 'json' ELSE 'text' END AS src
+  FROM documents
+),
+eps AS (
+  SELECT sha256('https://ex.test/' || CAST(doc_id AS VARCHAR)) AS uuid,
+         group_id, content, src
+  FROM typed
+),
+toks3 AS (
+  SELECT uuid AS episode_uuid, group_id,
+         unnest(string_split(content, ' ')) AS tok,
+         generate_subscripts(string_split(content, ' '), 1) - 1 AS pos
+  FROM eps
+),
+tagged3 AS (
+  SELECT *, lag(tok) OVER (PARTITION BY episode_uuid ORDER BY pos) AS prev_tok
+  FROM toks3 WHERE tok <> ''
+),
+grammar_mentions AS (
+  SELECT DISTINCT episode_uuid, group_id,
+         CASE WHEN prev_tok IN {ADJS} THEN prev_tok || ' ' || tok
+              ELSE tok END AS name
+  FROM tagged3 WHERE tok IN {NOUNS}
+),
+speakers AS (
+  SELECT DISTINCT uuid AS episode_uuid, group_id,
+         trim(regexp_extract(line, '^\\s*([^:\\n]+):\\s', 1)) AS name
+  FROM (
+    SELECT uuid, group_id, unnest(string_split(content, chr(10))) AS line
+    FROM eps WHERE src = 'message'
+  )
+  WHERE trim(regexp_extract(line, '^\\s*([^:\\n]+):\\s', 1)) <> ''
+)
+SELECT DISTINCT episode_uuid, group_id, name
+FROM (SELECT * FROM grammar_mentions UNION ALL SELECT * FROM speakers)
+ORDER BY episode_uuid, name"""
+
     # T4→T1: either-endpoint contradiction candidates close edges across
     # predicates; earliest later-valid_at candidate wins; expired_at :=
     # run_ts where closed (reference edge_operations.py:406-441 truth

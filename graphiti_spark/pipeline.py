@@ -50,6 +50,7 @@ def build_nodes(
     uuid_map: DataFrame,
     edges: DataFrame,
     run_ts,
+    n_salt: int = None,
 ) -> DataFrame:
     """Canonical EntityNode table (E8 summary + E9 embeddings).
 
@@ -82,14 +83,29 @@ def build_nodes(
         .withColumnRenamed("canonical_uuid", "uuid")
     )
 
-    # top-k subject facts per node (window top-k, SURVEY.md §2.9)
+    # Top-k subject facts per node as a SALTED TWO-PHASE window
+    # (SURVEY.md §4 skew rule): a hub entity can be the subject of a huge
+    # share of the corpus's facts, and a single window partition over it
+    # would serialize on one reducer. Phase 1 takes the per-salt top-k on
+    # (subject, pmod(xxhash64(fact), N_SALT)) — the hub's facts spread
+    # over N_SALT reducers; phase 2 takes the global top-k over the
+    # ≤ k·N_SALT survivors. Result identical to the unsalted window
+    # (every global top-k fact is in its salt's top-k), asserted by
+    # tests/test_salting.py.
     from pyspark.sql import Window
 
-    wf = Window.partitionBy("source_node_uuid").orderBy("fact")
+    from graphiti_spark.config import N_SALT
+
+    n_salt = n_salt or N_SALT
+    w1 = Window.partitionBy("source_node_uuid", "salt").orderBy("fact")
+    w2 = Window.partitionBy("source_node_uuid").orderBy("fact")
     top_facts = (
         edges.select("source_node_uuid", "fact")
         .distinct()
-        .withColumn("rn", F.row_number().over(wf))
+        .withColumn("salt", F.pmod(F.xxhash64("fact"), F.lit(n_salt)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= SUMMARY_TOP_FACTS)
+        .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= SUMMARY_TOP_FACTS)
         .groupBy("source_node_uuid")
         .agg(F.concat_ws(". ", F.array_sort(F.collect_list("fact"))).alias("facts_cat"))
@@ -187,7 +203,21 @@ def run_pipeline_from_pages(
     triples = stage("triples", _triples)
 
     entities = stage("entities", lambda: extracted_entities(mentions))
-    pairs = stage("pairs", lambda: duplicate_pairs(entities))
+    # capped-LSH-bucket metrics: a dropped bucket is silently-lost dedup
+    # recall, so it is surfaced as an output table (bench reports the
+    # count; zero on healthy corpora).
+    drop_sink: list = []
+    pairs = stage("pairs", lambda: duplicate_pairs(entities, dropped_sink=drop_sink))
+    dropped_buckets = (
+        drop_sink[0]
+        if drop_sink
+        else spark.range(0).select(
+            F.col("id").cast("string").alias("group_id"),
+            F.col("id").cast("int").alias("band_idx"),
+            F.col("id").cast("string").alias("band_key"),
+            F.col("id").alias("bucket_n"),
+        )
+    )
     uuid_map = stage("uuid_map", lambda: canonical_uuid_map(entities, pairs))
 
     edges_merged = stage(
@@ -215,6 +245,7 @@ def run_pipeline_from_pages(
         "edges_merged": edges_merged,
         "edges": edges,
         "mention_edges": mention_edges,
+        "dropped_buckets": dropped_buckets,
     }
 
 

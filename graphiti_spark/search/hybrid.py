@@ -152,7 +152,16 @@ def _channel(
             "id",
         )
         return token_overlap_rerank(cands, query, limit=limit)
-    return fused
+    # A configured reranker could not run (e.g. mmr on a vector-less
+    # channel, node_distance without center_uuid): degrade LOUDLY to the
+    # RRF fusion, re-limited to the recipe's contract size.
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "reranker %r unavailable for this channel (missing vectors/center/"
+        "mentions); degrading to rrf", cfg.reranker,
+    )
+    return fused.limit(limit)
 
 
 def search(

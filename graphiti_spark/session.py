@@ -60,15 +60,26 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # Shuffle/spill dir: the sandbox's virtio /tmp does not scale
-        # with cores; tmpfs is the stand-in for the NVMe shuffle volumes
-        # a real cluster provisions (override via SPARK_GRAFT_LOCAL_DIR).
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
-        )
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill dir: the sandbox's virtio /tmp does not scale with
+    # cores; tmpfs stands in for the NVMe shuffle volumes a real cluster
+    # provisions. BUT tmpfs spill counts against RAM and /dev/shm is
+    # typically capped at 50% of memory — a larger-than-memory shuffle
+    # would die with ENOSPC instead of spilling to disk. So tmpfs is
+    # used only when it exists with generous headroom (≥ 16 GiB free);
+    # otherwise Spark's disk default stands. Override with
+    # SPARK_GRAFT_LOCAL_DIR either way.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 16 * 1024**3:
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -83,17 +83,21 @@ def load_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.withColumn("text", extract_text_udf(F.col("html")))
 
 
-def pages_to_episodes(pages: DataFrame, run_ts) -> DataFrame:
+def pages_to_episodes(pages: DataFrame, run_ts, source="text") -> DataFrame:
     """pages → episodes (EpisodicNode semantics, SURVEY.md S1/S2).
 
     uuid = sha256(url); valid_at = warc_ts; content = extracted text;
     created_at = the run's fixed transaction timestamp.
+    ``source``: EpisodeType name ('message' | 'json' | 'text', reference
+    nodes.py:51-84) — a literal for the whole batch, or a Column for
+    mixed batches; typed extraction lives in sources/episode_types.py.
     """
+    source_col = source if not isinstance(source, str) else F.lit(source)
     return pages.select(
         ids.episode_uuid_col(F.col("url")).alias("uuid"),
         F.col("url").alias("name"),
         F.col("group_id"),
-        F.lit("text").alias("source"),
+        source_col.alias("source"),
         F.col("lang").alias("source_description"),
         F.col("text").alias("content"),
         F.col("warc_ts").alias("valid_at"),

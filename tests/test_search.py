@@ -190,3 +190,38 @@ def test_context_formatting(spark):
     block = format_context({"edges": edges, "nodes": nodes})
     assert "# FACTS" in block and "alice works at acme (2024-01-01 00:00:00 - present)" in block
     assert "# ENTITIES" in block and "alice: a person." in block
+
+
+def test_update_communities_batch(spark):
+    """G4 second half: direct member untouched; neighbor-mode assignment
+    appends HAS_MEMBER + folds the new member's summary in; isolated
+    nodes stay unassigned (reference update_community returns [], [])."""
+    from graphiti_spark.operators.communities import (
+        build_communities,
+        update_communities,
+    )
+    from datetime import datetime, timezone
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    nodes = spark.createDataFrame(
+        [(u, u, "g", f"{u} summary") for u in "abc"],
+        "uuid string, name string, group_id string, summary string",
+    )
+    built = build_communities(nodes, edges, ts)
+    comms, members = built["communities"], built["has_member"]
+    n0 = comms.first()
+    # new node "d" neighbors b via a new edge; "zz" is isolated
+    new_edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("d", "b")])
+    new_nodes = spark.createDataFrame(
+        [("d", "d", "g", "d summary"), ("zz", "zz", "g", "zz summary")],
+        "uuid string, name string, group_id string, summary string",
+    )
+    out = update_communities(comms, members, new_edges, new_nodes, ts)
+    got_members = {(r.community_uuid, r.entity_uuid)
+                   for r in out["has_member"].collect()}
+    assert (n0.uuid, "d") in got_members          # appended via neighbors
+    assert not any(e == "zz" for (_, e) in got_members)  # isolated → skipped
+    updated = {r.uuid: r for r in out["communities"].collect()}
+    assert updated[n0.uuid].member_count == n0.member_count + 1
+    assert "d summary" in updated[n0.uuid].summary
