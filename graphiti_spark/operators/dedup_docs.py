@@ -169,6 +169,21 @@ def simhash64_udf(shingle_arrays: pd.Series) -> pd.Series:
     return shingle_arrays.map(sim)
 
 
+def _simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) for m = max_hamming + 2 near-equal chunks of the
+    64-bit simhash. Blocking on CHUNK PAIRS from m chunks is pigeonhole-
+    sound for hamming ≤ max_hamming: ≤ h errors corrupt ≤ h chunks,
+    leaving ≥ 2 clean chunks → at least one clean pair is shared."""
+    m = max_hamming + 2
+    base, extra = divmod(64, m)
+    bounds, shift = [], 0
+    for i in range(m):
+        width = base + (1 if i < extra else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
 def simhash_near_dup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -176,30 +191,42 @@ def simhash_near_dup(
     max_hamming: int = 3,
     mode: str = "word",
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit chunks (pigeonhole —
-    hamming ≤ 3 over 4 chunks guarantees ≥1 identical chunk), verify
-    hamming ≤ max_hamming. Output (a_id, b_id, hamming)."""
+    """SimHash near-dup pairs with chunk-PAIR blocking, verified by exact
+    hamming ≤ max_hamming. Output (a_id, b_id, hamming).
+
+    Scale note (VERDICT r01): single 16-bit-chunk buckets grow
+    O(n²/65536) — at 10⁹ docs each bucket pairs ~15k×15k. Blocking on
+    pairs of m = max_hamming+2 chunks keeps pigeonhole soundness while
+    the key space becomes ~2^(2·64/m) (≈ 2^25 for h=3): expected bucket
+    size n/33M instead of n/65k, at C(m,2) explode rows per doc."""
+    from itertools import combinations
+
+    bounds = _simhash_chunk_bounds(max_hamming)
+
+    def chunk(col, i):
+        shift, width = bounds[i]
+        return F.shiftright(col, shift).bitwiseAND(F.lit((1 << width) - 1))
+
+    pair_keys = [
+        F.struct(
+            F.lit(pi).alias("ci"),
+            # combined pair key: chunk_i concatenated above chunk_j
+            (
+                chunk(F.col("simhash"), i) * F.lit(1 << bounds[j][1])
+                + chunk(F.col("simhash"), j)
+            ).alias("cv"),
+        )
+        for pi, (i, j) in enumerate(combinations(range(len(bounds)), 2))
+    ]
     sh = docs.select(
         F.col(id_col).alias("id"),
         simhash64_udf(shingles_of(F.col(text_col), mode)).alias("simhash"),
     )
     chunks = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "simhash", F.col("c.chunk_idx").alias("ci"), F.col("c.chunk").alias("cv"))
+        "id", "simhash", F.explode(F.array(*pair_keys)).alias("c")
+    ).select(
+        "id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
     pairs = (
         chunks.alias("a")
         .join(
