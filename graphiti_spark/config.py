@@ -39,6 +39,10 @@ MAX_SUMMARY_CHARS = 500         # reference text_utils.py:20
 DEFAULT_EDGE_NAME = "RELATES_TO"  # reference edge_operations.py:46
 
 # --- this engine's additions ---
+# Size gate for broadcasting the canonical uuid_map (D15 remap joins):
+# rows measured at run time, NOT an unconditional hint — at web scale
+# the map is 10^8+ rows and must shuffle-join instead.
+BROADCAST_MAP_MAX_ROWS = 5_000_000
 EMBEDDING_DIM = 64              # deterministic feature-hash embedding dim
 EMBED_COSINE_THRESHOLD = 0.95   # D8' embedding fallback replacing LLM dedup
 N_SALT = 16                     # salt buckets for hub-entity skew mitigation

@@ -24,7 +24,9 @@ from graphiti_spark.functions.dedup_text import normalize_string_exact_col
 from graphiti_spark.functions.embed import make_embed_udf
 
 
-def edge_provenance_rows(triples: DataFrame, uuid_map: DataFrame) -> DataFrame:
+def edge_provenance_rows(
+    triples: DataFrame, uuid_map: DataFrame, map_is_small: bool | None = None
+) -> DataFrame:
     """Pre-aggregation edge rows, one per (triple, provenance episode):
     (group_id, source_node_uuid, target_node_uuid, name, fact, fact_norm,
     episode_uuid, ep_valid_at). Endpoints are canonicalized through
@@ -44,7 +46,10 @@ def edge_provenance_rows(triples: DataFrame, uuid_map: DataFrame) -> DataFrame:
             F.col("group_id"), normalize_string_exact_col(F.col("obj_name"))
         ).alias("dst_raw"),
     )
-    remapped = resolve_edge_pointers(with_ids, uuid_map, src="src_raw", dst="dst_raw")
+    remapped = resolve_edge_pointers(
+        with_ids, uuid_map, src="src_raw", dst="dst_raw",
+        map_is_small=map_is_small,
+    )
     return remapped.select(
         "group_id",
         F.col("src_raw").alias("source_node_uuid"),
@@ -103,27 +108,37 @@ def merge_edge_rows(rows: DataFrame, run_ts) -> DataFrame:
     )
 
 
-def triples_to_edges(triples: DataFrame, uuid_map: DataFrame, run_ts) -> DataFrame:
+def triples_to_edges(
+    triples: DataFrame, uuid_map: DataFrame, run_ts,
+    map_is_small: bool | None = None,
+) -> DataFrame:
     """Extracted triples + canonical uuid_map → merged canonical edges.
 
     triples: (episode_uuid, group_id, valid_at, subj_name, pred, obj_name, fact)
     uuid_map: (uuid, canonical_uuid)
     """
-    return merge_edge_rows(edge_provenance_rows(triples, uuid_map), run_ts)
+    return merge_edge_rows(
+        edge_provenance_rows(triples, uuid_map, map_is_small), run_ts
+    )
 
 
 def resolve_edge_pointers(
     edges: DataFrame, uuid_map: DataFrame, src: str = "source_node_uuid",
-    dst: str = "target_node_uuid",
+    dst: str = "target_node_uuid", map_is_small: bool | None = None,
 ) -> DataFrame:
     """Rewrite edge endpoints through the canonical map (D15): two left
-    joins + coalesce(canonical, original). No forced broadcast — the
-    map covers every distinct entity, which at web scale exceeds driver
-    memory; Catalyst/AQE broadcasts it when (and only when) its runtime
-    size is under spark.sql.autoBroadcastJoinThreshold, else both joins
-    run as shuffle joins keyed on the endpoint uuid (uniform sha256 —
-    no hot key). Asserted both ways in tests/test_plans.py."""
-    bmap = uuid_map
+    joins + coalesce(canonical, original).
+
+    Broadcast is SIZE-GATED, never unconditional: the map covers every
+    distinct entity, which at web scale exceeds driver memory. The
+    pipeline passes ``map_is_small`` from the map's measured row count
+    (config.BROADCAST_MAP_MAX_ROWS); without that knowledge (None) the
+    decision is left to Catalyst statistics + AQE, which falls back to
+    shuffle joins keyed on the endpoint uuid (uniform sha256 — no hot
+    key). Asserted both ways in tests/test_plans.py. The explicit hint
+    matters on short pipelines: AQE's runtime conversion still pays the
+    map-stage materialization of the planned shuffle."""
+    bmap = F.broadcast(uuid_map) if map_is_small else uuid_map
 
     out = (
         edges.join(
@@ -151,7 +166,8 @@ def resolve_edge_pointers(
 
 
 def build_mention_edges(
-    mentions: DataFrame, uuid_map: DataFrame, run_ts
+    mentions: DataFrame, uuid_map: DataFrame, run_ts,
+    map_is_small: bool | None = None,
 ) -> DataFrame:
     """MENTIONS episodic edges (reference edge_operations.py:51-68):
     (episode → canonical entity), distinct, deterministic uuids."""
@@ -162,9 +178,10 @@ def build_mention_edges(
             F.col("group_id"), normalize_string_exact_col(F.col("name"))
         ).alias("entity_raw"),
     )
+    bmap = F.broadcast(uuid_map) if map_is_small else uuid_map
     remapped = (
         with_entity.join(
-            uuid_map.select(
+            bmap.select(
                 F.col("uuid").alias("entity_raw"),
                 F.col("canonical_uuid").alias("entity_uuid"),
             ),

@@ -120,7 +120,10 @@ def get_relevant_edges(
 
 
 def prior_edge_provenance_rows(
-    prior_edges: DataFrame, prior_episodes: DataFrame, uuid_map: DataFrame
+    prior_edges: DataFrame,
+    prior_episodes: DataFrame,
+    uuid_map: DataFrame,
+    map_is_small: bool | None = None,
 ) -> DataFrame:
     """Explode persisted edges back to provenance rows (the
     merge_edge_rows exchange format), re-canonicalizing endpoints through
@@ -141,7 +144,7 @@ def prior_edge_provenance_rows(
         ),
         "episode_uuid",
     )
-    remapped = resolve_edge_pointers(with_ts, uuid_map)
+    remapped = resolve_edge_pointers(with_ts, uuid_map, map_is_small=map_is_small)
     from graphiti_spark.functions.dedup_text import normalize_string_exact_col
 
     return remapped.select(
@@ -205,18 +208,23 @@ def ingest_incremental(
         .persist()
     )
     uuid_map = canonical_uuid_map(entities_all, pairs_all).persist()
+    from graphiti_spark.config import BROADCAST_MAP_MAX_ROWS
+
+    map_small = uuid_map.count() <= BROADCAST_MAP_MAX_ROWS
 
     # --- edge merge across batches (D17 episode union) ---
-    rows_new = edge_provenance_rows(triples_new, uuid_map)
+    rows_new = edge_provenance_rows(triples_new, uuid_map, map_small)
     rows_prior = prior_edge_provenance_rows(
-        prior["edges"], prior["episodes"], uuid_map
+        prior["edges"], prior["episodes"], uuid_map, map_small
     )
     edges_merged = merge_edge_rows(
         rows_new.unionByName(rows_prior), cfg.run_ts
     ).persist()
     edges = invalidate_edges(edges_merged, cfg.run_ts)
 
-    nodes = build_nodes(entities_all, uuid_map, edges_merged, cfg.run_ts)
+    nodes = build_nodes(
+        entities_all, uuid_map, edges_merged, cfg.run_ts, map_is_small=map_small
+    )
 
     # --- mentions provenance across batches ---
     from graphiti_spark.functions.dedup_text import normalize_string_exact_col

@@ -51,6 +51,7 @@ def build_nodes(
     edges: DataFrame,
     run_ts,
     n_salt: int = None,
+    map_is_small: bool | None = None,
 ) -> DataFrame:
     """Canonical EntityNode table (E8 summary + E9 embeddings).
 
@@ -63,12 +64,13 @@ def build_nodes(
     :544-573 replaced per SURVEY.md E8). Nodes without facts summarize to
     their own name.
     """
-    # No forced broadcast: uuid_map covers every distinct entity and at
-    # web scale is 10⁸⁺ rows — the planner/AQE broadcasts it only when
-    # its measured size is under the broadcast threshold, else this is a
-    # shuffle join on uuid (both sides key-partitioned, no hot key).
+    # Size-gated broadcast (see resolve_edge_pointers): the caller passes
+    # map_is_small from the map's MEASURED row count; at web scale the
+    # map is 10⁸⁺ rows and this stays a shuffle join on uuid (uniform
+    # sha256 key, no hot key).
+    bmap = F.broadcast(uuid_map) if map_is_small else uuid_map
     remapped = (
-        entities.join(uuid_map, "uuid", "left")
+        entities.join(bmap, "uuid", "left")
         .withColumn("canonical_uuid", F.coalesce("canonical_uuid", "uuid"))
     )
     canonical = (
@@ -220,17 +222,31 @@ def run_pipeline_from_pages(
     )
     uuid_map = stage("uuid_map", lambda: canonical_uuid_map(entities, pairs))
 
+    # SIZE-GATED broadcast decision for the remap joins: the map's real
+    # row count (one job over the persisted/tiny map), not a blind hint.
+    from graphiti_spark.config import BROADCAST_MAP_MAX_ROWS
+
+    map_small = uuid_map.count() <= BROADCAST_MAP_MAX_ROWS
+
     edges_merged = stage(
         "edges_merged",
-        lambda: triples_to_edges(triples, uuid_map, cfg.run_ts),
+        lambda: triples_to_edges(
+            triples, uuid_map, cfg.run_ts, map_is_small=map_small
+        ),
         partition_by=["group_id"] if ckpt else None,
     )
     edges = stage("edges", lambda: invalidate_edges(edges_merged, cfg.run_ts))
     nodes = stage(
-        "nodes", lambda: build_nodes(entities, uuid_map, edges_merged, cfg.run_ts)
+        "nodes",
+        lambda: build_nodes(
+            entities, uuid_map, edges_merged, cfg.run_ts, map_is_small=map_small
+        ),
     )
     mention_edges = stage(
-        "mention_edges", lambda: build_mention_edges(mentions, uuid_map, cfg.run_ts)
+        "mention_edges",
+        lambda: build_mention_edges(
+            mentions, uuid_map, cfg.run_ts, map_is_small=map_small
+        ),
     )
 
     return {
