@@ -1,0 +1,153 @@
+"""Structured-Streaming ingestion: a live page feed becomes a
+continuously-updated knowledge graph.
+
+The reference ingests episodes one `add_episode` call at a time
+(graphiti.py:619-824) — its "streaming" is an asyncio loop. The
+Spark-native equivalent is micro-batch Structured Streaming where EVERY
+BATCH IS AN INCREMENTAL INGEST (operators/incremental.py): new pages are
+resolved against the persisted graph and merged, so the streaming path
+reuses — and inherits the associativity proof of — the batch engine.
+
+  pages feed (files/Kafka) ──readStream──▶ foreachBatch:
+      prior = load latest graph version
+      merged = ingest_incremental(batch, prior)   # or first-batch pipeline
+      save as version v{batch_id}; flip the _LATEST pointer (atomic)
+
+Exactly-once without dedup bookkeeping: every node/edge id is
+content-derived (ids.py), so replaying a batch after a crash rewrites
+IDENTICAL rows — the merge is idempotent by construction. Graph state is
+versioned (write-new-then-flip-pointer) because overwriting the
+directory a lazy plan is still reading from would corrupt it; on Iceberg
+the version flip becomes the table's transactional snapshot commit.
+
+Late data: episodes carry event time `warc_ts`; the graph itself needs
+no watermark (content identity dedups replays, temporal windows are
+recomputed over merged history). For bounded-state windowed analytics
+over the feed, `windowed_episode_counts` shows the watermarked
+aggregation shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark.config import RunConfig
+
+# Streaming sources must declare their schema up front (no inference on
+# an unbounded source): the pages feed shape from BASELINE input_hint.
+PAGES_FEED_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, "
+    "lang string, group_id string, doc_id long"
+)
+
+_LATEST = "_LATEST"
+
+
+def _latest_version(state_dir: str) -> str | None:
+    path = os.path.join(state_dir, _LATEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)["version"]
+
+
+def load_graph_state(spark: SparkSession, state_dir: str):
+    """Latest committed graph version (None before the first batch)."""
+    from graphiti_spark.materialize import load_graph
+
+    version = _latest_version(state_dir)
+    if version is None:
+        return None
+    return load_graph(spark, os.path.join(state_dir, version))
+
+
+def _commit_graph_version(outputs, state_dir: str, batch_id: int) -> None:
+    from graphiti_spark.materialize import save_graph
+
+    version = f"v{batch_id:09d}"
+    save_graph(outputs, os.path.join(state_dir, version))
+    tmp = os.path.join(state_dir, f".{_LATEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "batch_id": batch_id}, fh)
+    os.replace(tmp, os.path.join(state_dir, _LATEST))  # atomic flip
+
+
+def make_ingest_batch_fn(state_dir: str, cfg: RunConfig | None = None):
+    """The foreachBatch callback: first batch runs the full pipeline,
+    every later batch ingests incrementally against the latest graph
+    version, then commits a new version."""
+    cfg = cfg or RunConfig()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from graphiti_spark.operators.incremental import ingest_incremental
+        from graphiti_spark.pipeline import run_pipeline_from_pages
+
+        prior = load_graph_state(spark, state_dir)
+        if prior is None:
+            out = run_pipeline_from_pages(spark, batch_df, cfg)
+        else:
+            out = ingest_incremental(spark, batch_df, prior, cfg)
+        _commit_graph_version(out, state_dir, batch_id)
+
+    return process_batch
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    feed_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    cfg: RunConfig | None = None,
+    available_now: bool = True,
+):
+    """Start (and with available_now=True, drain) the streaming ingest.
+
+    feed_dir: directory of parquet page files — the sandbox stand-in for
+    a Kafka/Kinesis source (`spark.readStream.format("kafka")` swaps in
+    with the same downstream plan). checkpoint_dir gives source-offset
+    exactly-once; the graph commit is idempotent either way.
+    """
+    os.makedirs(state_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(PAGES_FEED_SCHEMA)
+        # bounded files per trigger → bounded micro-batch memory
+        .option("maxFilesPerTrigger", "16")
+        .parquet(feed_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(make_ingest_batch_fn(state_dir, cfg))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
+def windowed_episode_counts(
+    pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window feed analytics (late rows beyond the
+    watermark are dropped, state is bounded): episodes per (group,
+    event-time window)."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), "group_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "group_id",
+            "n_pages",
+        )
+    )
