@@ -77,6 +77,46 @@ def load_graph(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     return out
 
 
+def create_table_sql(table: str, schema_ddl: str) -> str:
+    """S8 DDL twin: the Iceberg CREATE TABLE this engine's graph tables
+    map to on a real catalog (no catalog ships in this sandbox, so the
+    statement is emitted, tested for shape, and documented rather than
+    executed). The clauses carry the same physical design save_graph
+    enforces on parquet:
+
+      - PARTITIONED BY (group_id): the reference's graph partition key
+        (database-per-group on FalkorDB, graphiti.py:698-701) becomes
+        partition pruning;
+      - WRITE ORDERED BY uuid: parquet min/max skipping on uuid — the
+        S5 point-lookup/keyset-pagination "index";
+      - the uuid identity is the upsert key (see upsert_sql).
+    """
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) USING iceberg "
+        "PARTITIONED BY (group_id) "
+        "TBLPROPERTIES ('write.distribution-mode'='hash', "
+        "'sort-order'='uuid ASC NULLS FIRST')"
+    )
+
+
+def graph_ddl(catalog_prefix: str = "graph") -> dict[str, str]:
+    """CREATE TABLE statements for every graph table (column DDL from
+    schemas.py StructTypes)."""
+    from graphiti_spark import schemas
+
+    ddl: dict[str, str] = {}
+    for name, struct in (
+        ("nodes", schemas.NODES_SCHEMA),
+        ("edges", schemas.EDGES_SCHEMA),
+        ("mention_edges", schemas.MENTIONS_SCHEMA),
+        ("episodes", schemas.EPISODES_SCHEMA),
+        ("communities", schemas.COMMUNITIES_SCHEMA),
+    ):
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in struct)
+        ddl[name] = create_table_sql(f"{catalog_prefix}.{name}", cols)
+    return ddl
+
+
 def upsert_sql(table: str, updates_view: str) -> str:
     """The Iceberg MERGE statement this write maps to on a real catalog
     (S6 single/bulk upsert semantics)."""

@@ -140,3 +140,19 @@ def test_save_load_graph_roundtrip(spark, edges, tmp_path):
     got = {r.uuid for r in back["edges"].collect()}
     assert got == {"e1", "e2", "e3", "e4"}
     assert "MERGE INTO graph.edges" in upsert_sql("graph.edges", "updates")
+
+
+def test_graph_ddl_shapes():
+    """S8: Iceberg DDL emitters carry the physical design (group_id
+    partitioning, uuid sort order) for every graph table."""
+    from graphiti_spark.materialize import graph_ddl
+
+    ddl = graph_ddl("g")
+    assert set(ddl) == {"nodes", "edges", "mention_edges", "episodes",
+                        "communities"}
+    for name, stmt in ddl.items():
+        assert stmt.startswith(f"CREATE TABLE IF NOT EXISTS g.{name} (")
+        assert "USING iceberg" in stmt
+        assert "PARTITIONED BY (group_id)" in stmt
+        assert "'sort-order'='uuid ASC NULLS FIRST'" in stmt
+        assert "uuid string" in stmt
