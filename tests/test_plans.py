@@ -129,3 +129,48 @@ def test_textstats_no_python(spark):
     for df in (token_stats(docs), quality_score(docs)):
         plan = _plan(df)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cross_batch_resolve_no_cartesian(spark):
+    """D9 incremental blocking must join through LSH band keys — never a
+    cartesian of new names × the existing index."""
+    from graphiti_spark.operators.resolve import duplicate_pairs_between
+
+    mk = lambda p: spark.range(50).select(  # noqa: E731
+        F.concat(F.lit(p), F.col("id").cast("string")).alias("uuid"),
+        F.lit("g").alias("group_id"),
+        F.concat(F.lit(f"{p} entity name "), F.col("id").cast("string")).alias(
+            "name"
+        ),
+    )
+    plan = _plan(duplicate_pairs_between(mk("new"), mk("old")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_topk_stays_hash_partitioned(spark):
+    """The salted two-phase top-k must not collapse into a single
+    partition: both windows hash-partition on their keys."""
+    from graphiti_spark.config import DEFAULT_RUN_TS
+    from graphiti_spark.pipeline import build_nodes
+
+    edges = spark.range(200).select(
+        F.concat(F.lit("hub"), (F.col("id") % 2).cast("string")).alias(
+            "source_node_uuid"
+        ),
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("fact"),
+    )
+    ents = spark.range(2).select(
+        F.concat(F.lit("hub"), F.col("id").cast("string")).alias("uuid"),
+        F.lit("g").alias("group_id"),
+        F.lit("hub").alias("name"), F.lit(1).alias("mention_count"),
+    )
+    umap = ents.select("uuid", F.col("uuid").alias("canonical_uuid"))
+    plan = _plan(build_nodes(ents, umap, edges, DEFAULT_RUN_TS))
+    # phase 1 partitions on (subject, salt); phase 2 on subject alone —
+    # and Spark inserts partial WindowGroupLimits before each exchange
+    assert "hashpartitioning(source_node_uuid" in plan
+    assert "salt" in plan
+    assert "WindowGroupLimit" in plan
+    # no global single-partition exchange for the windows
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
