@@ -43,10 +43,24 @@ SQL_WARC_TS = (
 
 @F.pandas_udf(BinaryType())
 def _wrap_html_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
-    frame = pd.DataFrame({"doc_id": doc_id, "text": text})
-    return frame.apply(
-        lambda r: wrap_html(int(r.doc_id), r.text).encode("utf-8"), axis=1
+    # vectorized twin of wrap_html (asserted equal in test_textnorm):
+    # html.escape's five entities via ordered str.replace chains ('&'
+    # first), then one vectorized concat — no per-row apply
+    esc = (
+        text.str.replace("&", "&amp;", regex=False)
+        .str.replace("<", "&lt;", regex=False)
+        .str.replace(">", "&gt;", regex=False)
+        .str.replace('"', "&quot;", regex=False)
+        .str.replace("'", "&#x27;", regex=False)
     )
+    s = (
+        "<html><head><title>doc "
+        + doc_id.astype("int64").astype(str)
+        + "</title></head><body><nav>site navigation</nav><p>"
+        + esc
+        + "</p><footer>crawl footer</footer></body></html>"
+    )
+    return s.str.encode("utf-8")
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,12 +33,16 @@ _P_BLOCK = re.compile(r"<p\b[^>]*>(.*?)</p>", re.DOTALL | re.IGNORECASE)
 _TAG = re.compile(r"<[^>]+>")
 
 
+# one compiled class: C0 controls except \t\n\r, plus the zero-width set
+# (single-pass C-level sub instead of a per-character Python loop — the
+# html→text chain's measured hot spot)
+_STRIP_CHARS = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f" + _ZERO_WIDTH + "]")
+
+
 def clean_input(text: str) -> str:
     """Strip invalid unicode / zero-width / control chars (keep \\n\\r\\t)."""
     cleaned = text.encode("utf-8", errors="ignore").decode("utf-8")
-    for ch in _ZERO_WIDTH:
-        cleaned = cleaned.replace(ch, "")
-    return "".join(c for c in cleaned if ord(c) >= 32 or c in "\n\r\t")
+    return _STRIP_CHARS.sub("", cleaned)
 
 
 def truncate_at_sentence(text: str, max_chars: int) -> str:

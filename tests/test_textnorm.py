@@ -74,3 +74,31 @@ def test_pages_invariant_on_corpus(spark):
     pages = load_pages(spark, sf).select("doc_id", "text")
     diff = pages.join(docs, "doc_id").filter(F.col("text") != F.col("orig"))
     assert diff.count() == 0
+
+
+def test_wrap_html_udf_matches_scalar(spark):
+    """The vectorized html wrapper must equal the scalar wrap_html
+    byte-for-byte (incl. entity escaping)."""
+    import pandas as pd
+    from graphiti_spark.sources.pages import _wrap_html_udf
+    from graphiti_spark.textnorm import wrap_html
+
+    texts = ["plain words", "a & b < c > d \"q\" 'x'", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from pyspark.sql import functions as F
+
+    got = {r.doc_id: bytes(r.h) for r in
+           df.select("doc_id", _wrap_html_udf("doc_id", "text").alias("h")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == wrap_html(i, t).encode("utf-8")
+
+
+def test_clean_input_regex_semantics():
+    from graphiti_spark.textnorm import clean_input
+
+    assert clean_input("a\x00b\x1fc") == "abc"         # C0 stripped
+    assert clean_input("a\tb\nc\rd") == "a\tb\nc\rd"   # kept whitespace
+    assert clean_input("a​b⁠c") == "abc"     # zero-width stripped
+    assert clean_input("déjà vu") == "déjà vu"         # unicode untouched
