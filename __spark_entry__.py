@@ -363,6 +363,15 @@ def _q_docs_near_dup(spark, sf_dir):
     return minhash_near_dup(_docs(spark, sf_dir), threshold=0.95, mode="word")
 
 
+def _q_docs_near_dup_word3(spark, sf_dir):
+    """Order-sensitive near-dup: 3-token-gram shingles (word3 mode) —
+    prose reordering breaks gram identity where word-set Jaccard
+    wouldn't. Threshold lowered so the gate exercises non-trivial rows."""
+    from graphiti_spark.operators.dedup_docs import minhash_near_dup
+
+    return minhash_near_dup(_docs(spark, sf_dir), threshold=0.8, mode="word3")
+
+
 def _q_docs_simhash(spark, sf_dir):
     from graphiti_spark.operators.dedup_docs import simhash_near_dup
 
@@ -593,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_near_dup": _q_docs_near_dup,
+        "docs_near_dup_word3": _q_docs_near_dup_word3,
         "docs_simhash": _q_docs_simhash,           # rows-only (blake2b hashes)
         "docs_canonical": _q_docs_canonical,       # oracle: recursive-CTE closure
         "embeddings_near_dup": _q_embeddings_near_dup,

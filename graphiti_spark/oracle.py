@@ -504,6 +504,32 @@ pairs AS (
 SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.95
 ORDER BY a_id, b_id"""
 
+    # Order-sensitive 3-token-gram near-dup (word3 mode, τ=0.8): the
+    # brute-force all-pairs ground truth; equality also proves the LSH
+    # blocking keeps full recall at this threshold on this corpus.
+    q["docs_near_dup_word3"] = """WITH
+t AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+s AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE list_distinct(toks) END AS g
+  FROM t
+),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+  FROM s a JOIN s b ON a.id < b.id
+)
+SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.8
+ORDER BY a_id, b_id"""
+
     # Embedding-cosine near-dup pairs (exact baseline, τ=0.45).
     q["embeddings_near_dup"] = """WITH
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
