@@ -225,3 +225,62 @@ def test_update_communities_batch(spark):
     updated = {r.uuid: r for r in out["communities"].collect()}
     assert updated[n0.uuid].member_count == n0.member_count + 1
     assert "d summary" in updated[n0.uuid].summary
+
+
+def test_all_recipes_honor_contract(spark):
+    """Every canned recipe returns ≤ limit rows shaped (id, score, rank)
+    for each configured channel — including channels whose configured
+    reranker cannot run and degrades (loudly) to RRF."""
+    from datetime import datetime, timezone
+
+    from graphiti_spark.search import hybrid as H
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    from graphiti_spark.functions.embed import embed_text
+
+    facts = ["fast table join row", "row sort key", "table merge part",
+             "slow window scan data", "key dup value"]
+    edges = spark.createDataFrame(
+        [(f"e{i}", "g", f"s{i%2}", f"t{i%3}", "R", f, embed_text(f), ts, None)
+         for i, f in enumerate(facts)],
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, name string, fact string, "
+        "fact_embedding array<float>, valid_at timestamp, "
+        "invalid_at timestamp",
+    )
+    nodes = spark.createDataFrame(
+        [(f"s{i}", f"node {i}", "g", f"summary {i}", embed_text(f"node {i}"))
+         for i in range(3)],
+        "uuid string, name string, group_id string, summary string, "
+        "name_embedding array<float>",
+    )
+    episodes = spark.createDataFrame(
+        [(f"ep{i}", "g", f) for i, f in enumerate(facts)],
+        "uuid string, group_id string, content string",
+    )
+    communities = spark.createDataFrame(
+        [("c1", "community node 0", "g", "about the fast table cluster")],
+        "uuid string, name string, group_id string, summary string",
+    )
+    mention_edges = spark.createDataFrame(
+        [("m1", "g", "ep0", "s0"), ("m2", "g", "ep1", "s1")],
+        "uuid string, group_id string, episode_uuid string, entity_uuid string",
+    )
+    recipes = [
+        n for n in dir(H)
+        if n.isupper() and isinstance(getattr(H, n), H.SearchConfig)
+    ]
+    assert len(recipes) == 17
+    for name in recipes:
+        out = H.search(
+            "fast table merge", getattr(H, name),
+            nodes=nodes, edges=edges, episodes=episodes,
+            communities=communities, mention_edges=mention_edges,
+            center_uuid="s0", origin_uuids=["s0"],
+        )
+        assert out, name
+        for channel, df in out.items():
+            assert df.columns == ["id", "score", "rank"], (name, channel)
+            rows = df.collect()
+            assert len(rows) <= H.DEFAULT_SEARCH_LIMIT, (name, channel)
+            assert len(rows) > 0, (name, channel)

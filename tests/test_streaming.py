@@ -76,3 +76,22 @@ def test_windowed_episode_counts_watermarked(spark, tmp_path):
     # windows stay open, so totals are bounded by the corpus size
     assert out.n_windows > 0
     assert 0 < out.total <= 500
+
+
+def test_streaming_restart_is_exactly_once(spark, tmp_path):
+    """Re-draining the same feed against the same checkpoint commits no
+    new graph version: source offsets are persisted, and the graph
+    commit is idempotent regardless."""
+    feed = str(tmp_path / "feed2")
+    state = str(tmp_path / "state2")
+    ckpt = str(tmp_path / "ckpt2")
+    load_pages(spark, SF).limit(50).write.parquet(feed)
+
+    run_streaming_ingest(spark, feed, state, ckpt)
+    v1 = sorted(os.listdir(state))
+    n1 = load_graph_state(spark, state)["nodes"].count()
+
+    run_streaming_ingest(spark, feed, state, ckpt)  # same checkpoint
+    v2 = sorted(os.listdir(state))
+    assert v2 == v1                      # no new version committed
+    assert load_graph_state(spark, state)["nodes"].count() == n1
