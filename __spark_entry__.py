@@ -613,8 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)
-        "edge_dup_pairs_src1": _q_edge_dup_pairs,        # rows-only (embeddings)
-        "invalidation_candidates": _q_invalidation_candidates,  # rows-only
+        "edge_dup_pairs_src1": _q_edge_dup_pairs,        # oracle: overlap half
+        # rows-only: the cos column is a blake2b hash-embedding cosine
+        # DuckDB cannot reproduce; the truth-table half is oracled by
+        # edges_temporal_t4 and the cosine gate by test_edge_dedup.py
+        "invalidation_candidates": _q_invalidation_candidates,
         # E7 typed attribute extraction
         "node_attributes": _q_node_attributes,
         # D9/Q7/Q8 incremental ingest vs existing graph
