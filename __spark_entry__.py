@@ -28,10 +28,10 @@ from graphiti_spark.oracle import oracle_queries
 from graphiti_spark.pipeline import flagship_select, run_pipeline
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
-# sf_dir → (weakref to owning session, outputs). A weakref (not id())
-# avoids serving DataFrames bound to a dead session whose id CPython
-# recycled; liveness is re-checked on every hit.
-_CACHE: dict[str, tuple] = {}
+# (id(session), sf_dir) → (weakref to owning session, outputs). The id
+# keeps concurrent live sessions from evicting each other; the weakref
+# liveness check guards against CPython recycling a dead session's id.
+_CACHE: dict[tuple, tuple] = {}
 
 
 def _session_alive(spark: SparkSession) -> bool:
@@ -48,13 +48,14 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     the cache serves them only to that same, still-running session."""
     import weakref
 
-    cached = _CACHE.get(sf_dir)
+    key = (id(spark), sf_dir)
+    cached = _CACHE.get(key)
     if cached is not None:
         ref, out = cached
         if ref() is spark and _session_alive(spark):
             return out
     out = run_pipeline(spark, sf_dir, RunConfig())  # stages self-persist
-    _CACHE[sf_dir] = (weakref.ref(spark), out)
+    _CACHE[key] = (weakref.ref(spark), out)
     return out
 
 

@@ -276,6 +276,7 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via hyperplane-LSH bucket blocking + exact
     cosine verify (same shuffle shape as minhash_near_dup — the bucket
@@ -291,13 +292,18 @@ def embedding_near_dup(
     from graphiti_spark.search.similarity import lsh_bucket_col
 
     n_tables, n_bits = _lsh_params_for_threshold(threshold)
-    dim_row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
-        return embs.sparkSession.range(0).select(
-            F.col("id").alias("a_id"), F.col("id").alias("b_id"),
-            F.lit(0.0).alias("cos"),
-        )
-    dim = dim_row["d"]
+    id_type = embs.schema[id_col].dataType
+    if dim is None:
+        # vector dim isn't in the schema (array<T> is unsized) — one probe
+        # job; callers that know the dim pass it to avoid the job.
+        dim_row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
+        if dim_row is None:
+            return embs.sparkSession.range(0).select(
+                F.col("id").cast(id_type).alias("a_id"),
+                F.col("id").cast(id_type).alias("b_id"),
+                F.lit(0.0).alias("cos"),
+            )
+        dim = dim_row["d"]
 
     tagged = embs.select(
         F.col(id_col).alias("id"),

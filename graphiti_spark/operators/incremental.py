@@ -130,6 +130,8 @@ def prior_edge_provenance_rows(
     the NEW uuid_map (a cross-batch merge can re-point a prior canonical
     at a smaller merged uuid). Per-episode valid_at is recovered from the
     episodes table."""
+    from graphiti_spark.operators.extract import stated_date_col
+
     exploded = prior_edges.select(
         "group_id",
         "source_node_uuid",
@@ -138,9 +140,17 @@ def prior_edge_provenance_rows(
         "fact",
         F.explode("episodes").alias("episode_uuid"),
     )
+    # Recover the per-episode reference instant the BATCH path used: the
+    # E6 stated in-text date (extract.stated_date_col over the persisted
+    # episode content), falling back to warc_ts (= episodes.valid_at).
+    # Joining bare episodes.valid_at would diverge from one-batch ingest
+    # on any corpus whose text states a date (ADVICE r02, high).
     with_ts = exploded.join(
         prior_episodes.select(
-            F.col("uuid").alias("episode_uuid"), F.col("valid_at").alias("ep_valid_at")
+            F.col("uuid").alias("episode_uuid"),
+            stated_date_col(F.col("content"), F.col("valid_at")).alias(
+                "ep_valid_at"
+            ),
         ),
         "episode_uuid",
     )

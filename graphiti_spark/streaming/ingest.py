@@ -13,9 +13,12 @@ reuses — and inherits the associativity proof of — the batch engine.
       merged = ingest_incremental(batch, prior)   # or first-batch pipeline
       save as version v{batch_id}; flip the _LATEST pointer (atomic)
 
-Exactly-once without dedup bookkeeping: every node/edge id is
-content-derived (ids.py), so replaying a batch after a crash rewrites
-IDENTICAL rows — the merge is idempotent by construction. Graph state is
+Exactly-once: node/edge ids are content-derived (ids.py), and the
+_LATEST pointer records the last committed batch_id — a crash-replayed
+batch (version committed, stream offset not yet) is detected and skipped
+entirely. The guard matters because the merge itself is NOT idempotent
+(mention_count sums would double) and a re-run would overwrite the
+version directory the lazy prior plan reads from. Graph state is
 versioned (write-new-then-flip-pointer) because overwriting the
 directory a lazy plan is still reading from would corrupt it; on Iceberg
 the version flip becomes the table's transactional snapshot commit.
@@ -47,12 +50,17 @@ PAGES_FEED_SCHEMA = (
 _LATEST = "_LATEST"
 
 
-def _latest_version(state_dir: str) -> str | None:
+def _latest_pointer(state_dir: str) -> dict | None:
     path = os.path.join(state_dir, _LATEST)
     if not os.path.exists(path):
         return None
     with open(path) as fh:
-        return json.load(fh)["version"]
+        return json.load(fh)
+
+
+def _latest_version(state_dir: str) -> str | None:
+    ptr = _latest_pointer(state_dir)
+    return None if ptr is None else ptr["version"]
 
 
 def load_graph_state(spark: SparkSession, state_dir: str):
@@ -83,6 +91,15 @@ def make_ingest_batch_fn(state_dir: str, cfg: RunConfig | None = None):
     cfg = cfg or RunConfig()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Crash-replay guard: if the _LATEST pointer already records this
+        # (or a later) batch_id, the batch's graph version was committed
+        # but the stream's offset checkpoint was not — re-merging it would
+        # double-count mention_count sums AND overwrite the version
+        # directory the lazy prior plan reads from. Replays are true
+        # no-ops (ADVICE r02, medium).
+        ptr = _latest_pointer(state_dir)
+        if ptr is not None and ptr.get("batch_id", -1) >= batch_id:
+            return
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession

@@ -100,6 +100,46 @@ def test_incremental_from_saved_state(spark, split_run, tmp_path):
     )
 
 
+def test_incremental_equals_batch_with_dated_content(spark):
+    """E6 interaction (ADVICE r02 high): when the corpus text STATES
+    dates, the batch path resolves edge valid_at from the in-text date
+    (stated_date_col), so the incremental path must recover the same
+    instant when exploding prior edges — not the episodes' warc_ts."""
+    pages = load_pages(spark, SF)
+    d = F.col("doc_id")
+    dated_text = (
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(" since "),
+                                    (F.lit(2015) + d % 8).cast("string")))
+        .when(d % 3 == 1, F.concat(F.col("text"), F.lit(" on 2020-03-0"),
+                                   ((d % 9) + 1).cast("string")))
+        .otherwise(F.col("text"))
+    )
+    pages = pages.withColumn("text", dated_text).persist()
+
+    out_a = run_pipeline_from_pages(
+        spark, pages.filter(F.col("doc_id") % 2 == 0), RunConfig()
+    )
+    merged = ingest_incremental(
+        spark, pages.filter(F.col("doc_id") % 2 == 1), out_a
+    )
+    full = run_pipeline_from_pages(spark, pages, RunConfig())
+
+    # the fixture must exercise the divergence: some stated date ≠ warc_ts
+    assert full["edges"].filter(
+        F.year("valid_at") < 2024
+    ).count() > 0
+
+    cols = ["uuid", "source_node_uuid", "target_node_uuid", "name",
+            "fact", "valid_at", "invalid_at"]
+    assert _rows(merged["edges"], *cols) == _rows(full["edges"], *cols)
+    got_prov = {(r.uuid, tuple(r.episodes)) for r in
+                merged["edges_merged"].select("uuid", "episodes").collect()}
+    want_prov = {(r.uuid, tuple(r.episodes)) for r in
+                 full["edges_merged"].select("uuid", "episodes").collect()}
+    assert got_prov == want_prov
+    pages.unpersist()
+
+
 def test_get_relevant_nodes_probe(spark):
     """Q7: a probe name retrieves its near-duplicate existing candidates
     through the LSH index (and not unrelated names)."""

@@ -78,6 +78,34 @@ def test_windowed_episode_counts_watermarked(spark, tmp_path):
     assert 0 < out.total <= 500
 
 
+def test_crash_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """The crash window between the _LATEST flip and the stream's offset
+    commit (ADVICE r02 medium): re-delivering an ALREADY-COMMITTED
+    batch_id must not re-merge (mention_count would double) nor rewrite
+    the version directory the prior plan reads from."""
+    from graphiti_spark.streaming.ingest import make_ingest_batch_fn
+
+    state = str(tmp_path / "replay_state")
+    os.makedirs(state, exist_ok=True)
+    fn = make_ingest_batch_fn(state)
+    batch = load_pages(spark, SF).limit(40)
+
+    fn(batch, 0)
+    counts1 = {
+        r.uuid: r.mention_count
+        for r in load_graph_state(spark, state)["nodes"].collect()
+    }
+    before = sorted(os.listdir(state))
+
+    fn(batch, 0)  # crash replay: same batch_id re-delivered
+    assert sorted(os.listdir(state)) == before  # no new version
+    counts2 = {
+        r.uuid: r.mention_count
+        for r in load_graph_state(spark, state)["nodes"].collect()
+    }
+    assert counts2 == counts1  # not double-counted
+
+
 def test_streaming_restart_is_exactly_once(spark, tmp_path):
     """Re-draining the same feed against the same checkpoint commits no
     new graph version: source offsets are persisted, and the graph
