@@ -318,14 +318,37 @@ def _q_communities(spark, sf_dir):
 
 
 def _q_hybrid_search(spark, sf_dir):
+    """Q1 over the GRAPH edges through the real search() driver, fully
+    oracled (was rows-only in r2): edges carry embeddings mapped from
+    the parquet table by a hex-prefix of their uuid, and the query
+    vector is embeddings row 0, so DuckDB reproduces both channels
+    (BM25 over name+fact, cosine over the mapped vectors) and the RRF
+    fusion exactly."""
     from graphiti_spark.search.hybrid import EDGE_HYBRID_SEARCH_RRF, search
 
     out = _pipe(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vecs = emb.count()
+    edges = (
+        out["edges"]
+        .withColumn(
+            "vec_id",
+            F.conv(F.substring("uuid", 1, 4), 16, 10).cast("long") % n_vecs,
+        )
+        .drop("fact_embedding")
+        .join(
+            F.broadcast(
+                emb.select("vec_id", F.col("embedding").alias("fact_embedding"))
+            ),
+            "vec_id",
+        )
+    )
     res = search(
         "fast table merge",
         EDGE_HYBRID_SEARCH_RRF,
-        edges=out["edges"],
+        edges=edges,
         mention_edges=out["mention_edges"],
+        query_vec=_query_vec(spark, sf_dir),
     )
     return res["edges"]
 
@@ -483,16 +506,15 @@ def _q_episodes_typed_mentions(spark, sf_dir):
 
 
 def _q_edges_temporal_t4(spark, sf_dir):
-    """T4→T1: contradiction candidates (either-endpoint sharers, no
-    similarity gate so the oracle can reproduce the set) close edges
-    across predicates under the reference truth table."""
+    """T4→T1: either-endpoint contradiction closing across predicates
+    (reference truth table) via the O(|edges|) endpoint skyline — the
+    r3 default `edges` semantics, run standalone on edges_merged. The
+    pair-join form it replaces is pinned ≡ in tests/test_temporal_t4.py."""
     from graphiti_spark.config import DEFAULT_RUN_TS
-    from graphiti_spark.operators.edge_dedup import invalidation_candidates
-    from graphiti_spark.operators.temporal import invalidate_by_candidates
+    from graphiti_spark.operators.temporal import invalidate_cross_predicate
 
     edges = _pipe(spark, sf_dir)["edges_merged"]
-    cands = invalidation_candidates(edges, edges, min_score=None)
-    out = invalidate_by_candidates(edges, cands, DEFAULT_RUN_TS)
+    out = invalidate_cross_predicate(edges, DEFAULT_RUN_TS)
     df = out.select(
         "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name",
         "fact", "valid_at", "invalid_at", "expired_at",
@@ -598,13 +620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_weights": _q_neighbor_weights,
         "filtered_edges": _q_filtered_edges,
         "communities": _q_communities,
-        "hybrid_search_edges": _q_hybrid_search,   # rows-only (hash embeds)
+        "hybrid_search_edges": _q_hybrid_search,  # oracle: mapped embeddings (r3)
         "hybrid_search_docs": _q_hybrid_search_docs,
         # training-data pipeline ops over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_near_dup": _q_docs_near_dup,
         "docs_near_dup_word3": _q_docs_near_dup_word3,
-        "docs_simhash": _q_docs_simhash,           # rows-only (blake2b hashes)
+        "docs_simhash": _q_docs_simhash,  # oracle: brute-force hamming (r3)
         "docs_canonical": _q_docs_canonical,       # oracle: recursive-CTE closure
         "embeddings_near_dup": _q_embeddings_near_dup,
         "docs_language_id": _q_docs_language_id,

@@ -105,7 +105,17 @@ def run_bench(
 
         cfg = RunConfig(persist_stages=BATCH_PERSIST_STAGES)
     else:
-        cfg = RunConfig()
+        # Persist exactly the reused subtrees (r3, VERDICT #6): the dedup
+        # chain (consumed by the eager CC fixpoint AND three final
+        # tables), mentions (entities + mention_edges) and edges_merged
+        # (edges + nodes). Blanket persist measured slower: caching the
+        # wide intermediate rows is memory pressure, not reuse.
+        cfg = RunConfig(
+            persist_stages=frozenset(
+                {"episodes", "mentions", "entities", "pairs", "uuid_map",
+                 "edges_merged"}
+            )
+        )
     t0 = time.monotonic()
     out = run_pipeline(spark, sf_dir, cfg)
     # DAG build is NOT free: the CC fixpoint runs eagerly (extraction →
@@ -139,12 +149,11 @@ def run_bench(
         counts["edges"] = row["n"]
         timings["edges_dag"] = round(time.monotonic() - t0, 3)
     else:
-        # Force stages in dependency order; persist-backed, so each count
-        # reflects (approximately) that stage's own marginal work.
-        for name in (
-            "episodes", "mentions", "triples", "entities", "pairs",
-            "uuid_map", "edges_merged", "edges", "nodes", "mention_edges",
-        ):
+        # Materialize the DELIVERABLE graph tables only (edges_merged
+        # first so its persist backs edges and nodes): re-counting every
+        # intermediate stage re-measured work the finals already cover —
+        # the r2 bench's wall was dominated by exactly that (VERDICT #6).
+        for name in ("edges_merged", "edges", "nodes", "mention_edges"):
             t0 = time.monotonic()
             counts[name] = out[name].count()
             timings[name] = round(time.monotonic() - t0, 3)

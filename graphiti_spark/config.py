@@ -27,11 +27,14 @@ FUZZY_JACCARD_THRESHOLD = 0.9
 MINHASH_PERMUTATIONS = 32
 MINHASH_BAND_SIZE = 4
 
-# --- search constants (reference search_utils.py:64-67, search_config.py:29) ---
+# --- search constants (reference search_utils.py:63-67, search_config.py:29) ---
 DEFAULT_MIN_SCORE = 0.6
 DEFAULT_MMR_LAMBDA = 0.5
 MAX_SEARCH_DEPTH = 3
 DEFAULT_SEARCH_LIMIT = 10
+# per-edge candidate budget for relevance/invalidation probes
+# (reference RELEVANT_SCHEMA_LIMIT, search_utils.py:63)
+RELEVANT_SCHEMA_LIMIT = 10
 
 # --- ingestion constants ---
 EPISODE_WINDOW_LEN = 3          # reference graph_data_operations.py:29
@@ -123,6 +126,11 @@ class RunConfig:
     # E3: entity types whose mentions (and touching facts) are excluded
     # from the graph (reference excluded_entity_types). Empty = keep all.
     excluded_entity_types: tuple = ()
+    # T4 as the default edges output: close each edge at the earliest
+    # later valid_at among EITHER-endpoint sharers across predicates
+    # (reference truth table, edge_operations.py:406-441) instead of the
+    # narrower same-(subject, predicate) window only.
+    cross_predicate_invalidation: bool = True
     checkpoint_dir: str | None = None   # enables lineage + stage resume
     # Which stages to cache. True = all (interactive/bench mode);
     # False = none; a set of stage names = selective (single-output

@@ -35,6 +35,16 @@ GRAPH_TABLES = (
     # pairs (the reference persists the latter as IS_DUPLICATE_OF edges)
     "entities",
     "pairs",
+    # the full alias→canonical map (identity rows included) — the delta
+    # ingest path (operators/incremental.py) diffs the new map against it
+    # to find re-pointed canonicals without re-running CC over the graph
+    "uuid_map",
+    # the materialized BM25 index (channel, group_id, id, term, tf) —
+    # the DataFrame twin of the reference's server-side Lucene indices
+    # (graph_queries.py:48-127); built by fulltext.build_graph_postings,
+    # maintained incrementally on ingest, consumed by search(...,
+    # graph_postings=...) so no query re-tokenizes the corpus
+    "postings",
 )
 
 
@@ -49,7 +59,12 @@ def save_graph(outputs: dict[str, DataFrame], path: str) -> dict[str, str]:
             continue
         target = os.path.join(path, name)
         if "group_id" in df.columns:
-            sort_col = "uuid" if "uuid" in df.columns else df.columns[0]
+            # uuid sort = point-lookup min/max skipping; the postings
+            # table sorts by term instead (query terms prune row groups)
+            sort_col = (
+                "uuid" if "uuid" in df.columns
+                else ("term" if "term" in df.columns else df.columns[0])
+            )
             (
                 # cluster rows by the partition column BEFORE the
                 # partitioned write: otherwise every write task opens a
@@ -75,6 +90,88 @@ def load_graph(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         if os.path.isdir(target):
             out[name] = spark.read.parquet(target)
     return out
+
+
+# Upsert keys per graph table: an upsert replaces every base row sharing
+# its key; deletes remove keys outright. Single-row keys for the entity/
+# edge tables; the postings index keys by (channel, id) — one document's
+# whole posting list swaps atomically.
+DELTA_KEYS: dict[str, list[str]] = {
+    "nodes": ["uuid"],
+    "edges": ["uuid"],
+    "mention_edges": ["uuid"],
+    "episodes": ["uuid"],
+    "communities": ["uuid"],
+    "entities": ["uuid"],
+    "pairs": ["src", "dst"],
+    "uuid_map": ["uuid"],
+    "postings": ["channel", "id"],
+}
+
+DELTA_MARKER = "_DELTA"
+
+
+def save_graph_delta(delta: dict, path: str) -> dict[str, str]:
+    """Write ONLY the changed rows of a batch (ingest_incremental's
+    ``delta`` map: {table: {upserts, deletes?}}) — the parquet sandbox
+    equivalent of one Iceberg MERGE per table (upsert_sql). Layout:
+    ``path/<table>/upserts`` (+ ``/deletes``) plus a _DELTA marker."""
+    written: dict[str, str] = {}
+    for table, parts in delta.items():
+        if table not in DELTA_KEYS or not isinstance(parts, dict):
+            continue
+        target = os.path.join(path, table)
+        parts["upserts"].write.mode("overwrite").parquet(
+            os.path.join(target, "upserts")
+        )
+        deletes = parts.get("deletes")
+        if deletes is not None:
+            deletes.write.mode("overwrite").parquet(
+                os.path.join(target, "deletes")
+            )
+        written[table] = target
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, DELTA_MARKER), "w") as fh:
+        fh.write("")
+    return written
+
+
+def apply_graph_delta(spark: SparkSession, base: dict, path: str) -> dict:
+    """Merge-on-read one delta version onto ``base`` (lazy plans; nothing
+    materializes until a query runs): delete keyed rows, append upserts."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    out = dict(base)
+    for table, keys in DELTA_KEYS.items():
+        target = os.path.join(path, table)
+        up_dir = os.path.join(target, "upserts")
+        if not os.path.isdir(up_dir):
+            continue
+        up = spark.read.parquet(up_dir)
+        b = out.get(table)
+        if b is None:
+            out[table] = up
+            continue
+        dead = up.select(*keys).distinct()
+        del_dir = os.path.join(target, "deletes")
+        if os.path.isdir(del_dir):
+            dead = dead.unionByName(
+                spark.read.parquet(del_dir).select(*keys)
+            ).distinct()
+        out[table] = b.join(dead, keys, "left_anti").unionByName(
+            up.select(*b.columns)
+        )
+    return out
+
+
+def load_graph_versions(spark: SparkSession, dirs: list[str]) -> dict:
+    """Reconstruct graph state from a FULL snapshot dir followed by zero
+    or more delta dirs (newest last) — the reader half of the versioned
+    delta commit (streaming/ingest.py)."""
+    state = load_graph(spark, dirs[0])
+    for d in dirs[1:]:
+        state = apply_graph_delta(spark, state, d)
+    return state
 
 
 def create_table_sql(table: str, schema_ddl: str) -> str:

@@ -146,27 +146,48 @@ def minhash_near_dup(
 # ------------------------------------------------------------------ simhash
 
 
-@F.pandas_udf(LongType())
-def simhash64_udf(shingle_arrays: pd.Series) -> pd.Series:
-    """64-bit SimHash over a shingle array (blake2b per shingle, sign-sum
-    per bit) — Arrow-vectorized, deterministic."""
-    from hashlib import blake2b
+def _shingle_bit_signs(shingle):
+    """±1 per bit of the shingle's 64-bit hash = the first 16 hex chars
+    of sha256(shingle) (bit b lives in hex char 16 − b//4, position
+    b % 4). Hex-nibble arithmetic instead of 64-bit shifts keeps every
+    step native AND byte-reproducible in DuckDB (same sha256 hex)."""
+    sha = F.sha2(shingle, 256)
 
-    def sim(arr) -> int | None:
-        if arr is None:
-            return None
-        acc = [0] * 64
-        for sh in arr:
-            h = int.from_bytes(blake2b(sh.encode(), digest_size=8).digest(), "big")
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        return v - (1 << 64) if v >= (1 << 63) else v
+    def sign(b):
+        nib = F.conv(
+            F.substr(sha, (F.lit(16) - F.floor(b / 4)).cast("int"), F.lit(1)),
+            16, 10,
+        ).cast("int")
+        bit = (F.floor(nib / F.pow(F.lit(2.0), (b % 4))) % 2).cast("int")
+        return bit * 2 - 1
 
-    return shingle_arrays.map(sim)
+    return F.transform(F.sequence(F.lit(0), F.lit(63)), sign)
+
+
+def simhash64_cols(df: DataFrame, shingles_col: str) -> DataFrame:
+    """Append a signed-long `simhash` column: per-bit sign sums over the
+    row's shingle array, folded with aggregate/zip_with — whole-stage
+    codegen end to end, no Python. The r2 blake2b pandas UDF is replaced
+    by sha256 so the DuckDB oracle reproduces the hash exactly
+    (docs_simhash is fully hash-verified from r3)."""
+    zero = F.transform(F.sequence(F.lit(0), F.lit(63)), lambda b: F.lit(0))
+    acc = F.aggregate(
+        F.col(shingles_col),
+        zero,
+        lambda a, s: F.zip_with(a, _shingle_bit_signs(s), lambda x, y: x + y),
+    )
+    with_acc = df.withColumn("_sim_acc", acc)
+    terms = [
+        F.when(
+            F.element_at(F.col("_sim_acc"), b + 1) > 0,
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return with_acc.withColumn("simhash", total).drop("_sim_acc")
 
 
 def _simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
@@ -218,10 +239,13 @@ def simhash_near_dup(
         )
         for pi, (i, j) in enumerate(combinations(range(len(bounds)), 2))
     ]
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        simhash64_udf(shingles_of(F.col(text_col), mode)).alias("simhash"),
-    )
+    sh = simhash64_cols(
+        docs.select(
+            F.col(id_col).alias("id"),
+            shingles_of(F.col(text_col), mode).alias("shingles"),
+        ),
+        "shingles",
+    ).select("id", "simhash")
     chunks = sh.select(
         "id", "simhash", F.explode(F.array(*pair_keys)).alias("c")
     ).select(

@@ -161,26 +161,34 @@ def enforce_edge_types(
     nodes: DataFrame,
     edge_type_map: dict[tuple[str, str], list[str]],
     custom_types: set[str] | None = None,
+    labels_are_small: bool | None = None,
 ) -> DataFrame:
     """D19: reset a CUSTOM edge name to RELATES_TO unless
     (src_label, dst_label) permits it; non-custom names pass through
     (reference edge_operations.py:575-613 — only names belonging to the
-    user ontology are validated)."""
+    user ontology are validated).
+
+    The labels side spans EVERY node, so its broadcast is SIZE-GATED like
+    resolve_edge_pointers (edges.py:125): callers pass ``labels_are_small``
+    from a measured count (config.BROADCAST_MAP_MAX_ROWS); None leaves the
+    decision to Catalyst statistics + AQE, which shuffle-joins on the
+    uniform sha256 uuid when the node table is large."""
     custom = custom_types if custom_types is not None else {
         n for names in edge_type_map.values() for n in names
     }
     labels = nodes.select(
         "uuid", F.element_at("labels", -1).alias("label")
     )
+    blabels = F.broadcast(labels) if labels_are_small else labels
     with_labels = (
         edges.join(
-            F.broadcast(labels.withColumnRenamed("uuid", "source_node_uuid")
-                        .withColumnRenamed("label", "src_label")),
+            blabels.withColumnRenamed("uuid", "source_node_uuid")
+            .withColumnRenamed("label", "src_label"),
             "source_node_uuid", "left",
         )
         .join(
-            F.broadcast(labels.withColumnRenamed("uuid", "target_node_uuid")
-                        .withColumnRenamed("label", "dst_label")),
+            blabels.withColumnRenamed("uuid", "target_node_uuid")
+            .withColumnRenamed("label", "dst_label"),
             "target_node_uuid", "left",
         )
     )
@@ -204,6 +212,8 @@ def invalidation_candidates(
     new_edges: DataFrame,
     existing_edges: DataFrame,
     min_score: float | None = DEFAULT_MIN_SCORE,
+    per_edge_limit: int | None = None,
+    per_endpoint_limit: int | None = 64,
 ) -> DataFrame:
     """T4: per new edge, existing edges sharing EITHER endpoint with fact
     cosine ≥ min_score (reference search_utils.py:1545-1729, endpoint
@@ -211,10 +221,29 @@ def invalidation_candidates(
     min_score=None disables the similarity gate (pure endpoint-sharing
     candidates — the SQL-oracle-able subset).
 
-    Two endpoint-keyed joins unioned — never an OR-join (which would
-    force a cross-product per group). Hub endpoints are the skew risk;
-    both sides project minimal columns so a skewed key moves only
-    (uuid, embedding) pairs, and AQE skew-split handles the residue."""
+    BOUNDED by construction (the reference bounds every candidate search
+    by its LIMIT — RELEVANT_SCHEMA_LIMIT=10, search_utils.py:63):
+
+      - ``per_endpoint_limit`` caps the EXISTING side per endpoint BEFORE
+        the join (most-recent valid_at first — the open facts a fresh
+        contradiction could still close), so a hub entity with d incident
+        edges yields O(d·cap) pairs, never O(d²). Spark plans the cap as
+        a WindowGroupLimit: map-side partial top-k, no hub reducer.
+      - ``per_edge_limit`` (defaults to RELEVANT_SCHEMA_LIMIT) keeps the
+        per-new-edge top-k of the survivors (cosine desc, then uuid —
+        deterministic under ties; pure uuid order when min_score=None).
+
+    Pass None/None to disable the endpoint cap (exact pairs — only sane
+    on pre-filtered inputs; the default DAG uses the O(|edges|)
+    temporal.invalidate_cross_predicate skyline instead of pair
+    generation). Two endpoint-keyed sides joined on the endpoint key —
+    never an OR-join; both sides pre-project minimal columns."""
+    from pyspark.sql import Window
+
+    from graphiti_spark.config import RELEVANT_SCHEMA_LIMIT
+
+    if per_edge_limit is None:
+        per_edge_limit = RELEVANT_SCHEMA_LIMIT
     new_sides = new_edges.select(
         F.col("uuid").alias("new_uuid"),
         F.explode(
@@ -228,8 +257,18 @@ def invalidation_candidates(
             F.array(F.col("source_node_uuid"), F.col("target_node_uuid"))
         ).alias("endpoint"),
         F.col("fact_embedding").alias("old_emb"),
+        F.col("valid_at").alias("old_valid_at"),
     )
-    joined = new_sides.join(old_sides, "endpoint").filter(
+    if per_endpoint_limit is not None:
+        w_ep = Window.partitionBy("endpoint").orderBy(
+            F.col("old_valid_at").desc_nulls_last(), F.col("candidate_uuid")
+        )
+        old_sides = (
+            old_sides.withColumn("ep_rn", F.row_number().over(w_ep))
+            .filter(F.col("ep_rn") <= per_endpoint_limit)
+            .drop("ep_rn")
+        )
+    joined = new_sides.join(old_sides.drop("old_valid_at"), "endpoint").filter(
         F.col("new_uuid") != F.col("candidate_uuid")
     )
     if min_score is None:
@@ -239,4 +278,12 @@ def invalidation_candidates(
         joined = joined.withColumn(
             "cos", F.round(cosine_col(F.col("new_emb"), F.col("old_emb")), 4)
         ).filter(F.col("cos") >= min_score)
-    return joined.select("new_uuid", "candidate_uuid", "cos").distinct()
+    out = joined.select("new_uuid", "candidate_uuid", "cos").distinct()
+    w_new = Window.partitionBy("new_uuid").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("candidate_uuid")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w_new))
+        .filter(F.col("rn") <= per_edge_limit)
+        .drop("rn")
+    )

@@ -1,44 +1,62 @@
 """Incremental ingest: resolve a NEW batch of pages against an EXISTING
-persisted graph and merge (SURVEY.md D9/Q7/Q8; VERDICT r01 "the one real
-architectural gap").
+persisted graph and merge — with per-batch cost O(|batch| + |touched
+subgraph|), never O(|graph|) (SURVEY.md D9/Q7/Q8; VERDICT r02 #1).
 
 Reference flow: each new episode's extracted entities are resolved
 against the live graph — per-name candidate retrieval
 (node_operations.py:211-243), `get_relevant_nodes`/`get_relevant_edges`
-batch probes (search_utils.py:1206-1357, :1360-1542), and
-`resolve_extracted_edges` vs persisted edges (edge_operations.py:241-403).
+batch probes (search_utils.py:1206-1357, :1360-1542), and per-edge
+resolution against candidates only (edge_operations.py:241-403) — the
+reference touches just the subgraph a new episode hits. This module is
+the batch-Spark formulation of that locality.
 
-Batch-Spark formulation — the expensive resolution work is strictly
-incremental (nothing re-blocks the prior graph against itself):
+DELTA ALGEBRA — what a batch can possibly change:
 
-  cross_pairs  = LSH band join of NEW names vs the prior name index
-                 (duplicate_pairs_between — D9; never prior × prior)
-  pairs        = prior accepted pairs ∪ new-batch pairs ∪ cross_pairs
-  uuid_map     = CC over pairs covering all aliases (min-uuid canonical)
-  edges        = merge_edge_rows(prior edges exploded to provenance rows
-                 ∪ new-batch rows)  — D17 episode union across batches
-  nodes/mentions/temporal windows rebuilt over the merged frames
+  seeds       alias uuids named by the batch: new entities + endpoints
+              of new/cross duplicate pairs (only new-vs-new and
+              new-vs-prior are ever LSH-blocked; never prior × prior).
+  components  a prior component changes iff a seed touches it; the
+              affected alias set A = prior_map rows whose canonical is a
+              seed's prior canonical. CC re-runs over A's pairs + the
+              delta pairs ONLY (delta_map); everything else keeps its
+              prior mapping verbatim.
+  edges       a prior edge is touched iff (a) an endpoint is a
+              re-pointed canonical, or (b) its merge key collides with a
+              new-batch row or a re-pointed edge's new key (episode
+              union). Touched edges explode back to provenance rows and
+              re-merge WITH the new rows; untouched edges pass through
+              byte-identical — embeddings are never recomputed.
+  temporal    the endpoint-skyline closing (invalidate_cross_predicate
+              semantics) is recomputed only for edges with an endpoint
+              whose instant set changed; their skylines are rebuilt from
+              the edges at exactly those endpoints (two endpoint-keyed
+              semi-joins — at Iceberg scale, endpoint-bucketed tables
+              prune these scans).
+  nodes       rebuilt only for canonicals whose alias set, mention
+              counts or subject-fact set changed; the rest pass through.
+  mentions    re-pointed canonicals remap their mention edges; collision
+              dedup probes only episodes shared with a touched mention.
+  postings    the materialized BM25 index is patched per channel:
+              delete touched ids, insert recomputed ids, append new
+              episodes (never a corpus re-tokenize).
 
-ASSOCIATIVITY CONTRACT: because ids are content-derived and CC picks the
-min uuid of the merged component, ingesting batch A then batch B
-incrementally produces the SAME graph as ingesting A ∪ B in one batch —
-asserted hash-exactly by the `incremental_merge` driver oracle (whose
-oracle SQL is the full-batch pipeline) and by tests/test_incremental.py.
-The only divergence window is the LSH bucket cap (per-run bucket
-populations), which never triggers below MAX_BUCKET_SIZE names per
-bucket.
+ASSOCIATIVITY CONTRACT: ids are content-derived and CC picks the min
+uuid of the merged component, so ingesting batch A then batch B produces
+the SAME graph as ingesting A ∪ B in one batch — asserted hash-exactly
+by the `incremental_merge` driver oracle (whose oracle SQL is the
+full-batch pipeline) and by tests/test_incremental.py. The only
+divergence window is the LSH bucket cap (per-run bucket populations),
+which never triggers below MAX_BUCKET_SIZE names per bucket.
 
 Graph state consumed/produced (materialize.GRAPH_TABLES): nodes, edges,
-mention_edges, episodes, plus the resolution index `entities` (alias-
-level name index — the Spark stand-in for the reference's graph-DB name
-index that get_relevant_nodes probes) and `pairs` (accepted duplicate
-pairs; the reference persists these as IS_DUPLICATE_OF edges).
+mention_edges, episodes, entities (alias-level name index), pairs
+(accepted duplicate pairs; the reference persists these as
+IS_DUPLICATE_OF edges), uuid_map (full alias→canonical incl. identity
+rows — the delta diff base), postings (materialized BM25 index).
 
-Scale: cross_pairs shuffles |new batch distinct names| × bands rows
-against the band-bucketed prior index — at a 10¹²-doc corpus the prior
-index is large but the join is band-key-partitioned (uniform hash keys),
-and only the NEW side is re-extracted. CC runs over the accepted-pair
-graph only (tiny vs the corpus).
+On an Iceberg catalog every output table commits through MERGE
+(materialize.upsert_sql); the parquet sandbox equivalent is the
+versioned delta commit in streaming/ingest.py.
 """
 
 from __future__ import annotations
@@ -60,7 +78,6 @@ from graphiti_spark.operators.resolve import (
     duplicate_pairs_between,
     extracted_entities,
 )
-from graphiti_spark.operators.temporal import invalidate_edges
 from graphiti_spark.sources.pages import pages_to_episodes
 
 
@@ -68,14 +85,20 @@ def merge_entity_index(
     prior_entities: DataFrame, new_entities: DataFrame
 ) -> DataFrame:
     """Union the alias-level name indexes, summing mention counts on the
-    shared deterministic uuid (exact-name matches across batches collapse
-    here for free — same name ⇒ same sha256 uuid)."""
-    return (
-        prior_entities.select("uuid", "group_id", "name", "mention_count")
-        .unionByName(new_entities.select("uuid", "group_id", "name", "mention_count"))
+    shared deterministic uuid — as a DELTA: only uuids present in the
+    new batch re-aggregate; every other prior row passes through (the
+    MERGE-INTO shape, not a full-index groupBy)."""
+    cols = ["uuid", "group_id", "name", "mention_count"]
+    new_keys = new_entities.select("uuid")
+    merged = (
+        prior_entities.select(*cols)
+        .join(new_keys, "uuid", "left_semi")
+        .unionByName(new_entities.select(*cols))
         .groupBy("uuid", "group_id", "name")
         .agg(F.sum("mention_count").alias("mention_count"))
     )
+    untouched = prior_entities.select(*cols).join(new_keys, "uuid", "left_anti")
+    return untouched.unionByName(merged)
 
 
 def get_relevant_nodes(
@@ -129,7 +152,7 @@ def prior_edge_provenance_rows(
     merge_edge_rows exchange format), re-canonicalizing endpoints through
     the NEW uuid_map (a cross-batch merge can re-point a prior canonical
     at a smaller merged uuid). Per-episode valid_at is recovered from the
-    episodes table."""
+    episodes table. Call this on the TOUCHED edge subset only."""
     from graphiti_spark.operators.extract import stated_date_col
 
     exploded = prior_edges.select(
@@ -183,62 +206,295 @@ def rebuild_mention_edges(pairs: DataFrame, run_ts) -> DataFrame:
     )
 
 
+def _edge_uuid_from_key():
+    """Edge identity recomputed from merge-key columns in scope."""
+    return ids.edge_uuid_col(
+        F.col("group_id"),
+        F.col("source_node_uuid"),
+        F.col("target_node_uuid"),
+        F.col("name"),
+        F.col("fact_norm"),
+    )
+
+
+def _endpoints(edges: DataFrame) -> DataFrame:
+    return edges.select(
+        F.explode(
+            F.array(F.col("source_node_uuid"), F.col("target_node_uuid"))
+        ).alias("endpoint")
+    ).distinct()
+
+
+def _invalidate_delta(
+    untouched_prior: DataFrame,
+    recomputed: DataFrame,
+    touched_prior: DataFrame,
+    run_ts,
+) -> tuple[DataFrame, DataFrame]:
+    """Recompute the endpoint-skyline closing (temporal.invalidate_cross_
+    predicate semantics) ONLY where the merged batch can have changed it.
+
+    Instants change exactly at endpoints of touched/recomputed edges; an
+    edge's closing depends only on its own endpoints' instants. So:
+    affected = edges with ≥1 endpoint in the changed set; their skylines
+    are rebuilt from the edges at the affected edges' endpoints (one
+    ring out); everything else keeps its stored invalid_at/expired_at.
+
+    Returns (full merged temporal edges, the CHANGED rows only — the
+    upsert side of a MERGE commit).
+    """
+    ep_changed = _endpoints(touched_prior).unionByName(
+        _endpoints(recomputed)
+    ).distinct()
+
+    prior_cols = untouched_prior.columns
+    base_cols = [c for c in prior_cols if c not in ("invalid_at", "expired_at")]
+
+    def sides(df):
+        return df.select(
+            "uuid",
+            F.explode(
+                F.array(F.col("source_node_uuid"), F.col("target_node_uuid"))
+            ).alias("endpoint"),
+            "valid_at",
+        ).filter(F.col("valid_at").isNotNull())
+
+    # affected untouched edges: any endpoint in the changed set
+    aff_prior = (
+        sides(untouched_prior)
+        .join(ep_changed, "endpoint", "left_semi")
+        .select("uuid")
+        .distinct()
+    )
+    affected_prior = untouched_prior.join(aff_prior, "uuid", "left_semi")
+    affected = affected_prior.select(*base_cols).unionByName(
+        recomputed.select(*base_cols)
+    )
+
+    # skylines for every endpoint an affected edge touches (the one-ring
+    # neighbourhood; at Iceberg scale endpoint bucketing prunes this scan)
+    ep_needed = _endpoints(affected)
+    skyline_edges = untouched_prior.select(
+        "uuid", "source_node_uuid", "target_node_uuid", "valid_at"
+    ).unionByName(
+        recomputed.select(
+            "uuid", "source_node_uuid", "target_node_uuid", "valid_at"
+        )
+    )
+    from pyspark.sql import Window
+
+    sky_sides = sides(skyline_edges).join(ep_needed, "endpoint", "left_semi")
+    skyline = sky_sides.select("endpoint", "valid_at").distinct()
+    w = Window.partitionBy("endpoint").orderBy("valid_at")
+    successor = skyline.withColumn("next_at", F.lead("valid_at").over(w))
+    closing = (
+        sides(affected)
+        .join(successor, ["endpoint", "valid_at"])
+        .groupBy("uuid")
+        .agg(F.min("next_at").alias("closing_at"))
+    )
+    affected_out = (
+        affected.join(closing, "uuid", "left")
+        .withColumn("invalid_at", F.col("closing_at"))
+        .withColumn(
+            "expired_at",
+            F.when(F.col("closing_at").isNotNull(), F.lit(run_ts)).otherwise(
+                F.lit(None).cast("timestamp")
+            ),
+        )
+        .drop("closing_at")
+    )
+    unaffected = untouched_prior.join(aff_prior, "uuid", "left_anti")
+    full = unaffected.select(*affected_out.columns).unionByName(affected_out)
+    return full, affected_out
+
+
 def ingest_incremental(
     spark: SparkSession,
     new_pages: DataFrame,
     prior: dict[str, DataFrame],
     cfg: RunConfig | None = None,
 ) -> dict[str, DataFrame]:
-    """Resolve + merge a new page batch into a prior graph.
+    """Resolve + merge a new page batch into a prior graph, touching only
+    the subgraph the batch hits (module docstring).
 
-    ``prior``: dict with at least {entities, pairs, edges, episodes,
-    mention_edges} (load_graph output / a previous run's outputs).
-    Returns the same output map as run_pipeline, covering the MERGED
-    graph. See module docstring for the associativity contract.
+    ``prior``: dict with {entities, pairs, edges, episodes,
+    mention_edges, nodes[, uuid_map, postings]} (load_graph output / a
+    previous run's outputs). A missing uuid_map is reconstructed once
+    from prior pairs (CC over accepted pairs — small vs the corpus).
+    Returns the same output map as run_pipeline covering the MERGED
+    graph, plus ``delta``: the per-table changed-row frames a MERGE/
+    streaming commit writes instead of the full graph.
     """
     from graphiti_spark.pipeline import build_nodes
 
     cfg = cfg or RunConfig()
+    run_ts = cfg.run_ts
 
-    episodes_new = pages_to_episodes(new_pages, cfg.run_ts).persist()
+    prior_entities = prior["entities"]
+    prior_pairs = prior["pairs"].select("src", "dst")
+    prior_edges = prior["edges"]
+    prior_map = prior.get("uuid_map")
+    if prior_map is None:
+        prior_map = canonical_uuid_map(prior_entities, prior_pairs)
+    prior_map = prior_map.select("uuid", "canonical_uuid")
+
+    # --- O(|batch|): extraction ---
+    episodes_new = pages_to_episodes(new_pages, run_ts).persist()
     mentions_new, triples_new = extract_mentions_and_triples(episodes_new)
     entities_new = extracted_entities(mentions_new).persist()
 
-    prior_entities = prior["entities"]
-    entities_all = merge_entity_index(prior_entities, entities_new).persist()
+    entities_all = merge_entity_index(prior_entities, entities_new)
 
     # --- resolution: only new-vs-new and new-vs-prior are blocked ---
     pairs_new = duplicate_pairs(entities_new)
     pairs_cross = duplicate_pairs_between(entities_new, prior_entities)
-    pairs_all = (
-        prior["pairs"].select("src", "dst")
-        .unionByName(pairs_new)
-        .unionByName(pairs_cross)
+    # localCheckpoint (not bare persist) on the delta frames: they are
+    # batch/touched-subgraph sized BY DESIGN, and truncating their
+    # lineage keeps the composed plan tree linear in the batch — an
+    # in-memory prior would otherwise nest its full DAG into every
+    # reference and blow up plan analysis/rendering.
+    pairs_delta = (
+        pairs_new.unionByName(pairs_cross).distinct().localCheckpoint()
+    )
+
+    # --- affected components: CC over the touched alias set only ---
+    seeds = (
+        entities_new.select("uuid")
+        .unionByName(pairs_delta.select(F.col("src").alias("uuid")))
+        .unionByName(pairs_delta.select(F.col("dst").alias("uuid")))
+        .distinct()
+    )
+    seed_canon = (
+        seeds.join(prior_map, "uuid")
+        .select(F.col("canonical_uuid").alias("canon"))
+        .distinct()
+    )
+    affected_aliases = prior_map.join(
+        seed_canon, prior_map["canonical_uuid"] == seed_canon["canon"], "left_semi"
+    ).select("uuid")
+    local_uuids = (
+        affected_aliases.unionByName(entities_new.select("uuid"))
+        .distinct()
+        .localCheckpoint()
+    )
+    touched_pairs = prior_pairs.join(
+        local_uuids.withColumnRenamed("uuid", "src"), "src", "left_semi"
+    )
+    delta_map = canonical_uuid_map(
+        local_uuids, touched_pairs.unionByName(pairs_delta).distinct()
+    ).localCheckpoint()
+
+    from graphiti_spark.config import BROADCAST_MAP_MAX_ROWS
+
+    map_small = delta_map.count() <= BROADCAST_MAP_MAX_ROWS
+    bdelta = F.broadcast(delta_map) if map_small else delta_map
+
+    # prior canonicals re-pointed by the merge (identity rows whose
+    # canonical moved — exactly the endpoints prior edges reference)
+    repoint = (
+        delta_map.join(
+            prior_map.withColumnRenamed("canonical_uuid", "prior_canon"),
+            "uuid",
+        )
+        .filter(
+            (F.col("uuid") == F.col("prior_canon"))
+            & (F.col("canonical_uuid") != F.col("uuid"))
+        )
+        .select("uuid", "canonical_uuid")
+        .localCheckpoint()
+    )
+    uuid_map_all = prior_map.join(delta_map, "uuid", "left_anti").unionByName(
+        delta_map
+    )
+
+    # --- touched prior edges (repoint ∪ key collision) ---
+    rows_new = edge_provenance_rows(triples_new, delta_map, map_small).persist()
+    new_keys = rows_new.select(_edge_uuid_from_key().alias("uuid")).distinct()
+
+    rp_src = repoint.select(F.col("uuid").alias("source_node_uuid"))
+    rp_dst = repoint.select(F.col("uuid").alias("target_node_uuid"))
+    t_repoint = (
+        prior_edges.join(rp_src, "source_node_uuid", "left_semi")
+        .unionByName(prior_edges.join(rp_dst, "target_node_uuid", "left_semi"))
+        .dropDuplicates(["uuid"])
+    )
+    # keys the re-pointed edges will occupy after remap: an untouched
+    # edge already sitting on such a key must merge episodes with them
+    # (no cascade: its own endpoints are not re-pointed, so its key is
+    # stable — one closure step suffices)
+    from graphiti_spark.functions.dedup_text import normalize_string_exact_col
+
+    repointed_keys = (
+        resolve_edge_pointers(
+            t_repoint.select(
+                "group_id", "source_node_uuid", "target_node_uuid", "name",
+                normalize_string_exact_col(F.col("fact")).alias("fact_norm"),
+            ),
+            delta_map,
+            map_is_small=map_small,
+        )
+        .select(_edge_uuid_from_key().alias("uuid"))
+        .distinct()
+    )
+    colliding_keys = new_keys.unionByName(repointed_keys).distinct()
+    t_key = prior_edges.join(colliding_keys, "uuid", "left_semi")
+    touched_prior = (
+        t_repoint.unionByName(t_key).dropDuplicates(["uuid"]).localCheckpoint()
+    )
+    untouched_prior = prior_edges.join(
+        touched_prior.select("uuid"), "uuid", "left_anti"
+    )
+
+    # --- merge: new rows + touched prior provenance only ---
+    rows_touched = prior_edge_provenance_rows(
+        touched_prior, prior["episodes"], delta_map, map_small
+    )
+    recomputed = merge_edge_rows(
+        rows_new.unionByName(rows_touched), run_ts
+    ).localCheckpoint()
+
+    merged_cols = recomputed.columns
+    edges_merged = untouched_prior.select(*merged_cols).unionByName(recomputed)
+
+    # --- temporal: recompute closings only around changed instants ---
+    if cfg.cross_predicate_invalidation:
+        edges, edges_changed = _invalidate_delta(
+            untouched_prior, recomputed, touched_prior, run_ts
+        )
+    else:
+        from graphiti_spark.operators.temporal import invalidate_edges
+
+        edges = invalidate_edges(edges_merged, run_ts)
+        edges_changed = edges  # no delta bound without the skyline form
+
+    # --- nodes: rebuild only affected canonicals ---
+    affected_canon = (
+        delta_map.select(F.col("canonical_uuid").alias("uuid"))
+        .unionByName(repoint.select("uuid"))
         .distinct()
         .persist()
     )
-    uuid_map = canonical_uuid_map(entities_all, pairs_all).persist()
-    from graphiti_spark.config import BROADCAST_MAP_MAX_ROWS
-
-    map_small = uuid_map.count() <= BROADCAST_MAP_MAX_ROWS
-
-    # --- edge merge across batches (D17 episode union) ---
-    rows_new = edge_provenance_rows(triples_new, uuid_map, map_small)
-    rows_prior = prior_edge_provenance_rows(
-        prior["edges"], prior["episodes"], uuid_map, map_small
+    aliases_needed = uuid_map_all.join(
+        affected_canon.withColumnRenamed("uuid", "canonical_uuid"),
+        "canonical_uuid",
+        "left_semi",
+    ).select("uuid")
+    entities_restricted = entities_all.join(aliases_needed, "uuid", "left_semi")
+    edges_for_nodes = edges_merged.join(
+        affected_canon.withColumnRenamed("uuid", "source_node_uuid"),
+        "source_node_uuid",
+        "left_semi",
     )
-    edges_merged = merge_edge_rows(
-        rows_new.unionByName(rows_prior), cfg.run_ts
-    ).persist()
-    edges = invalidate_edges(edges_merged, cfg.run_ts)
-
-    nodes = build_nodes(
-        entities_all, uuid_map, edges_merged, cfg.run_ts, map_is_small=map_small
+    nodes_delta = build_nodes(
+        entities_restricted, delta_map, edges_for_nodes, run_ts,
+        map_is_small=map_small,
     )
+    prior_nodes = prior["nodes"]
+    nodes_untouched = prior_nodes.join(affected_canon, "uuid", "left_anti")
+    nodes = nodes_untouched.select(*nodes_delta.columns).unionByName(nodes_delta)
 
-    # --- mentions provenance across batches ---
-    from graphiti_spark.functions.dedup_text import normalize_string_exact_col
-
+    # --- mentions: remap only re-pointed canonicals ---
     new_mention_pairs = mentions_new.select(
         "episode_uuid",
         "group_id",
@@ -246,31 +502,126 @@ def ingest_incremental(
             F.col("group_id"),
             normalize_string_exact_col(F.col("name")),
         ).alias("entity_uuid"),
+    ).join(
+        bdelta.select(
+            F.col("uuid").alias("entity_uuid"),
+            F.col("canonical_uuid").alias("canon"),
+        ),
+        "entity_uuid",
+        "left",
+    ).select(
+        "episode_uuid",
+        "group_id",
+        F.coalesce("canon", "entity_uuid").alias("entity_uuid"),
     )
-    prior_mention_pairs = prior["mention_edges"].select(
-        "episode_uuid", "group_id", "entity_uuid"
-    )
-    all_pairs = new_mention_pairs.unionByName(prior_mention_pairs)
-    remapped_pairs = (
-        all_pairs.join(
-            uuid_map.select(
-                F.col("uuid").alias("entity_uuid"),
-                F.col("canonical_uuid").alias("canon"),
-            ),
-            "entity_uuid",
-            "left",
-        )
-        .select(
-            "episode_uuid",
-            "group_id",
-            F.coalesce("canon", "entity_uuid").alias("entity_uuid"),
-        )
-    )
-    mention_edges = rebuild_mention_edges(remapped_pairs, cfg.run_ts)
+    me_new = rebuild_mention_edges(new_mention_pairs, run_ts)
 
-    episodes_all = prior["episodes"].unionByName(
-        episodes_new, allowMissingColumns=True
-    ).dropDuplicates(["uuid"])
+    prior_me = prior["mention_edges"]
+    me_touched = prior_me.join(
+        repoint.withColumnRenamed("uuid", "entity_uuid"), "entity_uuid", "left_semi"
+    )
+    me_untouched = prior_me.join(
+        repoint.withColumnRenamed("uuid", "entity_uuid"), "entity_uuid", "left_anti"
+    )
+    me_remapped = rebuild_mention_edges(
+        me_touched.join(
+            repoint.withColumnRenamed("uuid", "entity_uuid")
+            .withColumnRenamed("canonical_uuid", "canon"),
+            "entity_uuid",
+        ).select(
+            "episode_uuid", "group_id", F.col("canon").alias("entity_uuid")
+        ),
+        run_ts,
+    )
+    # collision dedup, probe-bounded: a remapped mention can collide only
+    # with an untouched mention of the SAME episode; a new-batch mention
+    # can collide with prior rows only if its episode was ingested before
+    probe_eps = me_touched.select("episode_uuid").distinct()
+    probe_uuids = me_untouched.join(probe_eps, "episode_uuid", "left_semi").select(
+        "uuid"
+    )
+    me_remapped_clean = me_remapped.join(probe_uuids, "uuid", "left_anti")
+    new_eps = episodes_new.select(F.col("uuid").alias("episode_uuid"))
+    prior_probe = (
+        me_untouched.join(new_eps, "episode_uuid", "left_semi")
+        .select("uuid")
+        .unionByName(
+            me_remapped_clean.join(new_eps, "episode_uuid", "left_semi").select(
+                "uuid"
+            )
+        )
+    )
+    me_new_clean = me_new.join(prior_probe, "uuid", "left_anti")
+    mention_edges = me_untouched.select(*me_new.columns).unionByName(
+        me_remapped_clean
+    ).unionByName(me_new_clean)
+
+    # --- episodes / pairs: append-only deltas ---
+    prior_eps = prior["episodes"]
+    eps_new_only = episodes_new.join(
+        prior_eps.select("uuid"), "uuid", "left_anti"
+    )
+    episodes_all = prior_eps.unionByName(eps_new_only, allowMissingColumns=True)
+    pairs_new_only = pairs_delta.join(prior_pairs, ["src", "dst"], "left_anti")
+    pairs_all = prior_pairs.unionByName(pairs_new_only)
+
+    # --- postings: patch the materialized index per channel ---
+    from graphiti_spark.search.fulltext import build_graph_postings
+
+    postings_delta = build_graph_postings(
+        {"edges": recomputed, "nodes": nodes_delta, "episodes": eps_new_only}
+    )
+    removed_ids = (
+        touched_prior.select(F.lit("edges").alias("channel"),
+                             F.col("uuid").alias("id"))
+        .unionByName(
+            affected_canon.select(F.lit("nodes").alias("channel"),
+                                  F.col("uuid").alias("id"))
+        )
+    )
+    prior_postings = prior.get("postings")
+    if prior_postings is not None:
+        postings = (
+            prior_postings.join(removed_ids, ["channel", "id"], "left_anti")
+            .unionByName(postings_delta)
+        )
+    else:
+        postings = build_graph_postings(
+            {"edges": edges_merged, "nodes": nodes, "episodes": episodes_all}
+        )
+
+    # the changed-row frames a MERGE/streaming commit writes instead of
+    # rewriting the graph (materialize.save_graph_delta shape:
+    # per-table upserts keyed by DELTA_KEYS + optional deletes)
+    delta = {
+        "episodes": {"upserts": eps_new_only},
+        "pairs": {"upserts": pairs_new_only},
+        "uuid_map": {"upserts": delta_map},
+        "entities": {
+            "upserts": entities_all.join(
+                entities_new.select("uuid"), "uuid", "left_semi"
+            )
+        },
+        "edges": {
+            "upserts": edges_changed,
+            "deletes": touched_prior.select("uuid").join(
+                recomputed.select("uuid"), "uuid", "left_anti"
+            ),
+        },
+        "nodes": {
+            "upserts": nodes_delta,
+            "deletes": affected_canon.join(
+                nodes_delta.select("uuid"), "uuid", "left_anti"
+            ),
+        },
+        "mention_edges": {
+            "upserts": me_remapped_clean.unionByName(me_new_clean),
+            "deletes": me_touched.select("uuid"),
+        },
+        "postings": {"upserts": postings_delta, "deletes": removed_ids},
+        # observability: how much of the prior graph this batch touched
+        "edges_touched_prior": touched_prior,
+    }
 
     return {
         "episodes": episodes_all,
@@ -278,9 +629,11 @@ def ingest_incremental(
         "triples": triples_new,
         "entities": entities_all,
         "pairs": pairs_all,
-        "uuid_map": uuid_map,
+        "uuid_map": uuid_map_all,
         "edges_merged": edges_merged,
         "edges": edges,
         "nodes": nodes,
         "mention_edges": mention_edges,
+        "postings": postings,
+        "delta": delta,
     }

@@ -56,8 +56,11 @@ def remove_episode(
     mention_edges: DataFrame,
     nodes: DataFrame,
     episode_uuid: str,
+    episodes: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """S9 cascade delete. Returns surviving {edges, nodes, mentions}.
+    """S9 cascade delete. Returns surviving {edges, nodes, mentions} —
+    plus {episodes} (minus the removed one) when the episodes table is
+    passed, so the result map is a complete post-delete graph state.
 
     An edge is deleted iff it was CREATED by this episode (reference
     graphiti.py:1243-1246, ``edge.episodes[0] == episode_uuid``). The
@@ -82,8 +85,11 @@ def remove_episode(
     ).select(F.col("entity_uuid").alias("uuid"))
     surviving_nodes = nodes.join(F.broadcast(doomed_nodes), "uuid", "left_anti")
     surviving_mentions = mention_edges.filter(F.col("episode_uuid") != episode_uuid)
-    return {
+    out = {
         "edges": surviving_edges,
         "nodes": surviving_nodes,
         "mentions": surviving_mentions,
     }
+    if episodes is not None:
+        out["episodes"] = episodes.filter(F.col("uuid") != episode_uuid)
+    return out

@@ -132,6 +132,75 @@ def invalidate_by_candidates(
     ).drop("closing_at")
 
 
+def invalidate_cross_predicate(edges: DataFrame, run_ts) -> DataFrame:
+    """T4→T1 in default-DAG form: close each edge at the earliest LATER
+    valid_at among edges sharing EITHER endpoint, across predicates —
+    the reference truth table (edge_operations.py:406-441) applied to the
+    either-endpoint candidate reach of get_edge_invalidation_candidates
+    (search_utils.py:1545-1729, endpoint clause :1680).
+
+    Equivalent to
+      ``invalidate_by_candidates(e, invalidation_candidates(e, e,
+      min_score=None), run_ts)``
+    under the pipeline invariants (valid_at non-null per merged edge;
+    any pre-set invalid_at > valid_at) — but O(|edges|) instead of the
+    pair join's O(Σ endpoint-degree²): the closing instant is read from
+    a per-endpoint DISTINCT-valid_at skyline (same hub-safe shape as
+    invalidate_edges), so a hub entity with 10⁶ incident edges costs its
+    distinct-timestamp count, never 10¹² candidate pairs.
+
+    Also subsumes the same-(group, subject, predicate) window of
+    invalidate_edges: that partition shares the subject endpoint, so its
+    successor instant is ≥ the endpoint skyline's — composing this after
+    (or instead of) invalidate_edges yields the same invalid_at.
+    """
+    sides = edges.filter(F.col("valid_at").isNotNull()).select(
+        "uuid",
+        F.explode(
+            F.array(F.col("source_node_uuid"), F.col("target_node_uuid"))
+        ).alias("endpoint"),
+        "valid_at",
+    )
+    skyline = sides.select("endpoint", "valid_at").distinct()
+    w = Window.partitionBy("endpoint").orderBy("valid_at")
+    successor = skyline.withColumn("next_at", F.lead("valid_at").over(w))
+    # closing instant per edge = earliest successor over its endpoints
+    # (min skips the null successor of an endpoint's last instant)
+    closing = (
+        sides.join(successor, ["endpoint", "valid_at"])
+        .groupBy("uuid")
+        .agg(F.min("next_at").alias("closing_at"))
+    )
+    out = edges.join(closing, "uuid", "left")
+    if "invalid_at" in edges.columns:
+        # an existing invalid_at bounds qualification (disjointness guard:
+        # a closer starting at/after it is skipped); a qualifying closer
+        # OVERWRITES it (reference edge_operations.py:436)
+        qualified = F.when(
+            F.col("closing_at").isNotNull()
+            & (
+                F.col("invalid_at").isNull()
+                | (F.col("closing_at") < F.col("invalid_at"))
+            ),
+            F.col("closing_at"),
+        )
+        out = out.withColumn("invalid_at", F.coalesce(qualified, "invalid_at"))
+    else:
+        out = out.withColumn("invalid_at", F.col("closing_at"))
+    prior_expired = (
+        F.col("expired_at")
+        if "expired_at" in edges.columns
+        else F.lit(None).cast("timestamp")
+    )
+    return out.withColumn(
+        "expired_at",
+        F.when(
+            F.col("invalid_at").isNotNull(),
+            F.coalesce(prior_expired, F.lit(run_ts)),
+        ).otherwise(prior_expired),
+    ).drop("closing_at")
+
+
 def episode_context_window(episodes: DataFrame, last_n: int = 3) -> DataFrame:
     """Previous-episode context (SURVEY.md S3/T5; reference
     graph_data_operations.py:61-120): for each episode, the ≤ last_n

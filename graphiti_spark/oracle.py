@@ -121,25 +121,35 @@ edges AS (
   GROUP BY group_id, subj_name, obj_name, pred, fact
 )"""
 
-# Temporal invalidation: next distinct valid_at within (group, subject,
-# predicate); expired_at = run_ts where set (T1–T3 as window functions).
+# Temporal invalidation, DEFAULT (cross-predicate T4→T1, r3): each edge
+# closes at the earliest later valid_at among edges sharing EITHER
+# endpoint, any predicate — mirrored from temporal.invalidate_cross_
+# predicate's per-endpoint distinct-valid_at skyline. expired_at = run_ts
+# where closed (T3). Subsumes the narrower same-(group, subject,
+# predicate) window (same proof as the Spark operator's docstring).
 EDGES_TEMPORAL_CTE = f"""{EDGES_CTE},
-skyline AS (
-  SELECT DISTINCT group_id, source_node_uuid, name, valid_at FROM edges
+edge_sides AS MATERIALIZED (
+  SELECT uuid, unnest([source_node_uuid, target_node_uuid]) AS endpoint,
+         valid_at
+  FROM edges
 ),
-successor AS (
-  SELECT group_id, source_node_uuid, name, valid_at,
-         lead(valid_at) OVER (
-           PARTITION BY group_id, source_node_uuid, name
-           ORDER BY valid_at) AS invalid_at
-  FROM skyline
+endpoint_successor AS (
+  SELECT endpoint, valid_at,
+         lead(valid_at) OVER (PARTITION BY endpoint ORDER BY valid_at)
+           AS next_at
+  FROM (SELECT DISTINCT endpoint, valid_at FROM edge_sides)
+),
+closing AS (
+  SELECT s.uuid, min(x.next_at) AS closing_at
+  FROM edge_sides s
+  JOIN endpoint_successor x USING (endpoint, valid_at)
+  GROUP BY s.uuid
 ),
 edges_temporal AS (
-  SELECT e.*, s.invalid_at,
-         CASE WHEN s.invalid_at IS NOT NULL THEN {RUN_TS_SQL}
+  SELECT e.*, c.closing_at AS invalid_at,
+         CASE WHEN c.closing_at IS NOT NULL THEN {RUN_TS_SQL}
               ELSE NULL END AS expired_at
-  FROM edges e
-  JOIN successor s USING (group_id, source_node_uuid, name, valid_at)
+  FROM edges e LEFT JOIN closing c USING (uuid)
 )"""
 
 ENTITIES_CTE = f"""{MENTIONS_CTE},
@@ -528,6 +538,38 @@ pairs AS (
   FROM s a JOIN s b ON a.id < b.id
 )
 SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.8
+ORDER BY a_id, b_id"""
+
+    # SimHash near-dup (hamming ≤ 3), brute-force ground truth. The
+    # per-shingle 64-bit hash = first 16 hex chars of sha256(shingle)
+    # (bit b in hex char 16 − b//4, position b % 4 — same nibble algebra
+    # as dedup_docs._shingle_bit_signs, r3: blake2b → sha256 so this is
+    # fully hash-verified). Equality also proves the chunk-PAIR blocking
+    # keeps full recall (pigeonhole) on this corpus.
+    q["docs_simhash"] = """WITH
+sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS s
+  FROM documents
+),
+signs AS (
+  SELECT id, bb.b AS b,
+         CASE WHEN ((strpos('0123456789abcdef',
+                 substr(sha256(s), 16 - CAST(bb.b // 4 AS INT), 1)) - 1)
+               // CAST(power(2, bb.b % 4) AS INT)) % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM sh, (SELECT unnest(range(0, 64)) AS b) bb
+),
+acc AS (SELECT id, b, sum(sgn) AS ssum FROM signs GROUP BY id, b),
+sim AS MATERIALIZED (
+  SELECT id,
+         string_agg(CASE WHEN ssum > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bits
+  FROM acc GROUP BY id
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       bit_count(xor(a.bits::BIT, b.bits::BIT)) AS hamming
+FROM sim a JOIN sim b ON a.id < b.id
+WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 3
 ORDER BY a_id, b_id"""
 
     # Embedding-cosine near-dup pairs (exact baseline, τ=0.45).
@@ -1204,6 +1246,69 @@ topk AS (SELECT * FROM fused ORDER BY score DESC, id ASC LIMIT 10)
 SELECT id, score,
        CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
 FROM topk ORDER BY rank"""
+
+    # Q1 over GRAPH edges (fully oracled from r3 — was rows-only): the
+    # Spark query maps each edge to a parquet embedding by the first 4
+    # hex chars of its uuid mod |embeddings| and uses embeddings row 0
+    # as the query vector, so both channels + RRF are reproducible.
+    q["hybrid_search_edges"] = f"""WITH {EDGES_TEMPORAL_CTE},
+hs_corpus AS MATERIALIZED (
+  SELECT uuid AS id, lower(name || ' ' || fact) AS text,
+         (
+           (strpos('0123456789abcdef', substr(uuid, 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(uuid, 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(uuid, 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(uuid, 4, 1)) - 1)
+         ) % (SELECT count(*) FROM embeddings) AS vec_id
+  FROM edges_temporal
+),
+hs_toks AS (SELECT id, unnest(string_split(trim(text), ' ')) AS term FROM hs_corpus),
+hs_toks_ne AS (SELECT * FROM hs_toks WHERE term <> ''),
+hs_postings AS (SELECT id, term, count(*) AS tf FROM hs_toks_ne GROUP BY id, term),
+hs_doclen AS (SELECT id, count(*) AS dl FROM hs_toks_ne GROUP BY id),
+hs_docfreq AS (SELECT term, count(*) AS df FROM hs_postings GROUP BY term),
+hs_stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM hs_doclen),
+hs_qterms AS (SELECT unnest(['fast','merge','table']) AS term),
+hs_bm25_scored AS (
+  SELECT p.id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+           * (CAST(p.tf AS DOUBLE) * 2.2)
+           / (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+         ), 4) AS score
+  FROM hs_postings p
+  JOIN hs_qterms USING (term) JOIN hs_docfreq d USING (term)
+  JOIN hs_doclen l USING (id) CROSS JOIN hs_stats s
+  GROUP BY p.id
+),
+hs_bm25_ranked AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+  FROM hs_bm25_scored ORDER BY rank LIMIT 20
+),
+hs_qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+hs_vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+hs_cos_scored AS (
+  SELECT c.id,
+         round(
+           list_inner_product(v.v, (SELECT q FROM hs_qv))
+           / (sqrt(list_inner_product(v.v, v.v))
+              * sqrt(list_inner_product((SELECT q FROM hs_qv), (SELECT q FROM hs_qv)))),
+         4) AS score
+  FROM hs_corpus c JOIN hs_vecs v USING (vec_id)
+),
+hs_cos_ranked AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+  FROM hs_cos_scored ORDER BY rank LIMIT 20
+),
+hs_fused AS (
+  SELECT id, round(sum(1.0 / CAST(rank AS DOUBLE)), 4) AS score
+  FROM (SELECT * FROM hs_bm25_ranked UNION ALL SELECT * FROM hs_cos_ranked)
+  GROUP BY id
+),
+hs_topk AS (SELECT * FROM hs_fused ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM hs_topk ORDER BY rank"""
 
     # Q9: AND-of-OR datetime filter tree over temporal edges.
     q["filtered_edges"] = f"""WITH {EDGES_TEMPORAL_CTE}

@@ -235,7 +235,21 @@ def run_pipeline_from_pages(
         ),
         partition_by=["group_id"] if ckpt else None,
     )
-    edges = stage("edges", lambda: invalidate_edges(edges_merged, cfg.run_ts))
+    # Default T1-T4 semantics: the cross-predicate either-endpoint closing
+    # SUBSUMES the same-(group, subject, predicate) window — that
+    # partition shares the subject endpoint, so its successor instant is
+    # never earlier than the endpoint skyline's (invalidate_cross_predicate
+    # docstring; equality pinned by test_temporal_t4).
+    def _edges():
+        if cfg.cross_predicate_invalidation:
+            from graphiti_spark.operators.temporal import (
+                invalidate_cross_predicate,
+            )
+
+            return invalidate_cross_predicate(edges_merged, cfg.run_ts)
+        return invalidate_edges(edges_merged, cfg.run_ts)
+
+    edges = stage("edges", _edges)
     nodes = stage(
         "nodes",
         lambda: build_nodes(
@@ -247,6 +261,15 @@ def run_pipeline_from_pages(
         lambda: build_mention_edges(
             mentions, uuid_map, cfg.run_ts, map_is_small=map_small
         ),
+    )
+
+    # the materialized BM25 index over the graph tables (lazy — costs
+    # nothing unless saved/queried; maintained as a DELTA by incremental
+    # ingest instead of being rebuilt)
+    from graphiti_spark.search.fulltext import build_graph_postings
+
+    postings = build_graph_postings(
+        {"edges": edges_merged, "nodes": nodes, "episodes": episodes}
     )
 
     return {
@@ -262,6 +285,7 @@ def run_pipeline_from_pages(
         "edges": edges,
         "mention_edges": mention_edges,
         "dropped_buckets": dropped_buckets,
+        "postings": postings,
     }
 
 

@@ -55,6 +55,76 @@ def build_postings(
     }
 
 
+def index_from_postings(postings: DataFrame) -> dict[str, DataFrame]:
+    """Rehydrate the full BM25 index from a MATERIALIZED postings table
+    (id, term, tf) — doclen, docfreq and corpus stats are all derivable
+    aggregates, so graph state persists ONE table per channel and no
+    query ever re-tokenizes the corpus (the reference's server-side
+    Lucene index, graph_queries.py:48-127, kept as a DataFrame)."""
+    doclen = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+    docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return {
+        "postings": postings.select("id", "term", "tf"),
+        "doclen": doclen,
+        "docfreq": docfreq,
+        "stats": stats,
+    }
+
+
+# graph-state fulltext channels — same coverage as the reference's
+# fulltext indices (Entity.name+summary, Episodic.content,
+# Community.name+summary, RELATES_TO.name+fact; graph_queries.py:48-127)
+CHANNEL_TEXT = {
+    "edges": ("uuid", ("name", "fact")),
+    "nodes": ("uuid", ("name", "summary")),
+    "episodes": ("uuid", ("content",)),
+    "communities": ("uuid", ("name", "summary")),
+}
+
+
+def build_graph_postings(tables: dict[str, DataFrame]) -> DataFrame:
+    """One channel-tagged postings table over every present graph table:
+    (channel, group_id, id, term, tf). Built once at materialize time,
+    merged incrementally on ingest; queries filter one channel (partition
+    pruning) and rehydrate via index_from_postings."""
+    parts = []
+    for channel, (id_col, text_cols) in CHANNEL_TEXT.items():
+        df = tables.get(channel)
+        if df is None:
+            continue
+        text = F.concat_ws(" ", *[F.col(c) for c in text_cols])
+        toks = df.select(
+            F.lit(channel).alias("channel"),
+            F.col("group_id"),
+            F.col(id_col).alias("id"),
+            F.explode(tokenize_col(text)).alias("term"),
+        ).filter(F.col("term") != "")
+        parts.append(
+            toks.groupBy("channel", "group_id", "id", "term").agg(
+                F.count(F.lit(1)).alias("tf")
+            )
+        )
+    if not parts:
+        raise ValueError("no indexable graph tables present")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def channel_index(
+    graph_postings: DataFrame, channel: str
+) -> dict[str, DataFrame]:
+    """Slice one channel out of the materialized graph postings table and
+    rehydrate its BM25 index."""
+    return index_from_postings(
+        graph_postings.filter(F.col("channel") == channel)
+    )
+
+
 def bm25_search(
     index: dict[str, DataFrame],
     query_terms: list[str],
@@ -77,12 +147,15 @@ def bm25_search(
         [(t.lower(),) for t in sorted(set(query_terms))],
         [("term", "string")],
     )
-    # postings ⋈ query terms (broadcast: query is tiny) ⋈ docfreq ⋈ doclen,
-    # stats via broadcast single-row cross join — fully declarative.
+    # docfreq spans every distinct corpus term (web-scale: 10⁸⁺ tokens) —
+    # NEVER broadcast raw. Semi-join it against the tiny query-term frame
+    # first; the result is ≤ |query terms| rows (the reference caps
+    # queries at 128 terms, search_utils.py:67), and THAT is safe to
+    # broadcast into the postings join.
+    qdf = index["docfreq"].join(F.broadcast(qterms), "term")
     hits = (
         index["postings"]
-        .join(F.broadcast(qterms), "term")
-        .join(F.broadcast(index["docfreq"]), "term")
+        .join(F.broadcast(qdf), "term")
         .join(index["doclen"], "id")
         .crossJoin(F.broadcast(index["stats"]))
     )

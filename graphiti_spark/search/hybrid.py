@@ -101,12 +101,16 @@ def _channel(
     mention_edges: DataFrame | None = None,
     center_uuid: str | None = None,
     origin_uuids: list[str] | None = None,
+    prebuilt_index: dict | None = None,
 ) -> DataFrame:
     overfetch = 2 * limit  # reference search.py:206
     ranked = []
     for method in cfg.methods:
         if method == "bm25":
-            idx = build_postings(corpus, id_col, text_col)
+            # materialized index when the graph carries one — a query
+            # must never re-tokenize the corpus; build_postings is the
+            # ad-hoc fallback for index-less inputs
+            idx = prebuilt_index or build_postings(corpus, id_col, text_col)
             ranked.append(bm25_search(idx, query.split(), limit=overfetch))
         elif method == "cosine" and vec_col is not None and query_vec is not None:
             ranked.append(
@@ -129,10 +133,9 @@ def _channel(
     if not ranked:
         raise ValueError(f"no usable methods in {cfg.methods}")
 
-    if cfg.reranker == "rrf" or len(ranked) > 1 and cfg.reranker == "cross_encoder":
-        fused = rrf(ranked, limit=limit if cfg.reranker == "rrf" else 2 * limit)
-    else:
-        fused = rrf(ranked, limit=2 * limit)
+    # rrf is both a reranker and the cross-channel fusion for every other
+    # reranker (which re-scores the 2×limit fused pool).
+    fused = rrf(ranked, limit=limit if cfg.reranker == "rrf" else 2 * limit)
 
     if cfg.reranker == "rrf":
         return fused
@@ -176,11 +179,31 @@ def search(
     filters: SearchFilters | None = None,
     center_uuid: str | None = None,
     origin_uuids: list[str] | None = None,
+    graph_postings: DataFrame | None = None,
+    query_vec: list[float] | None = None,
 ) -> dict[str, DataFrame]:
     """Fan out the configured channels; returns {channel: (id, score,
     rank)}. The query embedding is computed once on the driver (the
-    reference embeds once per search, search.py:88-109)."""
-    query_vec = embed_text(query)
+    reference embeds once per search, search.py:88-109); pass
+    ``query_vec`` to bring your own embedding instead (external
+    embedder / precomputed vectors).
+
+    ``graph_postings``: the MATERIALIZED channel-tagged postings table
+    (materialize.GRAPH_TABLES 'postings', built by
+    fulltext.build_graph_postings). When present, bm25 channels read it
+    instead of re-tokenizing the corpus per query — the DataFrame twin
+    of the reference's persistent Lucene index. Not combinable with
+    ``filters`` on the same channel (a filtered corpus needs a filtered
+    index); filtered channels fall back to ad-hoc postings."""
+    from graphiti_spark.search.fulltext import channel_index
+
+    def _idx(channel: str, filtered: bool) -> dict | None:
+        if graph_postings is None or filtered:
+            return None
+        return channel_index(graph_postings, channel)
+
+    if query_vec is None:
+        query_vec = embed_text(query)
     out: dict[str, DataFrame] = {}
     if config.edges is not None and edges is not None:
         e = apply_filters(edges, filters, "edge") if filters else edges
@@ -193,6 +216,7 @@ def search(
             corpus, "uuid", "search_text", "fact_embedding", query, query_vec,
             config.edges, config.limit, edges=e, mention_edges=mention_edges,
             center_uuid=center_uuid, origin_uuids=origin_uuids,
+            prebuilt_index=_idx("edges", filters is not None),
         )
     if config.nodes is not None and nodes is not None:
         n = apply_filters(nodes, filters, "node") if filters else nodes
@@ -205,12 +229,14 @@ def search(
             corpus, "uuid", "search_text", "name_embedding", query, query_vec,
             config.nodes, config.limit, edges=edges, mention_edges=mention_edges,
             center_uuid=center_uuid, origin_uuids=origin_uuids,
+            prebuilt_index=_idx("nodes", filters is not None),
         )
     if config.episodes is not None and episodes is not None:
         corpus = episodes.select("uuid", F.col("content").alias("search_text"))
         out["episodes"] = _channel(
             corpus, "uuid", "search_text", None, query, None,
             config.episodes, config.limit,
+            prebuilt_index=_idx("episodes", False),
         )
     if config.communities is not None and communities is not None:
         corpus = communities.select(
@@ -219,5 +245,6 @@ def search(
         out["communities"] = _channel(
             corpus, "uuid", "search_text", None, query, None,
             config.communities, config.limit,
+            prebuilt_index=_idx("communities", False),
         )
     return out

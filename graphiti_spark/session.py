@@ -59,6 +59,11 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deep composed DAGs (delta-incremental over an in-memory prior)
+        # can render multi-GB plan strings for the UI/debug listeners —
+        # a driver-OOM vector that has nothing to do with data. Cap the
+        # rendered length; execution is unaffected.
+        .config("spark.sql.maxPlanStringLength", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

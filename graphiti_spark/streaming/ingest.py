@@ -9,9 +9,13 @@ resolved against the persisted graph and merged, so the streaming path
 reuses — and inherits the associativity proof of — the batch engine.
 
   pages feed (files/Kafka) ──readStream──▶ foreachBatch:
-      prior = load latest graph version
+      prior = load latest graph state (full snapshot + delta chain,
+              merge-on-read)
       merged = ingest_incremental(batch, prior)   # or first-batch pipeline
-      save as version v{batch_id}; flip the _LATEST pointer (atomic)
+      commit v{seq}: ONLY the batch's changed rows (per-table
+      MERGE-style upserts/deletes, materialize.save_graph_delta); a full
+      snapshot every COMPACT_EVERY deltas bounds read amplification;
+      flip the _LATEST pointer (atomic)
 
 Exactly-once: node/edge ids are content-derived (ids.py), and the
 _LATEST pointer records the last committed batch_id — a crash-replayed
@@ -58,47 +62,93 @@ def _latest_pointer(state_dir: str) -> dict | None:
         return json.load(fh)
 
 
-def _latest_version(state_dir: str) -> str | None:
-    ptr = _latest_pointer(state_dir)
-    return None if ptr is None else ptr["version"]
+# a full snapshot every N delta commits bounds merge-on-read depth
+COMPACT_EVERY = 8
 
 
 def load_graph_state(spark: SparkSession, state_dir: str):
-    """Latest committed graph version (None before the first batch)."""
-    from graphiti_spark.materialize import load_graph
+    """Latest committed graph state (None before the first batch):
+    merge-on-read over the last full snapshot + its delta chain."""
+    from graphiti_spark.materialize import load_graph_versions
 
-    version = _latest_version(state_dir)
-    if version is None:
+    ptr = _latest_pointer(state_dir)
+    if ptr is None:
         return None
-    return load_graph(spark, os.path.join(state_dir, version))
+    chain = ptr.get("chain") or [ptr["version"]]
+    return load_graph_versions(
+        spark, [os.path.join(state_dir, v) for v in chain]
+    )
 
 
-def _commit_graph_version(outputs, state_dir: str, batch_id: int) -> None:
-    from graphiti_spark.materialize import save_graph
+def _commit_graph_version(
+    outputs, state_dir: str, batch_id: int, stream_id: str | None = None
+) -> None:
+    """Commit a batch: DELTA version (only the changed rows — the
+    parquet equivalent of per-table Iceberg MERGE) when the batch was an
+    incremental ingest and the chain is short; FULL snapshot otherwise
+    (first batch, or compaction every COMPACT_EVERY deltas). Versions are
+    write-new-then-flip — the directories a lazy prior plan is reading
+    are never touched."""
+    from graphiti_spark.materialize import save_graph, save_graph_delta
 
-    version = f"v{batch_id:09d}"
-    save_graph(outputs, os.path.join(state_dir, version))
+    ptr = _latest_pointer(state_dir)
+    chain = [] if ptr is None else (ptr.get("chain") or [ptr["version"]])
+    # version dirs are named by a GLOBAL commit sequence, not batch_id:
+    # batch ids restart at 0 for every new stream/checkpoint over the
+    # same graph state, and a colliding name would write a delta into an
+    # existing full-snapshot directory
+    seq = 0 if ptr is None else ptr.get("seq", ptr.get("batch_id", 0)) + 1
+    version = f"v{seq:09d}"
+    delta = outputs.get("delta")
+    if delta is not None and chain and len(chain) < COMPACT_EVERY:
+        save_graph_delta(delta, os.path.join(state_dir, version))
+        chain = chain + [version]
+    else:
+        save_graph(outputs, os.path.join(state_dir, version))
+        chain = [version]
     tmp = os.path.join(state_dir, f".{_LATEST}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "batch_id": batch_id}, fh)
+        json.dump(
+            {
+                "version": version,
+                "seq": seq,
+                "batch_id": batch_id,
+                "stream_id": stream_id,
+                "chain": chain,
+            },
+            fh,
+        )
     os.replace(tmp, os.path.join(state_dir, _LATEST))  # atomic flip
 
 
-def make_ingest_batch_fn(state_dir: str, cfg: RunConfig | None = None):
+def make_ingest_batch_fn(
+    state_dir: str, cfg: RunConfig | None = None, stream_id: str | None = None
+):
     """The foreachBatch callback: first batch runs the full pipeline,
     every later batch ingests incrementally against the latest graph
-    version, then commits a new version."""
+    version, then commits a new version.
+
+    ``stream_id`` identifies the stream RUN the batch ids belong to
+    (run_streaming_ingest passes its checkpoint dir): Spark batch ids are
+    monotone only within one checkpoint, so the replay guard below must
+    never compare ids across different streams feeding the same graph."""
     cfg = cfg or RunConfig()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Crash-replay guard: if the _LATEST pointer already records this
-        # (or a later) batch_id, the batch's graph version was committed
-        # but the stream's offset checkpoint was not — re-merging it would
-        # double-count mention_count sums AND overwrite the version
-        # directory the lazy prior plan reads from. Replays are true
-        # no-ops (ADVICE r02, medium).
+        # (or a later) batch_id FROM THE SAME STREAM, the batch's graph
+        # version was committed but the stream's offset checkpoint was
+        # not — re-merging it would double-count mention_count sums AND
+        # overwrite the version directory the lazy prior plan reads from.
+        # Replays are true no-ops (ADVICE r02, medium). A different
+        # stream_id is a new feed over the same graph state: its batch 0
+        # is fresh work, not a replay.
         ptr = _latest_pointer(state_dir)
-        if ptr is not None and ptr.get("batch_id", -1) >= batch_id:
+        if (
+            ptr is not None
+            and ptr.get("stream_id") == stream_id
+            and ptr.get("batch_id", -1) >= batch_id
+        ):
             return
         if batch_df.isEmpty():
             return
@@ -111,7 +161,7 @@ def make_ingest_batch_fn(state_dir: str, cfg: RunConfig | None = None):
             out = run_pipeline_from_pages(spark, batch_df, cfg)
         else:
             out = ingest_incremental(spark, batch_df, prior, cfg)
-        _commit_graph_version(out, state_dir, batch_id)
+        _commit_graph_version(out, state_dir, batch_id, stream_id)
 
     return process_batch
 
@@ -139,7 +189,9 @@ def run_streaming_ingest(
         .parquet(feed_dir)
     )
     writer = (
-        stream.writeStream.foreachBatch(make_ingest_batch_fn(state_dir, cfg))
+        stream.writeStream.foreachBatch(
+            make_ingest_batch_fn(state_dir, cfg, stream_id=checkpoint_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

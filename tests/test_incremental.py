@@ -173,3 +173,88 @@ def test_get_relevant_edges_probe(spark):
     got = {(r.probe_uuid, r.candidate_uuid)
            for r in get_relevant_edges(probes, existing).collect()}
     assert got == {("p1", "x1")}
+
+
+def _synthetic_pages(spark, group, n, start=0):
+    """pages rows over the frozen gazetteer with rotating subj/verb/obj,
+    one group per corpus — lets tests control cross-batch overlap."""
+    from graphiti_spark.config import ENTITY_NOUNS_SORTED, RELATION_VERBS_SORTED
+
+    nouns, verbs = list(ENTITY_NOUNS_SORTED), list(RELATION_VERBS_SORTED)
+    rows = [
+        (
+            f"https://t.test/{group}/{i + start}",
+            f"{nouns[i % len(nouns)]} {verbs[i % len(verbs)]} "
+            f"{nouns[(i + 1) % len(nouns)]}",
+            i + start,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, doc_id long")
+    return df.select(
+        "url",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit(group).alias("group_id"),
+        "doc_id",
+    )
+
+
+def test_delta_ingest_touches_only_the_batch_subgraph(spark):
+    """VERDICT r02 #1 'done' criterion: prior-graph rows processed must
+    scale with the BATCH, not the graph. A disjoint-group batch touches
+    zero prior edges/nodes; the merged output still equals one batch."""
+    prior_pages = _synthetic_pages(spark, "gbig", 120)
+    batch_pages = _synthetic_pages(spark, "gnew", 4, start=1000)
+    prior = run_pipeline_from_pages(spark, prior_pages, RunConfig())
+    merged = ingest_incremental(spark, batch_pages, prior)
+
+    # locality: nothing in the prior graph was re-processed
+    assert merged["delta"]["edges_touched_prior"].count() == 0
+    assert merged["delta"]["nodes"]["deletes"].count() == 0
+    n_batch_aliases = merged["delta"]["uuid_map"]["upserts"].count()
+    assert n_batch_aliases <= 12  # ≤ distinct names in a 4-doc batch
+
+    # correctness: merged ≡ one batch over the union
+    full = run_pipeline_from_pages(
+        spark, prior_pages.unionByName(batch_pages), RunConfig()
+    )
+    cols = ["uuid", "source_node_uuid", "target_node_uuid", "name", "fact",
+            "valid_at", "invalid_at", "expired_at"]
+    assert _rows(merged["edges"], *cols) == _rows(full["edges"], *cols)
+    assert _rows(merged["nodes"], "uuid", "name", "mention_count",
+                 "summary") == _rows(full["nodes"], "uuid", "name",
+                                     "mention_count", "summary")
+
+
+def test_delta_ingest_episode_union_touches_one_edge(spark):
+    """A batch repeating ONE prior fact (same group) must touch exactly
+    the colliding edge — episode provenance unions, everything else
+    passes through untouched."""
+    prior_pages = _synthetic_pages(spark, "g1", 60)
+    # doc 0's fact again, new url/timestamp → same edge key, new episode
+    batch_pages = _synthetic_pages(spark, "g1", 1, start=5000).withColumn(
+        "text", F.lit("table dup batch")
+    )
+    # make the repeated fact actually exist in prior: doc with that text
+    prior_pages = prior_pages.unionByName(
+        _synthetic_pages(spark, "g1", 1, start=4000).withColumn(
+            "text", F.lit("table dup batch")
+        )
+    )
+    prior = run_pipeline_from_pages(spark, prior_pages, RunConfig())
+    merged = ingest_incremental(spark, batch_pages, prior)
+
+    touched = merged["delta"]["edges_touched_prior"]
+    assert touched.count() == 1
+    uid = touched.collect()[0].uuid
+    eps = {
+        tuple(r.episodes)
+        for r in merged["edges_merged"].filter(F.col("uuid") == uid).collect()
+    }
+    assert len(next(iter(eps))) == 2  # provenance unioned across batches

@@ -148,6 +148,106 @@ def test_cross_batch_resolve_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _no_broadcast(conf):
+    """Context values for 'this table is too big to broadcast'."""
+    return {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+
+
+def _type_frames(spark, labels_are_small):
+    from graphiti_spark.operators.edge_dedup import enforce_edge_types
+
+    edges = spark.range(100).select(
+        F.col("id").cast("string").alias("source_node_uuid"),
+        F.col("id").cast("string").alias("target_node_uuid"),
+        F.lit("JOIN").alias("name"),
+    )
+    nodes = spark.range(100).select(
+        F.col("id").cast("string").alias("uuid"),
+        F.array(F.lit("Entity"), F.lit("Person")).alias("labels"),
+    )
+    return enforce_edge_types(
+        edges, nodes, {("Person", "Person"): ["JOIN"]},
+        labels_are_small=labels_are_small,
+    )
+
+
+def test_enforce_edge_types_broadcasts_when_small(spark):
+    """D19 label joins broadcast when the caller has MEASURED the node
+    table small (same gate as the D15 remap joins)."""
+    plan = _plan(_type_frames(spark, labels_are_small=True))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_enforce_edge_types_survives_large_labels(spark):
+    """With broadcasting disabled (stand-in for a web-scale nodes table)
+    the D19 label joins must complete as shuffle joins — the labels side
+    spans EVERY node and a forced broadcast would OOM the driver."""
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in _no_broadcast(conf)}
+    try:
+        for k, v in _no_broadcast(conf).items():
+            conf.set(k, v)
+        out = _type_frames(spark, labels_are_small=None)
+        assert out.count() == 100  # completes
+        plan = _plan(out)
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v) if v is not None else conf.unset(k)
+
+
+def test_bm25_broadcasts_only_query_bounded_rows(spark):
+    """The docfreq broadcast must be the qterms SEMI-JOIN result (≤ |query|
+    rows), never the raw per-term docfreq table (web-scale vocabulary →
+    driver OOM). Asserted on runtime exchange metrics: every
+    BroadcastExchange in the executed query moves ≤ |query terms| rows
+    even though the corpus vocabulary is much larger."""
+    from graphiti_spark.search.fulltext import bm25_search, build_postings
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in _no_broadcast(conf)}
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    try:
+        # auto-broadcast off: every BroadcastExchange left in the plan is
+        # HINT-forced — exactly the ones that must stay query-bounded
+        conf.set("spark.sql.adaptive.enabled", "false")
+        for k, v in _no_broadcast(conf).items():
+            conf.set(k, v)
+        corpus = spark.range(200).select(
+            F.col("id"),
+            F.concat(
+                F.lit("fast table unique"), F.col("id").cast("string")
+            ).alias("text"),
+        )  # vocabulary ≈ 202 distinct terms, query has 2
+        idx = build_postings(corpus, "id", "text")
+        out = bm25_search(idx, ["fast", "table"], limit=5)
+        out.collect()
+
+        rows = []
+
+        def walk(node):
+            if "BroadcastExchange" in node.nodeName():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        rows.append(kv._2().value())
+            kids = node.children()
+            for i in range(kids.size()):
+                walk(kids.apply(i))
+
+        walk(out._jdf.queryExecution().executedPlan())
+        assert rows, "expected broadcast exchanges in the bm25 plan"
+        assert max(rows) <= 2, f"broadcast moved {max(rows)} rows (> |query|)"
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        for k, v in saved.items():
+            conf.set(k, v) if v is not None else conf.unset(k)
+
+
 def test_salted_topk_stays_hash_partitioned(spark):
     """The salted two-phase top-k must not collapse into a single
     partition: both windows hash-partition on their keys."""

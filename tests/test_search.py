@@ -284,3 +284,84 @@ def test_all_recipes_honor_contract(spark):
             rows = df.collect()
             assert len(rows) <= H.DEFAULT_SEARCH_LIMIT, (name, channel)
             assert len(rows) > 0, (name, channel)
+
+
+# ---------------------------------------------------- materialized index ---
+
+def _graph_tables_for_postings(spark):
+    edges = spark.createDataFrame(
+        [("e1", "g", "WORKS_AT", "alice works at acme", None),
+         ("e2", "g", "LIVES_IN", "bob lives in paris", None),
+         ("e3", "g", "WORKS_AT", "carol works at acme corp", None)],
+        "uuid string, group_id string, name string, fact string, "
+        "fact_embedding array<float>",
+    )
+    episodes = spark.createDataFrame(
+        [("p1", "g", "alice joined acme in spring"),
+         ("p2", "g", "paris hosts the summit")],
+        "uuid string, group_id string, content string",
+    )
+    return edges, episodes
+
+
+def test_materialized_postings_roundtrip_no_retokenize(spark, tmp_path):
+    """The graph-state postings table answers BM25 identically to the
+    from-scratch path, and its query plan contains NO tokenize/explode —
+    a second query must never re-tokenize the corpus (VERDICT r2 #3)."""
+    from graphiti_spark.search.fulltext import (
+        build_graph_postings,
+        channel_index,
+    )
+
+    edges, episodes = _graph_tables_for_postings(spark)
+    postings = build_graph_postings({"edges": edges, "episodes": episodes})
+    path = str(tmp_path / "postings")
+    postings.write.parquet(path)  # materialize as graph state
+    loaded = spark.read.parquet(path)
+
+    idx = channel_index(loaded, "edges")
+    out = bm25_search(idx, ["alice", "acme"], limit=5)
+    plan = (
+        out._jdf.queryExecution().optimizedPlan().toString()
+        + out._jdf.queryExecution().executedPlan().toString()
+    )
+    # corpus tokenization would show as explode(split(lower(...)));
+    # the only Generate allowed is the literal query-term array
+    assert "explode(split" not in plan
+
+    corpus = edges.select(
+        "uuid", F.concat_ws(" ", "name", "fact").alias("t")
+    )
+    fresh = bm25_search(
+        build_postings(corpus, "uuid", "t"), ["alice", "acme"], limit=5
+    )
+    assert out.collect() == fresh.collect()
+
+
+def test_hybrid_search_consumes_prebuilt_index(spark, tmp_path, monkeypatch):
+    """search(..., graph_postings=...) must never fall back to ad-hoc
+    tokenization for unfiltered bm25 channels."""
+    import graphiti_spark.search.hybrid as hy
+    from graphiti_spark.search.fulltext import build_graph_postings
+
+    edges, episodes = _graph_tables_for_postings(spark)
+    postings = build_graph_postings({"edges": edges, "episodes": episodes})
+    path = str(tmp_path / "postings")
+    postings.write.parquet(path)
+    loaded = spark.read.parquet(path)
+
+    def _boom(*a, **k):
+        raise AssertionError("query re-tokenized the corpus")
+
+    monkeypatch.setattr(hy, "build_postings", _boom)
+    cfg = hy.SearchConfig(
+        edges=hy.ChannelConfig(["bm25"], "rrf"),
+        episodes=hy.ChannelConfig(["bm25"], "rrf"),
+    )
+    res = hy.search(
+        "alice acme", cfg, edges=edges, episodes=episodes,
+        graph_postings=loaded,
+    )
+    got = {r.id for r in res["edges"].collect()}
+    assert got == {"e1", "e3"}
+    assert {r.id for r in res["episodes"].collect()} == {"p1"}

@@ -68,3 +68,84 @@ def test_earliest_closer_wins(spark):
     out = {r.uuid: r for r in
            invalidate_by_candidates(edges, cands, RUN_TS).collect()}
     assert out["e"].invalid_at == _ts(4).replace(tzinfo=None)
+
+
+def _full_edges(spark, rows):
+    """rows: (uuid, src, dst, valid_day) — merged-edge shape (open
+    intervals, null embeddings: the min_score=None path)."""
+    return spark.createDataFrame(
+        [(u, "g", s, d, "R", f"f{u}", None, _ts(v)) for (u, s, d, v) in rows],
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, name string, fact string, "
+        "fact_embedding array<float>, valid_at timestamp",
+    )
+
+
+# a dense endpoint-sharing mesh incl. a hub (h on most edges), distinct
+# and TIED valid_at instants, a self-loop, and an isolated edge
+_MESH = [
+    ("a1", "h", "x", 1), ("a2", "h", "y", 2), ("a3", "h", "x", 2),
+    ("a4", "z", "h", 4), ("a5", "x", "y", 3), ("a6", "y", "z", 1),
+    ("a7", "h", "h", 5), ("a8", "q", "q2", 9),
+]
+
+
+def test_cross_predicate_skyline_equals_pair_form(spark):
+    """invalidate_cross_predicate (O(E) endpoint skyline) must produce
+    EXACTLY the pair-join semantics it replaces on the default DAG."""
+    from graphiti_spark.operators.edge_dedup import invalidation_candidates
+    from graphiti_spark.operators.temporal import invalidate_cross_predicate
+
+    edges = _full_edges(spark, _MESH)
+    cands = invalidation_candidates(
+        edges, edges, min_score=None,
+        per_edge_limit=10**6, per_endpoint_limit=None,  # exact pair form
+    )
+    want = {r.uuid: (r.invalid_at, r.expired_at is not None) for r in
+            invalidate_by_candidates(edges, cands, RUN_TS).collect()}
+    got = {r.uuid: (r.invalid_at, r.expired_at is not None) for r in
+           invalidate_cross_predicate(edges, RUN_TS).collect()}
+    assert got == want
+    # spot semantics: hub edge at day 1 closes at next hub instant (2);
+    # tied instants don't close each other; isolated edge stays open
+    assert got["a1"][0] == _ts(2).replace(tzinfo=None)
+    assert got["a2"][0] == _ts(3).replace(tzinfo=None)  # via y (a5, day 3)
+    assert got["a8"][0] is None
+
+
+def test_cross_predicate_subsumes_predicate_window(spark):
+    """The either-endpoint skyline subsumes the same-(group, subject,
+    predicate) window: composing after invalidate_edges equals running
+    invalidate_cross_predicate directly (the pipeline relies on this)."""
+    from graphiti_spark.operators.temporal import (
+        invalidate_cross_predicate,
+        invalidate_edges,
+    )
+
+    edges = _full_edges(spark, _MESH)
+    direct = {r.uuid: (r.invalid_at, r.expired_at) for r in
+              invalidate_cross_predicate(edges, RUN_TS).collect()}
+    composed = {r.uuid: (r.invalid_at, r.expired_at) for r in
+                invalidate_cross_predicate(
+                    invalidate_edges(edges, RUN_TS), RUN_TS
+                ).collect()}
+    assert direct == composed
+
+
+def test_invalidation_candidates_bounded_on_hub(spark):
+    """One hub endpoint on ~30% of edges: the default caps keep the
+    candidate output ≤ |new| × per_edge_limit instead of O(d²)."""
+    from graphiti_spark.config import RELEVANT_SCHEMA_LIMIT
+    from graphiti_spark.operators.edge_dedup import invalidation_candidates
+
+    n = 300
+    rows = [
+        (f"u{i}", "hub" if i % 3 == 0 else f"s{i}", f"t{i}", (i % 20) + 1)
+        for i in range(n)
+    ]
+    edges = _full_edges(spark, rows)
+    out = invalidation_candidates(edges, edges, min_score=None)
+    cnt = out.count()
+    assert cnt <= n * RELEVANT_SCHEMA_LIMIT
+    per_new = out.groupBy("new_uuid").count().agg(F.max("count")).collect()[0][0]
+    assert per_new <= RELEVANT_SCHEMA_LIMIT
