@@ -612,7 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval layer (Q1-Q9, G1, G5-G7)
         "bm25_documents": _q_bm25_documents,
         "cosine_topk_embeddings": _q_cosine_topk,
-        "ann_lsh_embeddings": _q_ann_lsh,          # rows-only (hash hyperplanes)
+        "ann_lsh_embeddings": _q_ann_lsh,          # oracle: sha256 planes (r3)
         "mmr_embeddings": _q_mmr,                  # oracle: unrolled greedy CTEs
         "bfs_reachable": _q_bfs_reachable,
         "node_distance_src1": _q_node_distance,

@@ -307,8 +307,8 @@ def embedding_near_dup(
     join replaces the O(n²) cross join, which at 10⁹ docs would be 10¹⁸
     pairs). Output (a_id, b_id, cos), a_id < b_id, cos ≥ threshold.
 
-    Deterministic: hyperplanes are blake2b hash chains (no RNG), shared
-    with search.similarity's ANN path. Recall < 1 in theory (bounded in
+    Deterministic: hyperplanes are sha256 hash chains (no RNG,
+    DuckDB-reproducible), shared with search.similarity's ANN path. Recall < 1 in theory (bounded in
     _lsh_params_for_threshold); at the default τ the parameters give
     full recall on the test corpora, asserted by the driver's
     brute-force DuckDB oracle."""

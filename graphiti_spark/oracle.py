@@ -414,6 +414,52 @@ SELECT id, score,
        CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
 FROM topk ORDER BY rank"""
 
+    # Q3 ANN: hyperplane-LSH candidate blocking, then exact cosine top-k.
+    # The planes are sha256 hash chains (similarity._hyperplane): component
+    # i of plane (t, b) = first 13 hex chars of sha256('lsh:{t*1000+b}:{i}')
+    # mapped to [-1, 1) — 52 bits fit a double exactly, so DuckDB derives
+    # bit-identical planes from its own sha256 and the candidate set (any
+    # table whose 8-bit sign bucket equals the query's) matches Spark's.
+    q["ann_lsh_embeddings"] = """WITH
+planes AS (
+  SELECT t AS tbl, b AS bit,
+         list_transform(range(0,64), i ->
+           (('0x' || substr(sha256('lsh:' || (t*1000+b) || ':' || i), 1, 13))::UBIGINT
+            / 4503599627370496.0) * 2.0 - 1.0) AS plane
+  FROM range(0,16) rt(t) CROSS JOIN range(0,8) rb(b)
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+qbuckets AS (
+  SELECT tbl,
+         SUM(CASE WHEN list_inner_product((SELECT q FROM qv), plane) >= 0
+             THEN 1 << bit ELSE 0 END) AS bucket
+  FROM planes GROUP BY tbl
+),
+sigs AS (
+  SELECT e.vec_id, p.tbl,
+         SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+             THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT s.vec_id FROM sigs s JOIN qbuckets qb
+  ON s.tbl = qb.tbl AND s.bucket = qb.bucket
+),
+scored AS (
+  SELECT e.vec_id AS id,
+         round(
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT q FROM qv))
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)))),
+         4) AS score
+  FROM embeddings e JOIN cands c ON e.vec_id = c.vec_id
+),
+topk AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM topk ORDER BY rank"""
+
     # G5: BFS reachability ≤3 hops from the min edge-source node.
     q["bfs_reachable"] = f"""WITH RECURSIVE {EDGES_CTE},
 adj AS (

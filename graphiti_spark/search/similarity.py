@@ -49,13 +49,19 @@ def cosine_topk(
 
 def _hyperplane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a hash chain
-    (no RNG state — reproducible across runs/machines)."""
+    (no RNG state — reproducible across runs/machines).
+
+    Component i = first 13 hex chars (52 bits) of sha256("lsh:seed:i"),
+    mapped to [-1, 1). 52 bits fit a double exactly and the /2^52, *2,
+    -1 steps are all IEEE-exact, so DuckDB recomputes the identical
+    value from its own sha256 — which makes the ANN-LSH oracle fully
+    hash-verifiable (same trick as the r3 simhash re-key)."""
     import hashlib
 
     out = []
     for i in range(dim):
-        h = hashlib.blake2b(f"lsh:{seed}:{i}".encode(), digest_size=8).digest()
-        out.append((int.from_bytes(h, "big") / 2**64) * 2.0 - 1.0)
+        h = hashlib.sha256(f"lsh:{seed}:{i}".encode()).hexdigest()[:13]
+        out.append((int(h, 16) / 2**52) * 2.0 - 1.0)
     return out
 
 
