@@ -461,11 +461,31 @@ def _q_edge_dup_pairs(spark, sf_dir):
 
 
 def _q_invalidation_candidates(spark, sf_dir):
+    """T4 candidate generation, fully oracled (was rows-only): edges
+    carry embeddings mapped from the parquet table by a hex-prefix of
+    their uuid (same device as hybrid_search_edges), so the per-endpoint
+    cap, the cosine gate AND the per-new-edge top-k (which binds at
+    min_score=0.1 on this corpus) are all reproducible in DuckDB."""
     from graphiti_spark.operators.edge_dedup import invalidation_candidates
 
     edges = _pipe(spark, sf_dir)["edges_merged"].filter(F.col("group_id") == "src1")
-    new = edges.orderBy("uuid").limit(5)
-    return invalidation_candidates(new, edges, min_score=0.6)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vecs = emb.count()
+    mapped = (
+        edges.withColumn(
+            "vec_id",
+            F.conv(F.substring("uuid", 1, 4), 16, 10).cast("long") % n_vecs,
+        )
+        .drop("fact_embedding")
+        .join(
+            F.broadcast(
+                emb.select("vec_id", F.col("embedding").alias("fact_embedding"))
+            ),
+            "vec_id",
+        )
+    )
+    new = mapped.orderBy("uuid").limit(5)
+    return invalidation_candidates(new, mapped, min_score=0.1)
 
 
 def _q_episodes_typed_mentions(spark, sf_dir):
@@ -637,10 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_offsets": _q_frame_offsets,
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)
         "edge_dup_pairs_src1": _q_edge_dup_pairs,        # oracle: overlap half
-        # rows-only: the cos column is a blake2b hash-embedding cosine
-        # DuckDB cannot reproduce; the truth-table half is oracled by
-        # edges_temporal_t4 and the cosine gate by test_edge_dedup.py
-        "invalidation_candidates": _q_invalidation_candidates,
+        "invalidation_candidates": _q_invalidation_candidates,  # oracle: mapped embeddings (r3)
         # E7 typed attribute extraction
         "node_attributes": _q_node_attributes,
         # D9/Q7/Q8 incremental ingest vs existing graph

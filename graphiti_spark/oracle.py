@@ -1066,6 +1066,65 @@ pairs AS (
 )
 SELECT DISTINCT src, dst FROM pairs ORDER BY src, dst"""
 
+    # T4 candidate generation (fully oracled from r3 — was rows-only):
+    # the Spark query maps each src1 edge to a parquet embedding by the
+    # first 4 hex chars of its uuid mod |embeddings| (the
+    # hybrid_search_edges device), so every stage of
+    # invalidation_candidates is reproducible: per-endpoint top-64 cap
+    # (valid_at DESC NULLS LAST, uuid), either-endpoint join, exact
+    # cosine ≥ 0.1 gate, DISTINCT, per-new-edge top-10 (cos DESC, uuid).
+    q["invalidation_candidates"] = f"""WITH {EDGES_CTE},
+ic_edges AS MATERIALIZED (
+  SELECT uuid, source_node_uuid, target_node_uuid, valid_at,
+         (
+           (strpos('0123456789abcdef', substr(uuid, 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(uuid, 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(uuid, 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(uuid, 4, 1)) - 1)
+         ) % (SELECT count(*) FROM embeddings) AS vec_id
+  FROM edges WHERE group_id = 'src1'
+),
+ic_vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ic_mapped AS MATERIALIZED (
+  SELECT e.uuid, e.source_node_uuid, e.target_node_uuid, e.valid_at, v.v
+  FROM ic_edges e JOIN ic_vecs v USING (vec_id)
+),
+ic_new AS (SELECT * FROM ic_mapped ORDER BY uuid LIMIT 5),
+ic_new_sides AS (
+  SELECT uuid AS new_uuid,
+         unnest([source_node_uuid, target_node_uuid]) AS endpoint,
+         v AS new_v
+  FROM ic_new
+),
+ic_old_exp AS (
+  SELECT uuid AS candidate_uuid,
+         unnest([source_node_uuid, target_node_uuid]) AS endpoint,
+         v AS old_v, valid_at
+  FROM ic_mapped
+),
+ic_old_capped AS (
+  SELECT candidate_uuid, endpoint, old_v FROM (
+    SELECT *, row_number() OVER (PARTITION BY endpoint
+        ORDER BY valid_at DESC NULLS LAST, candidate_uuid) AS ep_rn
+    FROM ic_old_exp
+  ) WHERE ep_rn <= 64
+),
+ic_gated AS (
+  SELECT DISTINCT new_uuid, candidate_uuid, cos FROM (
+    SELECT n.new_uuid, o.candidate_uuid,
+           round(list_inner_product(n.new_v, o.old_v)
+                 / (sqrt(list_inner_product(n.new_v, n.new_v))
+                    * sqrt(list_inner_product(o.old_v, o.old_v))), 4) AS cos
+    FROM ic_new_sides n JOIN ic_old_capped o USING (endpoint)
+    WHERE n.new_uuid <> o.candidate_uuid
+  ) WHERE cos >= 0.1
+)
+SELECT new_uuid, candidate_uuid, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY new_uuid
+      ORDER BY cos DESC NULLS LAST, candidate_uuid) AS rn
+  FROM ic_gated
+) WHERE rn <= 10 ORDER BY new_uuid, candidate_uuid"""
+
     # Canonical docs: near-dup pairs (word Jaccard ≥ 0.95, the
     # docs_near_dup ground truth) → connected components as 16 unrolled
     # MIN-PROPAGATION rounds (each node adopts the min label within one
