@@ -77,6 +77,15 @@ def run_bench(
     sf_dir: str, cores: int | None, replicate: int = 1, fast: bool = False
 ) -> dict:
     os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
+    # Scaling legs pre-touch the JVM heap before the clock (session.py):
+    # without it, multi-core legs serialize on the host's page-backing
+    # rate when the hypervisor has unbacked the VM's free memory
+    # (measured 8-85 MB/s first-touch vs GB/s re-touch — BENCH/BASELINE.md
+    # round 3). Only in fast/scaling mode: when backing is at its worst
+    # the 16 GB pre-touch itself can take many minutes of JVM startup,
+    # which must not stall the plain per-round bench.
+    if fast:
+        os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     if cores is not None:
         os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     if replicate > 1:

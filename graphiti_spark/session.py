@@ -67,6 +67,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # Pre-back the whole heap at JVM start (provisioning, not throughput):
+    # on this host, FIRST-touch of a fresh page runs at ~60-85 MB/s when
+    # the hypervisor has unbacked the VM's free memory (measured,
+    # BENCH/BASELINE.md round 3) while re-touch runs at GB/s — so an
+    # allocation-heavy multi-core job serializes on page backing unless
+    # the heap is pre-touched once up front. Standard production practice
+    # (-Xms=-Xmx + AlwaysPreTouch on executors); opt-in because tests
+    # prefer fast session spin-up over peak steady-state throughput.
+    if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1":
+        heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", f"-Xms{heap} -XX:+AlwaysPreTouch"
+        )
     # Shuffle/spill dir: the sandbox's virtio /tmp does not scale with
     # cores; tmpfs stands in for the NVMe shuffle volumes a real cluster
     # provisions. BUT tmpfs spill counts against RAM and /dev/shm is
