@@ -293,20 +293,46 @@ def _invalidate_delta(
         .groupBy("uuid")
         .agg(F.min("next_at").alias("closing_at"))
     )
+    # Diff against the stored prior values: most affected-by-endpoint rows
+    # recompute to an IDENTICAL closing (a hub endpoint marks every
+    # incident edge "affected", but only the edges in the gap preceding a
+    # newly inserted instant actually change). Upserting identical rows
+    # is semantically harmless but defeats the MERGE-locality design —
+    # measured on the sf0.1 hub-heavy corpus the raw affected set is ~89%
+    # of the prior graph while the truly-changed set is batch-sized. An
+    # unchanged closing also keeps its ORIGINAL expired_at stamp (the
+    # expiry was set by the run that closed it, not by this batch).
+    prior_vals = untouched_prior.select(
+        "uuid",
+        F.col("invalid_at").alias("_prior_invalid"),
+        F.col("expired_at").alias("_prior_expired"),
+        F.lit(True).alias("_had_prior"),
+    )
+    unchanged_closing = F.col("_had_prior").isNotNull() & F.col(
+        "closing_at"
+    ).eqNullSafe(F.col("_prior_invalid"))
     affected_out = (
         affected.join(closing, "uuid", "left")
+        .join(prior_vals, "uuid", "left")
         .withColumn("invalid_at", F.col("closing_at"))
         .withColumn(
             "expired_at",
-            F.when(F.col("closing_at").isNotNull(), F.lit(run_ts)).otherwise(
-                F.lit(None).cast("timestamp")
+            F.when(unchanged_closing, F.col("_prior_expired")).otherwise(
+                F.when(
+                    F.col("closing_at").isNotNull(), F.lit(run_ts)
+                ).otherwise(F.lit(None).cast("timestamp"))
             ),
         )
-        .drop("closing_at")
+    )
+    changed = affected_out.filter(~unchanged_closing).drop(
+        "closing_at", "_prior_invalid", "_prior_expired", "_had_prior"
+    )
+    affected_out = affected_out.drop(
+        "closing_at", "_prior_invalid", "_prior_expired", "_had_prior"
     )
     unaffected = untouched_prior.join(aff_prior, "uuid", "left_anti")
     full = unaffected.select(*affected_out.columns).unionByName(affected_out)
-    return full, affected_out
+    return full, changed
 
 
 def ingest_incremental(
