@@ -73,6 +73,31 @@ def replicate_corpus(sf_dir: str, factor: int, vary: bool = True) -> str:
     return out_dir
 
 
+def first_touch_mb_s(size_mb: int = 256, budget_s: float = 2.0) -> float:
+    """Measured rate at which the kernel backs FRESH anonymous pages.
+
+    np.empty allocates without touching; the page-strided store then
+    faults each page exactly once, so the timing isolates page-backing
+    (not memset bandwidth). GB/s when the VM's memory is resident;
+    8-85 MB/s when the hypervisor has unbacked the guest's free memory
+    (measured, BENCH/BASELINE.md round 3) — the state that turned a
+    40 s build_cc into 125 s mid-measurement. Chunked with a time budget
+    so the probe itself stays ~2 s even at single-digit MB/s."""
+    import numpy as np
+
+    a = np.empty(size_mb << 20, dtype=np.uint8)
+    t0 = time.monotonic()
+    touched = 0
+    for off in range(0, size_mb, 16):
+        a[off << 20 : (off + 16) << 20 : 4096] = 1
+        touched += 16
+        if time.monotonic() - t0 > budget_s:
+            break
+    dt = max(time.monotonic() - t0, 1e-6)
+    del a
+    return touched / dt
+
+
 def run_bench(
     sf_dir: str, cores: int | None, replicate: int = 1, fast: bool = False
 ) -> dict:
@@ -84,8 +109,24 @@ def run_bench(
     # round 3). Only in fast/scaling mode: when backing is at its worst
     # the 16 GB pre-touch itself can take many minutes of JVM startup,
     # which must not stall the plain per-round bench.
+    touch_rate = None
     if fast:
         os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    elif "SPARK_GRAFT_PRETOUCH" not in os.environ:
+        # Plain per-round mode: decide from a measured probe. When backing
+        # is degraded the in-measurement page faults triple build_cc, so
+        # pre-touching the heap BEFORE the clock is worth its startup
+        # cost — but below ~48 MB/s a 16 GB pre-touch alone would stall
+        # the bench for 5+ minutes, so shrink the heap (sf0.1 fits
+        # comfortably in 8 GB) or, at pathological rates, skip and take
+        # the in-measurement hit. The probe rate is reported in the JSON
+        # so a slow draw is attributable to box state, not code.
+        touch_rate = first_touch_mb_s()
+        if touch_rate >= 200:
+            os.environ["SPARK_GRAFT_PRETOUCH"] = "1"  # ≤ ~80 s for 16 GB
+        elif touch_rate >= 48:
+            os.environ["SPARK_GRAFT_PRETOUCH"] = "1"
+            os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     if cores is not None:
         os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     if replicate > 1:
@@ -186,6 +227,8 @@ def run_bench(
         "cores": sc_cores,
         "dropped_lsh_buckets": dropped,
     }
+    if touch_rate is not None:
+        result["first_touch_mb_s"] = round(touch_rate, 1)
     spark.stop()
     return result
 

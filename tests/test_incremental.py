@@ -232,6 +232,74 @@ def test_delta_ingest_touches_only_the_batch_subgraph(spark):
                                      "mention_count", "summary")
 
 
+def test_delta_preserves_expired_at_of_unchanged_closings(spark):
+    """r3 MERGE locality: a later batch (different run_ts) that inserts a
+    new instant at a shared endpoint must (a) close the open edge in the
+    gap, stamping THIS batch's run_ts, (b) leave an already-closed edge's
+    closing AND its original expired_at untouched (the expiry records the
+    transaction time of the run that closed it), and (c) exclude that
+    unchanged row from the delta upserts."""
+    from datetime import datetime, timezone
+
+    n1, n2, n3, n4 = "spark", "vector", "window", "stream"
+
+    def mk(texts, start_min):
+        rows = [
+            (f"https://t.test/exp/{i + start_min}", t, i + start_min)
+            for i, t in enumerate(texts)
+        ]
+        df = spark.createDataFrame(rows, "url string, text string, doc_id long")
+        return df.select(
+            "url",
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(mins=F.col("doc_id").cast("int"))
+            ).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("gexp").alias("group_id"),
+            "doc_id",
+        )
+
+    t1 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    t2 = datetime(2026, 2, 2, tzinfo=timezone.utc)
+    # minute 0: n1→n2 (closed at minute 1 by the n1 skyline, expired @ t1)
+    # minute 1: n1→n3 (open after the prior run)
+    prior = run_pipeline_from_pages(
+        spark, mk([f"{n1} join {n2}", f"{n1} join {n3}"], 0),
+        RunConfig(run_ts=t1),
+    )
+    merged = ingest_incremental(
+        spark, mk([f"{n1} join {n4}"], 9), prior, RunConfig(run_ts=t2)
+    )
+
+    def by_obj(df):
+        return {
+            obj: df.filter(F.col("fact").contains(obj)).collect()
+            for obj in (n2, n3, n4)
+        }
+
+    edges = by_obj(merged["edges"])
+    assert all(len(v) == 1 for v in edges.values())
+    e12, e13, e14 = edges[n2][0], edges[n3][0], edges[n4][0]
+
+    # (a) the open edge is closed by the new minute-9 instant, expired t2
+    assert e13.invalid_at == datetime(2024, 1, 1, 0, 9)
+    assert e13.expired_at == t2.replace(tzinfo=None)
+    assert e14.invalid_at is None and e14.expired_at is None
+    # (b) the already-closed edge keeps its closing and ORIGINAL expiry
+    assert e12.invalid_at == datetime(2024, 1, 1, 0, 1)
+    assert e12.expired_at == t1.replace(tzinfo=None)
+
+    # (c) MERGE locality: no key/repoint touch; upserts carry only the
+    # new edge and the re-closed edge — never the unchanged row
+    assert merged["delta"]["edges_touched_prior"].count() == 0
+    ups = by_obj(merged["delta"]["edges"]["upserts"])
+    assert len(ups[n2]) == 0
+    assert len(ups[n3]) == 1 and len(ups[n4]) == 1
+
+
 def test_delta_ingest_episode_union_touches_one_edge(spark):
     """A batch repeating ONE prior fact (same group) must touch exactly
     the colliding edge — episode provenance unions, everything else
