@@ -611,6 +611,62 @@ def _q_node_attributes(spark, sf_dir):
     )
 
 
+def _q_docs_name_kernels(spark, sf_dir):
+    """D2/D3/D4 kernels hash-verified end-to-end (were pytest-only):
+    fuzzy normalization, the Shannon-entropy gate and the 3-gram shingle
+    cardinality over each document's first 80 chars — the exact kernels
+    the dedup blocking path applies to entity names (reference
+    dedup_helpers.py:45-94), re-derived independently in DuckDB
+    (list-comprehension entropy)."""
+    from graphiti_spark.functions.dedup_text import (
+        entropy_gate_col,
+        normalize_name_for_fuzzy_col,
+        shingles_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fuzzy = normalize_name_for_fuzzy_col(F.substring(F.col("text"), 1, 80))
+    return docs.select(
+        "doc_id",
+        fuzzy.alias("fuzzy_name"),
+        entropy_gate_col(fuzzy).alias("entropy_ok"),
+        F.size(shingles_col(fuzzy)).cast("long").alias("n_shingles"),
+    )
+
+
+def _q_mentioned_nodes(spark, sf_dir):
+    """G8 mentioned-nodes lookup (was pytest-only): the canonical nodes
+    mentioned by the 5 lexicographically-first episodes — a probe set
+    both sides recompute deterministically (reference
+    search_utils.py:128-146)."""
+    from graphiti_spark.search.graph import get_mentioned_nodes
+
+    out = _pipe(spark, sf_dir)
+    eps = [
+        r.uuid
+        for r in out["episodes"].select("uuid").orderBy("uuid").limit(5).collect()
+    ]
+    return get_mentioned_nodes(out["mention_edges"], out["nodes"], eps).select(
+        "uuid", "name", "group_id", "mention_count", "summary",
+        F.element_at("labels", -1).alias("label"),
+    )
+
+
+def _q_cross_encoder_docs(spark, sf_dir):
+    """Q6 deterministic cross-encoder stand-in (was pytest-only):
+    normalized token overlap |q∩d|/|q| over documents, top-10 with the
+    (score desc, id asc) tie rank (reference cross_encoder client is an
+    external model — SURVEY scopes the deterministic rerank contract)."""
+    from graphiti_spark.search.fuse import token_overlap_rerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return token_overlap_rerank(
+        docs, "fast merge table window", id_col="id", text_col="text", limit=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -658,6 +714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)
         "edge_dup_pairs_src1": _q_edge_dup_pairs,        # oracle: overlap half
         "invalidation_candidates": _q_invalidation_candidates,  # oracle: mapped embeddings (r3)
+        # D2/D3/D4 name kernels, G8 lookup, Q6 rerank (r3: were pytest-only)
+        "docs_name_kernels": _q_docs_name_kernels,
+        "mentioned_nodes": _q_mentioned_nodes,
+        "cross_encoder_docs": _q_cross_encoder_docs,
         # E7 typed attribute extraction
         "node_attributes": _q_node_attributes,
         # D9/Q7/Q8 incremental ingest vs existing graph

@@ -1425,4 +1425,67 @@ WHERE group_id IN ('src1', 'src3')
   AND (valid_at < TIMESTAMP '2024-01-02 00:00:00' OR invalid_at IS NOT NULL)
 ORDER BY uuid"""
 
+    # D2/D3/D4 kernels over raw text heads (fuzzy normalization, Shannon
+    # entropy gate, 3-gram shingle cardinality — dedup_text.py twins of
+    # reference dedup_helpers.py:45-94). Entropy via DuckDB list
+    # comprehensions; the gate is boolean so no float renders/hashes.
+    q["docs_name_kernels"] = r"""WITH base AS (
+  SELECT doc_id, substr(text, 1, 80) AS s FROM documents
+), norm AS (
+  SELECT doc_id,
+    regexp_replace(trim(regexp_replace(
+      regexp_replace(lower(s), '\s+', ' ', 'g'),
+      '[^a-z0-9'' ]', ' ', 'g')), '\s+', ' ', 'g') AS fuzzy_name
+  FROM base
+), stripped AS (
+  SELECT doc_id, fuzzy_name, replace(fuzzy_name, ' ', '') AS sp,
+         length(replace(fuzzy_name, ' ', '')) AS n
+  FROM norm
+), scored AS (
+  SELECT doc_id, fuzzy_name, n,
+    CASE WHEN n = 0 THEN 0.0 ELSE
+      -list_sum([(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))
+        FOR c IN [CAST(len(list_filter([sp[i] FOR i IN range(1, n + 1)],
+                                       x -> x = ch)) AS DOUBLE)
+                  FOR ch IN list_distinct([sp[i] FOR i IN range(1, n + 1)])]])
+    END AS entropy,
+    len(string_split(fuzzy_name, ' ')) AS tokens,
+    CASE WHEN n = 0 THEN 0 WHEN n = 1 THEN 1 WHEN n = 2 THEN 0
+         ELSE len(list_distinct([sp[i:i+2] FOR i IN range(1, n - 1)]))
+    END AS n_shingles
+  FROM stripped
+)
+SELECT doc_id, fuzzy_name,
+       ((length(fuzzy_name) >= 6 OR tokens >= 2) AND entropy >= 1.5)
+         AS entropy_ok,
+       CAST(n_shingles AS BIGINT) AS n_shingles
+FROM scored ORDER BY doc_id"""
+
+    # G8: nodes mentioned by the 5 lexicographically-first episodes.
+    q["mentioned_nodes"] = f"""WITH {NODES_CTE},
+probe_eps AS (SELECT uuid FROM episodes ORDER BY uuid LIMIT 5),
+hit AS (
+  SELECT DISTINCT sha256(group_id || '|' || name) AS uuid
+  FROM mentions
+  WHERE episode_uuid IN (SELECT uuid FROM probe_eps)
+)
+SELECT n.uuid, n.name, n.group_id, n.mention_count, n.summary, n.label
+FROM nodes n JOIN hit USING (uuid) ORDER BY n.uuid"""
+
+    # Q6 deterministic cross-encoder stand-in: token overlap |q∩d|/|q|.
+    q["cross_encoder_docs"] = r"""WITH toks AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split_regex(lower(text), '\s+')) AS terms
+  FROM documents
+), scored AS (
+  SELECT id,
+         round(CAST(len(list_intersect(terms,
+                ['fast', 'merge', 'table', 'window'])) AS DOUBLE) / 4.0, 4)
+           AS score
+  FROM toks
+), topk AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM topk ORDER BY rank"""
+
     return q
