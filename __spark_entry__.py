@@ -611,6 +611,52 @@ def _q_node_attributes(spark, sf_dir):
     )
 
 
+def _q_streaming_merge(spark, sf_dir):
+    """Structured Streaming ingest ≡ one batch, proven in the driver gate
+    (was pytest-only): the corpus split into two feed commits, each
+    drained as a micro-batch (foreachBatch → incremental delta merge →
+    versioned state commit); the final state's flagship edges equal the
+    one-batch pipeline, so the oracle IS the full-batch SQL. The result
+    is collected into an in-memory frame before the temp feed/state/
+    checkpoint dirs are removed."""
+    import os
+    import shutil
+    import tempfile
+
+    from graphiti_spark.pipeline import flagship_select
+    from graphiti_spark.sources.pages import load_pages
+    from graphiti_spark.streaming.ingest import (
+        load_graph_state,
+        run_streaming_ingest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q_streaming_merge_")
+    try:
+        feed = os.path.join(tmp, "feed")
+        state = os.path.join(tmp, "state")
+        ckpt = os.path.join(tmp, "ckpt")
+        pages = load_pages(spark, sf_dir)
+        pages.filter(F.col("doc_id") % 2 == 0).write.parquet(
+            os.path.join(feed, "part=a")
+        )
+        run_streaming_ingest(spark, feed + "/part=a", state, ckpt + "1")
+        pages.filter(F.col("doc_id") % 2 == 1).write.parquet(
+            os.path.join(feed, "part=b")
+        )
+        run_streaming_ingest(spark, feed + "/part=b", state, ckpt + "2")
+
+        got = load_graph_state(spark, state)
+        out = _fmt_ts(
+            flagship_select(got["edges"]),
+            "valid_at", "invalid_at", "expired_at",
+        )
+        # detach from the state parquet before the finally-rmtree (all
+        # string/long columns after _fmt_ts; a few thousand rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_docs_name_kernels(spark, sf_dir):
     """D2/D3/D4 kernels hash-verified end-to-end (were pytest-only):
     fuzzy normalization, the Shannon-entropy gate and the 3-gram shingle
@@ -722,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_attributes": _q_node_attributes,
         # D9/Q7/Q8 incremental ingest vs existing graph
         "incremental_merge": _q_incremental_merge,
+        # Structured Streaming micro-batch ingest ≡ one batch (r3)
+        "streaming_merge": _q_streaming_merge,
         # E6 in-text date extraction (valid_at ≠ warc_ts)
         "edges_dated": _q_edges_dated,
         # T4-driven cross-predicate invalidation (reference truth table)

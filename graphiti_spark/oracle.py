@@ -941,6 +941,9 @@ ORDER BY episode_uuid, subj_name, pred, obj_name"""
     # incremental ≡ batch (the associativity contract of
     # operators/incremental.py).
     q["incremental_merge"] = q["flagship_triples"]
+    # streaming micro-batch drains commit through the same incremental
+    # merge; the final state must equal the one-batch pipeline
+    q["streaming_merge"] = q["flagship_triples"]
 
     # G2/G3 communities: label propagation UNROLLED to the Spark
     # implementation's max_iterations (synchronous rounds; plurality of
