@@ -611,6 +611,52 @@ def _q_node_attributes(spark, sf_dir):
     )
 
 
+def _q_delta_commit_merge(spark, sf_dir):
+    """The MERGE-commit path hash-proven end-to-end (VERDICT r02 #1
+    'done' criterion, jobs/ingest_delta.py shape): batch A saved as a
+    full snapshot, batch B ingested incrementally and committed as a
+    per-table upsert/delete DELTA dir only, state reconstructed
+    merge-on-read (snapshot + delta) — the flagship edges must equal the
+    one-batch pipeline, so the oracle IS the full-batch SQL. Proves the
+    diffed upsert set (unchanged closings excluded) is still complete."""
+    import os
+    import shutil
+    import tempfile
+
+    from graphiti_spark.materialize import (
+        load_graph,
+        load_graph_versions,
+        save_graph,
+        save_graph_delta,
+    )
+    from graphiti_spark.operators.incremental import ingest_incremental
+    from graphiti_spark.pipeline import flagship_select, run_pipeline_from_pages
+    from graphiti_spark.sources.pages import load_pages
+
+    tmp = tempfile.mkdtemp(prefix="q_delta_commit_")
+    try:
+        pages = load_pages(spark, sf_dir)
+        out_a = run_pipeline_from_pages(
+            spark, pages.filter(F.col("doc_id") % 2 == 0), RunConfig()
+        )
+        save_graph(out_a, os.path.join(tmp, "snap"))
+        prior = load_graph(spark, os.path.join(tmp, "snap"))
+        merged = ingest_incremental(
+            spark, pages.filter(F.col("doc_id") % 2 == 1), prior
+        )
+        save_graph_delta(merged["delta"], os.path.join(tmp, "d0"))
+        state = load_graph_versions(
+            spark, [os.path.join(tmp, "snap"), os.path.join(tmp, "d0")]
+        )
+        out = _fmt_ts(
+            flagship_select(state["edges"]),
+            "valid_at", "invalid_at", "expired_at",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_streaming_merge(spark, sf_dir):
     """Structured Streaming ingest ≡ one batch, proven in the driver gate
     (was pytest-only): the corpus split into two feed commits, each
@@ -770,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_merge": _q_incremental_merge,
         # Structured Streaming micro-batch ingest ≡ one batch (r3)
         "streaming_merge": _q_streaming_merge,
+        # snapshot + delta-dir MERGE commit, merge-on-read ≡ one batch (r3)
+        "delta_commit_merge": _q_delta_commit_merge,
         # E6 in-text date extraction (valid_at ≠ warc_ts)
         "edges_dated": _q_edges_dated,
         # T4-driven cross-predicate invalidation (reference truth table)

@@ -944,6 +944,9 @@ ORDER BY episode_uuid, subj_name, pred, obj_name"""
     # streaming micro-batch drains commit through the same incremental
     # merge; the final state must equal the one-batch pipeline
     q["streaming_merge"] = q["flagship_triples"]
+    # snapshot + per-table delta dir reconstructed merge-on-read must
+    # also equal the one-batch pipeline (the MERGE-commit path)
+    q["delta_commit_merge"] = q["flagship_triples"]
 
     # G2/G3 communities: label propagation UNROLLED to the Spark
     # implementation's max_iterations (synchronous rounds; plurality of
