@@ -163,12 +163,20 @@ def _q_edges_type_enforced(spark, sf_dir):
     """D19 on real pipeline output: every extracted predicate is a
     custom type; names not permitted for the (src_label, dst_label)
     pair reset to RELATES_TO."""
-    from graphiti_spark.config import CUSTOM_EDGE_TYPES, EDGE_TYPE_MAP
+    from graphiti_spark.config import (
+        BROADCAST_MAP_MAX_ROWS,
+        CUSTOM_EDGE_TYPES,
+        EDGE_TYPE_MAP,
+    )
     from graphiti_spark.operators.edge_dedup import enforce_edge_types
 
     out = _pipe(spark, sf_dir)
+    # measured-size broadcast gate, not bare AQE (CLAUDE.md: AQE's
+    # runtime conversion still materializes the planned map stage)
+    labels_small = out["nodes"].count() <= BROADCAST_MAP_MAX_ROWS
     enforced = enforce_edge_types(
-        out["edges_merged"], out["nodes"], EDGE_TYPE_MAP, set(CUSTOM_EDGE_TYPES)
+        out["edges_merged"], out["nodes"], EDGE_TYPE_MAP,
+        set(CUSTOM_EDGE_TYPES), labels_are_small=labels_small,
     )
     return enforced.select(
         "uuid", "group_id", "source_node_uuid", "target_node_uuid", "name",
@@ -317,21 +325,17 @@ def _q_communities(spark, sf_dir):
     return comm["communities"].select("uuid", "name", "group_id", "member_count")
 
 
-def _q_hybrid_search(spark, sf_dir):
-    """Q1 over the GRAPH edges through the real search() driver, fully
-    oracled (was rows-only in r2): edges carry embeddings mapped from
-    the parquet table by a hex-prefix of their uuid, and the query
-    vector is embeddings row 0, so DuckDB reproduces both channels
-    (BM25 over name+fact, cosine over the mapped vectors) and the RRF
-    fusion exactly."""
-    from graphiti_spark.search.hybrid import EDGE_HYBRID_SEARCH_RRF, search
-
-    out = _pipe(spark, sf_dir)
+def _map_edge_embeddings(spark, sf_dir, edges: DataFrame) -> DataFrame:
+    """Replace fact_embedding with a vector from embeddings.parquet keyed
+    by a hex-prefix of the edge uuid — a DuckDB-reproducible mapping
+    (conv(substr(uuid,1,4),16,10) % n_vecs) shared by every oracle that
+    needs real-valued edge embeddings (hybrid_search_edges,
+    invalidation_candidates). One definition so the Spark device and its
+    SQL twins can never drift apart silently."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_vecs = emb.count()
-    edges = (
-        out["edges"]
-        .withColumn(
+    return (
+        edges.withColumn(
             "vec_id",
             F.conv(F.substring("uuid", 1, 4), 16, 10).cast("long") % n_vecs,
         )
@@ -343,6 +347,19 @@ def _q_hybrid_search(spark, sf_dir):
             "vec_id",
         )
     )
+
+
+def _q_hybrid_search(spark, sf_dir):
+    """Q1 over the GRAPH edges through the real search() driver, fully
+    oracled (was rows-only in r2): edges carry embeddings mapped from
+    the parquet table by a hex-prefix of their uuid, and the query
+    vector is embeddings row 0, so DuckDB reproduces both channels
+    (BM25 over name+fact, cosine over the mapped vectors) and the RRF
+    fusion exactly."""
+    from graphiti_spark.search.hybrid import EDGE_HYBRID_SEARCH_RRF, search
+
+    out = _pipe(spark, sf_dir)
+    edges = _map_edge_embeddings(spark, sf_dir, out["edges"])
     res = search(
         "fast table merge",
         EDGE_HYBRID_SEARCH_RRF,
@@ -469,21 +486,7 @@ def _q_invalidation_candidates(spark, sf_dir):
     from graphiti_spark.operators.edge_dedup import invalidation_candidates
 
     edges = _pipe(spark, sf_dir)["edges_merged"].filter(F.col("group_id") == "src1")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n_vecs = emb.count()
-    mapped = (
-        edges.withColumn(
-            "vec_id",
-            F.conv(F.substring("uuid", 1, 4), 16, 10).cast("long") % n_vecs,
-        )
-        .drop("fact_embedding")
-        .join(
-            F.broadcast(
-                emb.select("vec_id", F.col("embedding").alias("fact_embedding"))
-            ),
-            "vec_id",
-        )
-    )
+    mapped = _map_edge_embeddings(spark, sf_dir, edges)
     new = mapped.orderBy("uuid").limit(5)
     return invalidation_candidates(new, mapped, min_score=0.1)
 

@@ -150,7 +150,15 @@ def apply_graph_delta(spark: SparkSession, base: dict, path: str) -> dict:
         up = spark.read.parquet(up_dir)
         b = out.get(table)
         if b is None:
-            out[table] = up
+            # A base without this table (a pre-delta snapshot) cannot be
+            # patched from a batch-sized upsert set — installing the
+            # partial frame as the WHOLE table would silently corrupt
+            # every later merge (a uuid_map missing its prior components
+            # breaks repoint detection; partial postings drop most of
+            # the corpus from BM25). Leave the table absent: consumers
+            # rebuild a missing table from first principles
+            # (ingest_incremental reconstructs uuid_map from pairs and
+            # postings from the merged corpus).
             continue
         dead = up.select(*keys).distinct()
         del_dir = os.path.join(target, "deletes")

@@ -267,8 +267,14 @@ def _invalidate_delta(
         .distinct()
     )
     affected_prior = untouched_prior.join(aff_prior, "uuid", "left_semi")
-    affected = affected_prior.select(*base_cols).unionByName(
-        recomputed.select(*base_cols)
+    # _recomputed rows changed content (episodes/embedding re-merge) and
+    # are ALWAYS upserted, whatever their closing does
+    affected = (
+        affected_prior.select(*base_cols)
+        .withColumn("_recomputed", F.lit(False))
+        .unionByName(
+            recomputed.select(*base_cols).withColumn("_recomputed", F.lit(True))
+        )
     )
 
     # skylines for every endpoint an affected edge touches (the one-ring
@@ -301,16 +307,26 @@ def _invalidate_delta(
     # measured on the sf0.1 hub-heavy corpus the raw affected set is ~89%
     # of the prior graph while the truly-changed set is batch-sized. An
     # unchanged closing also keeps its ORIGINAL expired_at stamp (the
-    # expiry was set by the run that closed it, not by this batch).
-    prior_vals = untouched_prior.select(
-        "uuid",
-        F.col("invalid_at").alias("_prior_invalid"),
-        F.col("expired_at").alias("_prior_expired"),
-        F.lit(True).alias("_had_prior"),
+    # expiry was set by the run that closed it, not by this batch) —
+    # including for RE-MERGED edges (episode union keeps the edge uuid),
+    # so prior values come from the WHOLE prior, not just untouched rows.
+    prior_vals = (
+        untouched_prior.select("uuid", "invalid_at", "expired_at")
+        .unionByName(touched_prior.select("uuid", "invalid_at", "expired_at"))
+        .select(
+            "uuid",
+            F.col("invalid_at").alias("_prior_invalid"),
+            F.col("expired_at").alias("_prior_expired"),
+            F.lit(True).alias("_had_prior"),
+        )
     )
     unchanged_closing = F.col("_had_prior").isNotNull() & F.col(
         "closing_at"
     ).eqNullSafe(F.col("_prior_invalid"))
+    helper_cols = (
+        "closing_at", "_prior_invalid", "_prior_expired", "_had_prior",
+        "_recomputed",
+    )
     affected_out = (
         affected.join(closing, "uuid", "left")
         .join(prior_vals, "uuid", "left")
@@ -324,12 +340,10 @@ def _invalidate_delta(
             ),
         )
     )
-    changed = affected_out.filter(~unchanged_closing).drop(
-        "closing_at", "_prior_invalid", "_prior_expired", "_had_prior"
-    )
-    affected_out = affected_out.drop(
-        "closing_at", "_prior_invalid", "_prior_expired", "_had_prior"
-    )
+    changed = affected_out.filter(
+        F.col("_recomputed") | ~unchanged_closing
+    ).drop(*helper_cols)
+    affected_out = affected_out.drop(*helper_cols)
     unaffected = untouched_prior.join(aff_prior, "uuid", "left_anti")
     full = unaffected.select(*affected_out.columns).unionByName(affected_out)
     return full, changed
@@ -440,11 +454,20 @@ def ingest_incremental(
 
     rp_src = repoint.select(F.col("uuid").alias("source_node_uuid"))
     rp_dst = repoint.select(F.col("uuid").alias("target_node_uuid"))
-    t_repoint = (
+    # dedupe NARROW uuid sets, then one semi-join fetches the wide rows:
+    # dropDuplicates over embedding-wide rows would SortAggregate the
+    # full 64-float payload through the exchange (CLAUDE.md gotcha)
+    t_repoint_uuids = (
         prior_edges.join(rp_src, "source_node_uuid", "left_semi")
-        .unionByName(prior_edges.join(rp_dst, "target_node_uuid", "left_semi"))
-        .dropDuplicates(["uuid"])
+        .select("uuid")
+        .unionByName(
+            prior_edges.join(rp_dst, "target_node_uuid", "left_semi").select(
+                "uuid"
+            )
+        )
+        .distinct()
     )
+    t_repoint = prior_edges.join(t_repoint_uuids, "uuid", "left_semi")
     # keys the re-pointed edges will occupy after remap: an untouched
     # edge already sitting on such a key must merge episodes with them
     # (no cascade: its own endpoints are not re-pointed, so its key is
@@ -464,10 +487,11 @@ def ingest_incremental(
         .distinct()
     )
     colliding_keys = new_keys.unionByName(repointed_keys).distinct()
-    t_key = prior_edges.join(colliding_keys, "uuid", "left_semi")
-    touched_prior = (
-        t_repoint.unionByName(t_key).dropDuplicates(["uuid"]).localCheckpoint()
-    )
+    touched_prior = prior_edges.join(
+        t_repoint_uuids.unionByName(colliding_keys).distinct(),
+        "uuid",
+        "left_semi",
+    ).localCheckpoint()
     untouched_prior = prior_edges.join(
         touched_prior.select("uuid"), "uuid", "left_anti"
     )

@@ -200,7 +200,13 @@ def search(
     def _idx(channel: str, filtered: bool) -> dict | None:
         if graph_postings is None or filtered:
             return None
-        return channel_index(graph_postings, channel)
+        idx = channel_index(graph_postings, channel)
+        # a channel the materialized table never indexed must fall back
+        # to ad-hoc postings over the passed corpus, not silently score
+        # zero rows (isEmpty is a limit-1 probe on the filtered scan)
+        if idx["postings"].isEmpty():
+            return None
+        return idx
 
     if query_vec is None:
         query_vec = embed_text(query)

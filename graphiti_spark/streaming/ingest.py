@@ -122,7 +122,7 @@ def _commit_graph_version(
 
 
 def make_ingest_batch_fn(
-    state_dir: str, cfg: RunConfig | None = None, stream_id: str | None = None
+    state_dir: str, cfg: RunConfig | None = None, *, stream_id: str
 ):
     """The foreachBatch callback: first batch runs the full pipeline,
     every later batch ingests incrementally against the latest graph
@@ -131,7 +131,12 @@ def make_ingest_batch_fn(
     ``stream_id`` identifies the stream RUN the batch ids belong to
     (run_streaming_ingest passes its checkpoint dir): Spark batch ids are
     monotone only within one checkpoint, so the replay guard below must
-    never compare ids across different streams feeding the same graph."""
+    never compare ids across different streams feeding the same graph.
+    REQUIRED with no default on purpose: it must be stable across
+    restarts of the same stream (a random per-callback id would re-merge
+    a crash-replayed committed batch) yet distinct per feed (a shared
+    default would skip a second feed's batch 0 as a "replay") — only the
+    caller knows its checkpoint identity, so the caller must say."""
     cfg = cfg or RunConfig()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

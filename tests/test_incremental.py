@@ -233,15 +233,16 @@ def test_delta_ingest_touches_only_the_batch_subgraph(spark):
 
 
 def test_delta_preserves_expired_at_of_unchanged_closings(spark):
-    """r3 MERGE locality: a later batch (different run_ts) that inserts a
-    new instant at a shared endpoint must (a) close the open edge in the
-    gap, stamping THIS batch's run_ts, (b) leave an already-closed edge's
-    closing AND its original expired_at untouched (the expiry records the
-    transaction time of the run that closed it), and (c) exclude that
-    unchanged row from the delta upserts."""
+    """r3 MERGE locality + bi-temporal fidelity under a later run_ts:
+    (a) edges newly closed by the batch's instants stamp THIS batch's
+    run_ts; (b) an affected-but-unchanged UNTOUCHED edge keeps its
+    closing and original expiry and is EXCLUDED from the delta upserts;
+    (c) a RE-MERGED edge (key collision → episode union) whose closing
+    is unchanged is upserted (its provenance changed) but still keeps
+    the expiry stamped by the run that actually closed it."""
     from datetime import datetime, timezone
 
-    n1, n2, n3, n4 = "spark", "vector", "window", "stream"
+    n1, n2, n3, n4, n5, n6 = "spark", "vector", "window", "stream", "batch", "hash"
 
     def mk(texts, start_min):
         rows = [
@@ -264,40 +265,56 @@ def test_delta_preserves_expired_at_of_unchanged_closings(spark):
 
     t1 = datetime(2026, 1, 1, tzinfo=timezone.utc)
     t2 = datetime(2026, 2, 2, tzinfo=timezone.utc)
-    # minute 0: n1→n2 (closed at minute 1 by the n1 skyline, expired @ t1)
-    # minute 1: n1→n3 (open after the prior run)
+    f12, f13 = f"{n1} join {n2}", f"{n1} join {n3}"
+    f25, f26 = f"{n2} join {n5}", f"{n2} join {n6}"
+    f14 = f"{n1} join {n4}"
+    # prior instants: n1@{0,1}, n2@{0,2,3} → e12 closes @1, e25 @3 (both
+    # expired t1); e13 and e26 stay open after the prior run
     prior = run_pipeline_from_pages(
-        spark, mk([f"{n1} join {n2}", f"{n1} join {n3}"], 0),
-        RunConfig(run_ts=t1),
+        spark, mk([f12, f13, f25, f26], 0), RunConfig(run_ts=t1)
     )
+    # batch: new fact n1→n4 @9 and a RE-STATEMENT of f12 @10. The
+    # re-statement merges into e12 (key collision → touched/re-merged)
+    # WITHOUT adding an instant — the merged edge keeps its earliest
+    # valid_at (one-batch semantics). Only n1@9/n4@9 are new instants.
     merged = ingest_incremental(
-        spark, mk([f"{n1} join {n4}"], 9), prior, RunConfig(run_ts=t2)
+        spark, mk([f14, f12], 9), prior, RunConfig(run_ts=t2)
     )
 
-    def by_obj(df):
+    def by_fact(df):
         return {
-            obj: df.filter(F.col("fact").contains(obj)).collect()
-            for obj in (n2, n3, n4)
+            f: df.filter(F.col("fact") == f).collect()
+            for f in (f12, f13, f25, f26, f14)
         }
 
-    edges = by_obj(merged["edges"])
+    m = datetime(2024, 1, 1, 0, 0)
+    mins = lambda k: m.replace(minute=k)  # noqa: E731
+    t1n, t2n = t1.replace(tzinfo=None), t2.replace(tzinfo=None)
+
+    edges = by_fact(merged["edges"])
     assert all(len(v) == 1 for v in edges.values())
-    e12, e13, e14 = edges[n2][0], edges[n3][0], edges[n4][0]
+    e12, e13, e25, e26, e14 = (edges[f][0] for f in (f12, f13, f25, f26, f14))
 
-    # (a) the open edge is closed by the new minute-9 instant, expired t2
-    assert e13.invalid_at == datetime(2024, 1, 1, 0, 9)
-    assert e13.expired_at == t2.replace(tzinfo=None)
-    assert e14.invalid_at is None and e14.expired_at is None
-    # (b) the already-closed edge keeps its closing and ORIGINAL expiry
-    assert e12.invalid_at == datetime(2024, 1, 1, 0, 1)
-    assert e12.expired_at == t1.replace(tzinfo=None)
+    # (a) the edge the new n1@9 instant closes stamps t2; the new edge
+    # and e26 (no later instant at their endpoints) stay open
+    assert (e13.invalid_at, e13.expired_at) == (mins(9), t2n)
+    assert (e26.invalid_at, e26.expired_at) == (None, None)
+    assert (e14.invalid_at, e14.expired_at) == (None, None)
+    # (b) affected-but-unchanged untouched edges keep closing + expiry
+    assert (e25.invalid_at, e25.expired_at) == (mins(3), t1n)
+    # (c) the re-merged edge's closing is unchanged → expiry PRESERVED
+    assert (e12.invalid_at, e12.expired_at) == (mins(1), t1n)
 
-    # (c) MERGE locality: no key/repoint touch; upserts carry only the
-    # new edge and the re-closed edge — never the unchanged row
-    assert merged["delta"]["edges_touched_prior"].count() == 0
-    ups = by_obj(merged["delta"]["edges"]["upserts"])
-    assert len(ups[n2]) == 0
-    assert len(ups[n3]) == 1 and len(ups[n4]) == 1
+    # exactly the re-stated edge was touched
+    touched = merged["delta"]["edges_touched_prior"]
+    assert [r.fact for r in touched.collect()] == [f12]
+
+    ups = by_fact(merged["delta"]["edges"]["upserts"])
+    assert len(ups[f25]) == 0          # unchanged untouched: not upserted
+    assert len(ups[f26]) == 0          # unchanged (still-open) ditto
+    assert len(ups[f12]) == 1          # re-merged: upserted...
+    assert ups[f12][0].expired_at == t1n  # ...with the ORIGINAL expiry
+    assert len(ups[f13]) == 1 and len(ups[f14]) == 1
 
 
 def test_delta_ingest_episode_union_touches_one_edge(spark):

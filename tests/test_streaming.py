@@ -87,7 +87,7 @@ def test_crash_replay_of_committed_batch_is_noop(spark, tmp_path):
 
     state = str(tmp_path / "replay_state")
     os.makedirs(state, exist_ok=True)
-    fn = make_ingest_batch_fn(state)
+    fn = make_ingest_batch_fn(state, stream_id="replay-test")
     batch = load_pages(spark, SF).limit(40)
 
     fn(batch, 0)
