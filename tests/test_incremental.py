@@ -140,6 +140,27 @@ def test_incremental_equals_batch_with_dated_content(spark):
     pages.unpersist()
 
 
+def test_apply_graph_delta_never_fabricates_missing_tables(spark, tmp_path):
+    """A base snapshot WITHOUT a table cannot be patched from a
+    batch-sized upsert set: installing the partial frame as the whole
+    table would silently corrupt later merges (a uuid_map missing its
+    prior components breaks repoint detection). The table must stay
+    absent so consumers rebuild it from first principles."""
+    from graphiti_spark.materialize import apply_graph_delta, save_graph_delta
+
+    up = spark.range(3).select(
+        F.col("id").cast("string").alias("uuid"),
+        F.col("id").cast("string").alias("canonical_uuid"),
+    )
+    save_graph_delta({"uuid_map": {"upserts": up}}, str(tmp_path / "d0"))
+    base = {
+        "edges": spark.range(1).select(F.col("id").cast("string").alias("uuid"))
+    }
+    out = apply_graph_delta(spark, base, str(tmp_path / "d0"))
+    assert "uuid_map" not in out
+    assert out["edges"].count() == 1  # untargeted base tables untouched
+
+
 def test_get_relevant_nodes_probe(spark):
     """Q7: a probe name retrieves its near-duplicate existing candidates
     through the LSH index (and not unrelated names)."""

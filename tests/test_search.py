@@ -365,3 +365,29 @@ def test_hybrid_search_consumes_prebuilt_index(spark, tmp_path, monkeypatch):
     got = {r.id for r in res["edges"].collect()}
     assert got == {"e1", "e3"}
     assert {r.id for r in res["episodes"].collect()} == {"p1"}
+
+
+def test_hybrid_missing_channel_falls_back_to_adhoc(spark, tmp_path):
+    """A channel the materialized postings table never indexed must fall
+    back to ad-hoc postings over the passed corpus — not silently score
+    zero rows."""
+    import graphiti_spark.search.hybrid as hy
+    from graphiti_spark.search.fulltext import build_graph_postings
+
+    edges, episodes = _graph_tables_for_postings(spark)
+    postings = build_graph_postings({"edges": edges})  # NO episodes channel
+    path = str(tmp_path / "postings_edges_only")
+    postings.write.parquet(path)
+    loaded = spark.read.parquet(path)
+
+    cfg = hy.SearchConfig(
+        edges=hy.ChannelConfig(["bm25"], "rrf"),
+        episodes=hy.ChannelConfig(["bm25"], "rrf"),
+    )
+    res = hy.search(
+        "alice acme", cfg, edges=edges, episodes=episodes,
+        graph_postings=loaded,
+    )
+    assert {r.id for r in res["edges"].collect()} == {"e1", "e3"}
+    # the unindexed channel still answers, via the ad-hoc fallback
+    assert {r.id for r in res["episodes"].collect()} == {"p1"}
