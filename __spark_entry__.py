@@ -248,6 +248,15 @@ def _q_ann_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, _query_vec(spark, sf_dir), limit=10)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from graphiti_spark.search.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_ivf(
+        emb, _query_vec(spark, sf_dir), limit=10, n_cells=16, n_probe=4
+    )
+
+
 def _q_mmr(spark, sf_dir):
     from graphiti_spark.search.fuse import mmr_rerank
     from graphiti_spark.search.similarity import cosine_topk
@@ -784,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_documents": _q_bm25_documents,
         "cosine_topk_embeddings": _q_cosine_topk,
         "ann_lsh_embeddings": _q_ann_lsh,          # oracle: sha256 planes (r3)
+        "ann_ivf_embeddings": _q_ann_ivf,          # oracle: sha256 centroids (r3)
         "mmr_embeddings": _q_mmr,                  # oracle: unrolled greedy CTEs
         "bfs_reachable": _q_bfs_reachable,
         "node_distance_src1": _q_node_distance,

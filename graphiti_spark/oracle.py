@@ -460,6 +460,58 @@ SELECT id, score,
        CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
 FROM topk ORDER BY rank"""
 
+    # Q3 ANN (IVF): deterministic centroids = the 16 embeddings whose
+    # sha256(vec_id-as-string) is smallest (similarity.ivf_centroids);
+    # every vector joins its max-cosine centroid (ties -> min cid); the
+    # query probes its 4 nearest cells, then exact cosine top-k over the
+    # probed candidates. Cosines stay UNROUNDED here: both engines fold
+    # doubles left-to-right (F.aggregate == list_inner_product, proven by
+    # the cosine_topk oracle), so the raw doubles are bit-identical and
+    # `+ 0.0` only normalizes IEEE -0.0 before the DESC/cid ordering.
+    q["ann_ivf_embeddings"] = """WITH
+cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+         / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(c.cvec, c.cvec))) + 0.0 AS s
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM assign) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           list_inner_product((SELECT q FROM qv), c.cvec)
+           / (sqrt(list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)))
+              * sqrt(list_inner_product(c.cvec, c.cvec))) + 0.0 AS s
+    FROM cent c) ORDER BY s DESC, cid ASC LIMIT 4
+),
+cands AS (SELECT vec_id FROM cells JOIN qprobe USING (cid)),
+scored AS (
+  SELECT e.vec_id AS id,
+         round(
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT q FROM qv))
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)))),
+         4) AS score
+  FROM embeddings e JOIN cands c ON e.vec_id = c.vec_id
+),
+topk AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM topk ORDER BY rank"""
+
     # G5: BFS reachability ≤3 hops from the min edge-source node.
     q["bfs_reachable"] = f"""WITH RECURSIVE {EDGES_CTE},
 adj AS (

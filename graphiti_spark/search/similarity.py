@@ -11,12 +11,22 @@ search_utils.py:285-430, min score 0.6 at :64). Here:
                         1000-executor cluster scans a small fraction of
                         rows. Recall <1.0 by construction (tested ≥0.6
                         vs brute force at 16 tables × 8 bits).
+  - ``cosine_topk_ivf`` inverted-file (IVF) cells — the other classic ANN
+                        scale path: vectors are assigned once to their
+                        nearest of ``n_cells`` deterministic centroids;
+                        a query scans only its ``n_probe`` nearest cells.
+                        At cluster scale the assignment is a build-once
+                        table partitioned by ``cell`` (ivf_assign), so a
+                        query touches n_probe partitions instead of the
+                        corpus.
 
 Both keep scores in IEEE double and round to 4 dp before ranking so
 result order is engine-reproducible (ties broken by id).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -82,6 +92,121 @@ def lsh_bucket_col(vec_col, dim: int, n_bits: int, table: int):
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
     return bucket
+
+
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """Deterministic IVF centroid pick: the ``n_cells`` rows whose
+    sha256(CAST(id AS STRING)) is smallest — a content-derived uniform
+    sample with no RNG state, so reruns (and the DuckDB oracle) select
+    identical centroids. Output (cid, cvec double[]).
+
+    A k-means refinement would tighten cells but costs iterations and is
+    seed-dependent; hash-sampled centroids keep the index reproducible,
+    which this engine values over the last few recall points (swap in
+    k-means offline if needed — the probe/assign contract is unchanged).
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+            F.sha2(F.col(id_col).cast("string"), 256).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(n_cells)
+        .drop("_h")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties →
+    min cid). Output (id, vec, cell).
+
+    Broadcast cross join against the tiny centroid frame, then a
+    map-side-combinable min(struct) argmax — no window sort over the
+    corpus. ``+ 0.0`` twice normalizes IEEE −0.0 so the struct ordering
+    matches the oracle's ORDER BY s DESC, cid ASC bit-for-bit. At 100 TB
+    this runs once at build time; materialize the result partitioned by
+    ``cell`` so queries prune to their probe cells."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col("cid"),
+        # neg-score so min(struct) = (max score, then MIN cid on ties)
+        (
+            -(cosine_col(F.col(vec_col), F.col("cvec")) + F.lit(0.0))
+            + F.lit(0.0)
+        ).alias("ns"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.min(F.struct("ns", "cid")).alias("best"),
+            F.first("vec").alias("vec"),  # all copies identical per id
+        )
+        .select("id", "vec", F.col("best.cid").alias("cell"))
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    limit: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: scan only the ``n_probe`` cells whose
+    centroids are nearest the query, then exact cosine over candidates.
+
+    Pass a prebuilt (``centroids``, ``assigned``) pair to skip the
+    build-time work (the cluster-scale calling convention); otherwise
+    both are derived from ``df`` inline.
+
+    The probe scores are computed driver-side with a left-to-right
+    double fold — the same IEEE evaluation order as cosine_col's
+    F.aggregate and DuckDB's list_inner_product, so all three engines
+    select identical probe cells (ties broken by cid)."""
+    if centroids is None:
+        centroids = ivf_centroids(df, id_col, vec_col, n_cells)
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    qd = [float(x) for x in query_vec]
+    qn = math.sqrt(_fold_dot(qd, qd))
+    probes = []
+    for row in centroids.collect():  # bounded by n_cells, not data
+        cv = [float(x) for x in row["cvec"]]
+        cn = math.sqrt(_fold_dot(cv, cv))
+        s = 0.0 if qn == 0 or cn == 0 else _fold_dot(qd, cv) / (qn * cn)
+        probes.append((s + 0.0, row["cid"]))
+    probes.sort(key=lambda t: (-t[0], t[1]))
+    probe_cells = [cid for _, cid in probes[:n_probe]]
+
+    candidates = assigned.filter(F.col("cell").isin(probe_cells)).select(
+        "id", "vec"
+    )
+    return cosine_topk(
+        candidates, query_vec, id_col="id", vec_col="vec", limit=limit
+    )
 
 
 def cosine_topk_lsh(

@@ -18,7 +18,13 @@ from graphiti_spark.search.graph import (
     episode_mentions_rerank,
     node_distance_rerank,
 )
-from graphiti_spark.search.similarity import cosine_topk, cosine_topk_lsh
+from graphiti_spark.search.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    ivf_assign,
+    ivf_centroids,
+)
 from graphiti_spark.operators.communities import label_propagation
 
 
@@ -76,6 +82,66 @@ def test_cosine_lsh_recall(spark):
     approx = {r.id for r in cosine_topk_lsh(df, q, limit=10).collect()}
     assert 0 in approx  # the query vector itself must be found
     assert len(exact & approx) / 10 >= 0.6
+
+
+def test_cosine_ivf_full_probe_equals_exact(spark):
+    """n_probe == n_cells scans every cell — must reproduce brute force."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[3]]
+    exact = [(r.id, r.score) for r in cosine_topk(df, q, limit=10).collect()]
+    ivf = [
+        (r.id, r.score)
+        for r in cosine_topk_ivf(
+            df, q, limit=10, n_cells=4, n_probe=4
+        ).collect()
+    ]
+    assert ivf == exact
+
+
+def test_cosine_ivf_recall_clustered(spark):
+    """The honest IVF use case: clustered vectors. The query's true
+    neighbors share its cluster, the cluster maps to few cells, so a
+    small probe recovers them."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(10, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(200):
+        c = centers[i % 10]
+        v = c + 0.05 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v.astype("float32")]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in np.asarray(rows[0][1])]
+    exact = {r.id for r in cosine_topk(df, q, limit=10).collect()}
+    approx = {
+        r.id
+        for r in cosine_topk_ivf(df, q, limit=10, n_cells=16, n_probe=4).collect()
+    }
+    assert 0 in approx  # the query vector itself must be found
+    assert len(exact & approx) / 10 >= 0.8
+
+
+def test_ivf_assignment_deterministic_and_total(spark):
+    """Every vector gets exactly one cell; reruns pick identical
+    centroids (content-derived sha256 sample, no RNG)."""
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cent1 = [r.cid for r in ivf_centroids(df, n_cells=6).collect()]
+    cent2 = [r.cid for r in ivf_centroids(df, n_cells=6).collect()]
+    assert cent1 == cent2 and len(cent1) == 6
+    assigned = ivf_assign(df, ivf_centroids(df, n_cells=6))
+    rows = assigned.collect()
+    assert len(rows) == 40 and len({r.id for r in rows}) == 40
+    assert {r.cell for r in rows} <= set(cent1)
 
 
 def test_rrf_fusion(spark):
