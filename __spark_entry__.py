@@ -467,6 +467,89 @@ def _q_docs_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _pii_docs(spark, sf_dir):
+    """The synthetic corpus contains no natural PII, so the PII queries
+    run over a deterministically augmented text: selected docs get a
+    synthesized email / IPv4 / phone derived from doc_id. The oracle
+    builds the identical augmented column in SQL, so the hash compare
+    exercises real matches, not an all-zero scan."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.withColumn("text", aug)
+
+
+def _q_docs_pii(spark, sf_dir):
+    from graphiti_spark.operators.curation import pii_scan
+
+    return pii_scan(_pii_docs(spark, sf_dir))
+
+
+def _q_docs_pii_redacted(spark, sf_dir):
+    from graphiti_spark.operators.curation import pii_redact
+
+    return pii_redact(_pii_docs(spark, sf_dir))
+
+
+def _q_docs_decontaminated(spark, sf_dir):
+    """Benchmark suite = every 97th document. The corpus's near-dups
+    share no verbatim 13-token runs, so to exercise real cross-doc
+    matches (not just benchmark self-hits) every 41st doc gets doc 0's
+    first 13 tokens appended — deterministic and reproduced verbatim by
+    the DuckDB oracle, like the PII augmentation."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.curation import decontaminate
+
+    d = _docs(spark, sf_dir)
+    span = " ".join(
+        d.filter(F.col("doc_id") == 0).head()["text"].lower().strip().split()[:13]
+    )
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.concat(F.col("text"), F.lit(" " + span)),
+        ).otherwise(F.col("text")),
+    )
+    return decontaminate(aug, aug.filter(F.col("doc_id") % 97 == 0))
+
+
+def _q_docs_chunks(spark, sf_dir):
+    from graphiti_spark.operators.curation import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir), size=64, overlap=16)
+
+
 def _q_media_metadata(spark, sf_dir):
     from graphiti_spark.operators.multimodal import media_metadata
 
@@ -814,6 +897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
         "docs_fingerprint": _q_docs_fingerprint,
+        "docs_pii": _q_docs_pii,
+        "docs_pii_redacted": _q_docs_pii_redacted,
+        "docs_decontaminated": _q_docs_decontaminated,
+        "docs_chunks": _q_docs_chunks,
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)

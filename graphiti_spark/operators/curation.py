@@ -1,0 +1,215 @@
+"""Corpus-curation operators for training-data pipelines: PII
+detection / redaction, benchmark decontamination, token-window
+chunking.
+
+The reference (peabodyAdmin/graphiti) has no corpus-hygiene layer —
+like textstats.py these extend the engine for the 100 TB web-text use
+case (SURVEY §2 "beyond the reference" family): a Common-Crawl-style
+corpus is scanned for PII before any text leaves the pipeline,
+decontaminated against evaluation benchmarks before training, and
+chunked into token windows for the training loader.
+
+Scale notes:
+  - ``pii_scan`` / ``pii_redact`` / ``chunk_tokens`` are pure per-row
+    column expressions — whole-stage codegen, no shuffle, no UDFs.
+  - ``decontaminate`` shuffles once (the per-doc hit count); its only
+    join is against the benchmark gram set, which is bounded by the
+    benchmark suite (MB-scale by construction, NOT the corpus), so the
+    broadcast is safe at any corpus size — the one case where a forced
+    broadcast is the honest default (``broadcast=False`` opts out).
+
+Every regex below is deliberately restricted to the syntax subset that
+Java regex (Spark) and RE2 (DuckDB) evaluate identically: character
+classes, bounded repetition, ``\\b`` word boundaries — no lookaround,
+no backreferences — so the DuckDB oracles reproduce matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Detection order matters for redaction: emails first (their domains
+# contain dot-runs an IPv4 pattern could half-match), then IPs, then
+# phones. Counting re-scans the already-redacted text so a span is
+# never attributed to two types.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}-\d{3}-\d{3}-\d{4}\b",
+}
+
+DECONTAM_GRAM = 13  # GPT-3-style 13-gram exact-overlap rule
+
+
+def pii_scan(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-type PII match counts. Output (id, n_email, n_ipv4,
+    n_phone, n_pii). Spans already consumed by an earlier type are not
+    re-counted by a later one (same masking order as ``pii_redact``,
+    so scan counts always equal redaction counts)."""
+    masked = F.col(text_col)
+    cols = [F.col(id_col).alias("id")]
+    total = F.lit(0).cast("long")
+    for name, pat in PII_PATTERNS.items():
+        c = F.size(F.regexp_extract_all(masked, F.lit(pat), F.lit(0))).cast(
+            "long"
+        )
+        cols.append(c.alias(f"n_{name}"))
+        total = total + c
+        masked = F.regexp_replace(masked, pat, f"<{name.upper()}>")
+    cols.append(total.alias("n_pii"))
+    return docs.select(*cols)
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Replace every PII span with its type tag (``<EMAIL>`` /
+    ``<IPV4>`` / ``<PHONE>``). Output (id, redacted, n_redacted)."""
+    red = F.col(text_col)
+    n = F.lit(0).cast("long")
+    for name, pat in PII_PATTERNS.items():
+        n = n + F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))).cast(
+            "long"
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        red.alias("redacted"),
+        n.alias("n_redacted"),
+    )
+
+
+def _tokens(text_col):
+    # \s+ split of trim(lower(text)); "" yields [""] (len 1) — the same
+    # contract as DuckDB string_split on the single-spaced corpora the
+    # oracles run over (textstats.doc_fingerprint precedent).
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def _gram_shas(toks, gram: int):
+    """sha256 over every ``gram``-token window; empty array when the
+    doc is shorter than one window (no partial grams — a contaminated
+    span must be a full benchmark window)."""
+    n = F.size(toks)
+    return F.when(
+        n >= gram,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(gram - 1)),
+            lambda i: F.sha2(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(gram)]
+                ).cast("binary"),
+                256,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_grams(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    gram: int = DECONTAM_GRAM,
+) -> DataFrame:
+    """Distinct sha256 gram-window hashes of the benchmark suite.
+    Output (gram_sha) — build once per benchmark release and reuse
+    across corpus sweeps."""
+    return (
+        benchmark.select(
+            F.explode(_gram_shas(_tokens(F.col(text_col)), gram)).alias(
+                "gram_sha"
+            )
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = DECONTAM_GRAM,
+    broadcast: bool = True,
+) -> DataFrame:
+    """GPT-3-style benchmark decontamination: a document is
+    contaminated when any of its ``gram``-token windows appears
+    verbatim in the benchmark suite. Output (id, n_contaminated_grams,
+    contaminated).
+
+    The exploded doc-gram stream is corpus-sized (≈ one row per
+    token), but it never shuffles: the benchmark-gram join is a
+    broadcast hash join and the per-doc count is map-side combinable,
+    so the only full shuffle is |docs| rows of (id, count)."""
+    bg = benchmark_grams(benchmark, text_col, gram)
+    if broadcast:
+        bg = F.broadcast(bg)
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_gram_shas(_tokens(F.col(text_col)), gram)).alias(
+            "gram_sha"
+        ),
+    )
+    hits = (
+        doc_grams.join(bg, "gram_sha")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("n_contaminated_grams"), F.lit(0).cast("long")
+            ).alias("n_contaminated_grams"),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Token-window chunking for training loaders: windows of ``size``
+    tokens stepping by ``size - overlap``, final window truncated at
+    the doc end. A window is emitted only if it contributes at least
+    one token not covered by its predecessor (starts stop at
+    ``n - overlap``), so the chunk set covers every token exactly and
+    carries no fully-redundant tail. Output (id, chunk_idx,
+    start_token, n_tokens, chunk_text) — per-row map, no shuffle; the
+    chunk grid is a pure function of the token count."""
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+    toks_col = _tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), toks_col.alias("toks"))
+    n = F.size(F.col("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    return base.select(
+        "id", "toks", F.explode(starts).alias("start_token")
+    ).select(
+        "id",
+        ((F.col("start_token") - 1) / F.lit(stride))
+        .cast("int")
+        .alias("chunk_idx"),
+        F.col("start_token").cast("int").alias("start_token"),
+        F.least(
+            F.lit(size), F.size(F.col("toks")) - F.col("start_token") + 1
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("start_token"), F.lit(size))
+        ).alias("chunk_text"),
+    )

@@ -773,6 +773,109 @@ SELECT id,
   ELSE sha256(array_to_string(toks, ' ')) END AS min_gram_sha
 FROM t ORDER BY id"""
 
+    # PII scan/redact: the corpus has no natural PII, so both engines
+    # build the same deterministically augmented text (doc_id-derived
+    # email / IPv4 / phone on every 7th/11th/13th doc — entry map
+    # _pii_docs). Patterns are the Java-regex/RE2 common subset
+    # (curation.PII_PATTERNS), masked progressively in the same order
+    # so a span never counts under two types.
+    _pii_aug = """pii_aug AS (
+  SELECT doc_id AS id,
+    text
+    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+    AS t
+  FROM documents
+),
+pii_s1 AS (
+  SELECT id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM pii_aug
+),
+pii_s2 AS (
+  SELECT id, n_email,
+         len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+         regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g') AS t2
+  FROM pii_s1
+),
+pii_s3 AS (
+  SELECT id, n_email, n_ipv4,
+         len(regexp_extract_all(t2, '\\+\\d{1,3}-\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+         regexp_replace(t2, '\\+\\d{1,3}-\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS t3
+  FROM pii_s2
+)"""
+    q["docs_pii"] = f"""WITH {_pii_aug}
+SELECT id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS n_pii
+FROM pii_s3 ORDER BY id"""
+
+    q["docs_pii_redacted"] = f"""WITH {_pii_aug}
+SELECT id, t3 AS redacted,
+       CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS n_redacted
+FROM pii_s3 ORDER BY id"""
+
+    # Decontamination: 13-gram exact-overlap (GPT-3 rule) against the
+    # in-corpus benchmark suite (every 97th doc). sha256 equality is
+    # gram-text equality inside each engine, so the match sets agree
+    # whenever tokenization and window bounds agree (same split/slice
+    # contract as docs_fingerprint).
+    q["docs_decontaminated"] = """WITH
+dc_span AS (
+  SELECT array_to_string(string_split(trim(lower(text)), ' ')[1:13], ' ') AS s
+  FROM documents WHERE doc_id = 0
+),
+dc_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 41 = 0
+              THEN text || ' ' || (SELECT s FROM dc_span)
+              ELSE text END AS text
+  FROM documents
+),
+dc_tok AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS toks
+  FROM dc_docs
+),
+dc_grams AS (
+  SELECT id, unnest(list_transform(range(1, len(toks) - 11),
+                    i -> sha256(array_to_string(toks[i:i+12], ' ')))) AS g
+  FROM dc_tok
+),
+dc_bg AS (SELECT DISTINCT g FROM dc_grams WHERE id % 97 = 0),
+dc_hits AS (
+  SELECT d.id, COUNT(*) AS n
+  FROM dc_grams d JOIN dc_bg USING (g) GROUP BY d.id
+)
+SELECT t.id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM dc_tok t LEFT JOIN dc_hits h ON t.id = h.id
+ORDER BY t.id"""
+
+    # Token-window chunking: size 64, overlap 16 (stride 48); a window
+    # is emitted only while it contributes a new token (starts stop at
+    # n - overlap), the final window truncates at the doc end.
+    q["docs_chunks"] = """WITH
+ck_tok AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS toks
+  FROM documents
+),
+ck_starts AS (
+  SELECT id, toks,
+         unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48)) AS s
+  FROM ck_tok
+)
+SELECT id,
+       CAST((s - 1) // 48 AS INT) AS chunk_idx,
+       CAST(s AS INT) AS start_token,
+       CAST(least(64, len(toks) - s + 1) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s:s+63], ' ') AS chunk_text
+FROM ck_starts ORDER BY id, chunk_idx"""
+
     # Multimodal metadata: fake-decode over the binary html payload.
     # The oracle reconstructs the deterministic page markup from
     # documents.text (FIXTURES.md §1) — equality proves the Spark side's

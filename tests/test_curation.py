@@ -1,0 +1,122 @@
+"""Corpus-curation operators: PII scan/redact, benchmark
+decontamination, token-window chunking (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.curation import (
+    chunk_tokens,
+    decontaminate,
+    pii_redact,
+    pii_scan,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_scan_counts_each_type(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "write to alice.smith+tag@mail.example.org for details"),
+            (2, "server at 192.168.1.254 then 10.0.0.7 responded"),
+            (3, "call +44-201-555-0142 today"),
+            (4, "plain prose with no identifiers at all"),
+            (5, "bob@ex.co and 8.8.8.8 and +1-800-555-0100 together"),
+        ],
+    )
+    got = {r.id: r for r in pii_scan(docs).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 0, 0)
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 2, 0)
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 1)
+    assert got[4].n_pii == 0
+    assert (got[5].n_email, got[5].n_ipv4, got[5].n_phone) == (1, 1, 1)
+    assert got[5].n_pii == 3
+
+
+def test_pii_redact_removes_everything_scan_finds(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alice@example.com met 10.1.2.3 and dialed +1-555-123-4567"),
+            (2, "no pii here"),
+        ],
+    )
+    red = pii_redact(docs)
+    rows = {r.id: r for r in red.collect()}
+    assert rows[1].n_redacted == 3
+    assert "<EMAIL>" in rows[1].redacted
+    assert "<IPV4>" in rows[1].redacted
+    assert "<PHONE>" in rows[1].redacted
+    assert rows[2].redacted == "no pii here"
+    # a second scan over the redacted text must find nothing
+    rescanned = pii_scan(
+        red.select(F.col("id").alias("doc_id"), F.col("redacted").alias("text"))
+    )
+    assert all(r.n_pii == 0 for r in rescanned.collect())
+
+
+def test_decontaminate_flags_verbatim_span_only(spark):
+    span = " ".join(f"w{i}" for i in range(13))  # exactly one 13-gram
+    bench = _docs(spark, [(100, f"intro {span} outro")])
+    docs = _docs(
+        spark,
+        [
+            (1, f"leading text {span} trailing text"),  # contains the span
+            (2, span.replace("w5", "x5")),  # one token differs -> clean
+            (3, "completely unrelated words only"),
+        ],
+    )
+    got = {r.id: r for r in decontaminate(docs, bench).collect()}
+    assert got[1].contaminated and got[1].n_contaminated_grams == 1
+    assert not got[2].contaminated
+    assert not got[3].contaminated
+
+
+def test_decontaminate_short_docs_never_match(spark):
+    bench = _docs(spark, [(100, "a b c d e f g h i j k l m")])
+    docs = _docs(spark, [(1, "a b c"), (2, "")])
+    got = decontaminate(docs, bench).collect()
+    assert all(not r.contaminated for r in got)
+    assert len(got) == 2
+
+
+def test_chunk_tokens_grid_and_coverage(spark):
+    toks = [f"t{i}" for i in range(10)]
+    docs = _docs(spark, [(1, " ".join(toks))])
+    rows = sorted(
+        chunk_tokens(docs, size=4, overlap=1).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 3, starts while s <= n - overlap = 9: 1, 4, 7
+    assert [r.start_token for r in rows] == [1, 4, 7]
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
+    assert [r.n_tokens for r in rows] == [4, 4, 4]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[2].chunk_text == "t6 t7 t8 t9"
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert rows[0].chunk_text.split()[-1:] == rows[1].chunk_text.split()[:1]
+    # every token covered
+    covered = set()
+    for r in rows:
+        covered.update(r.chunk_text.split())
+    assert covered == set(toks)
+
+
+def test_chunk_tokens_truncated_tail_and_tiny_doc(spark):
+    docs = _docs(spark, [(1, "a b c d e"), (2, "solo")])
+    rows = chunk_tokens(docs, size=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # stride 2, n=5, starts while s <= 3: 1, 3 — final chunk truncates
+    assert [(r.start_token, r.n_tokens) for r in d1] == [(1, 4), (3, 3)]
+    assert d1[1].chunk_text == "c d e"
+    # a doc shorter than one window still yields exactly one chunk
+    assert [(r.start_token, r.n_tokens, r.chunk_text) for r in by_doc[2]] == [
+        (1, 1, "solo")
+    ]

@@ -131,6 +131,36 @@ def test_textstats_no_python(spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_curation_maps_are_shuffle_free_codegen(spark):
+    """PII scan/redact and token chunking are per-row maps: no Python
+    eval and no Exchange anywhere in the plan — at 100 TB they run as a
+    single pass over the scan."""
+    from graphiti_spark.operators.curation import (
+        chunk_tokens,
+        pii_redact,
+        pii_scan,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (pii_scan(docs), pii_redact(docs), chunk_tokens(docs)):
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set (bounded by the benchmark suite, not the
+    corpus) joins the exploded doc-gram stream via broadcast — never a
+    sort-merge shuffle of corpus-sized gram rows, never a cartesian."""
+    from graphiti_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(decontaminate(docs, bench))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_cross_batch_resolve_no_cartesian(spark):
     """D9 incremental blocking must join through LSH band keys — never a
     cartesian of new names × the existing index."""
