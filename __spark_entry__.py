@@ -550,6 +550,75 @@ def _q_docs_chunks(spark, sf_dir):
     return chunk_tokens(_docs(spark, sf_dir), size=64, overlap=16)
 
 
+def _lang_docs(spark, sf_dir):
+    """(id, pred_lang, n_ws_tokens) — language-ID stratum + token count
+    per doc, the composition the sampling queries stratify over."""
+    from graphiti_spark.operators.textstats import language_id, token_stats
+
+    d = _docs(spark, sf_dir)
+    lang = language_id(d).select("id", "pred_lang")
+    tok = token_stats(d).select("id", "n_ws_tokens")
+    return lang.join(tok, "id")
+
+
+def _q_docs_sample_stratified(spark, sf_dir):
+    from graphiti_spark.operators.sampling import sample_stratified
+
+    base = _lang_docs(spark, sf_dir).select("id", "pred_lang")
+    return sample_stratified(
+        base,
+        {"en": 0.3, "und": 0.8},
+        stratum_col="pred_lang",
+        id_col="id",
+        seed="r3",
+    )
+
+
+def _q_docs_mixture_rates(spark, sf_dir):
+    from graphiti_spark.operators.sampling import mixture_rates
+
+    return mixture_rates(
+        _lang_docs(spark, sf_dir),
+        {"en": 0.5, "und": 0.5},
+        budget_tokens=8000,
+        stratum_col="pred_lang",
+        token_count_col="n_ws_tokens",
+    )
+
+
+def _q_docs_mixture(spark, sf_dir):
+    from graphiti_spark.operators.sampling import mix_corpus
+
+    return mix_corpus(
+        _lang_docs(spark, sf_dir),
+        {"en": 0.5, "und": 0.5},
+        budget_tokens=8000,
+        stratum_col="pred_lang",
+        token_count_col="n_ws_tokens",
+        id_col="id",
+        seed="mix",
+    )
+
+
+def _q_docs_quality_quantile(spark, sf_dir):
+    """Keep docs at/above their language stratum's median repetition
+    guard (distinct_ratio — the continuous quality feature; the 4-gate
+    composite is constant per stratum on this corpus, which would make
+    the quantile vacuous)."""
+    from graphiti_spark.operators.sampling import filter_by_quantile
+    from graphiti_spark.operators.textstats import quality_score
+
+    scored = (
+        quality_score(_docs(spark, sf_dir))
+        .select("id", "distinct_ratio")
+        .join(_lang_docs(spark, sf_dir).select("id", "pred_lang"), "id")
+        .select("id", "pred_lang", "distinct_ratio")
+    )
+    return filter_by_quantile(
+        scored, q=0.5, score_col="distinct_ratio", stratum_col="pred_lang"
+    )
+
+
 def _q_media_metadata(spark, sf_dir):
     from graphiti_spark.operators.multimodal import media_metadata
 
@@ -901,6 +970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_redacted": _q_docs_pii_redacted,
         "docs_decontaminated": _q_docs_decontaminated,
         "docs_chunks": _q_docs_chunks,
+        "docs_sample_stratified": _q_docs_sample_stratified,
+        "docs_mixture_rates": _q_docs_mixture_rates,
+        "docs_mixture": _q_docs_mixture,
+        "docs_quality_quantile": _q_docs_quality_quantile,
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)

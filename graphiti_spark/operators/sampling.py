@@ -1,0 +1,184 @@
+"""Deterministic corpus sampling and training-mixture construction.
+
+The reference (peabodyAdmin/graphiti) has no corpus-sampling layer —
+like textstats.py / curation.py these extend the engine for the 100 TB
+training-data use case (SURVEY §2 "beyond the reference" family): a
+web-text corpus is down-sampled per stratum (language, source domain,
+quality band) to hit a target token mixture before training, and
+filtered to a quality quantile.
+
+Every random draw is a pure function of (seed, row id): the uniform
+``u`` is the first 13 hex chars (52 bits — exact in a double) of
+``sha256("{seed}:{id}")`` mapped to [0, 1), the same construction the
+ANN-LSH hyperplanes use (search/similarity.py), so DuckDB oracles
+recompute draws bit-identically and re-runs / resumed jobs keep the
+same sample without any shuffled RNG state.
+
+Scale notes:
+  - ``sample_fraction`` / ``sample_stratified`` are per-row column
+    expressions — whole-stage codegen, no shuffle, no UDF: at 100 TB
+    they run inside the scan's stage and prune rows before anything
+    downstream shuffles.
+  - ``mixture_rates`` is one map-side-combinable groupBy whose output
+    is |strata| rows (bounded by the ``targets`` dict, NOT the corpus),
+    so ``mix_corpus``'s rate join is an honest forced broadcast — the
+    same bounded-by-construction case as curation.decontaminate.
+  - ``filter_by_quantile`` windows per stratum: exact quantiles
+    parallelize across strata (language × domain at web scale). The
+    unstratified form is a single-partition window — use it only on
+    bounded candidate sets (rerank outputs), never the raw corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2**52 — a 13-hex-digit value fits a double exactly, so Spark and
+# DuckDB derive bit-identical uniforms from their own sha256.
+UNIFORM_DENOM = 4503599627370496.0
+
+
+def uniform_hash_col(id_col: Column, seed: str = "sample") -> Column:
+    """Deterministic uniform draw in [0, 1): 52 bits of
+    sha256('{seed}:{id}') over 2**52. Content-derived, so the draw is
+    stable across runs, partitionings, and engines."""
+    h = F.sha2(F.concat(F.lit(f"{seed}:"), id_col.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(
+        UNIFORM_DENOM
+    )
+
+
+def sample_fraction(
+    docs: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep each row iff its uniform draw < ``fraction``. Output: the
+    input columns plus ``u`` (the draw). Shuffle-free codegen."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return docs.withColumn(
+        "u", uniform_hash_col(F.col(id_col), seed)
+    ).filter(F.col("u") < fraction)
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep rates as a literal CASE chain (no join at all —
+    ``rates`` is a driver-side dict by construction). Strata absent
+    from ``rates`` keep ``default_rate`` (0 = dropped). Output: input
+    columns + ``u``. Shuffle-free codegen."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0, 1]")
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(
+            rate
+        )
+    return docs.withColumn(
+        "u", uniform_hash_col(F.col(id_col), seed)
+    ).filter(F.col("u") < rate)
+
+
+def mixture_rates(
+    docs: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    stratum_col: str,
+    token_count_col: str,
+) -> DataFrame:
+    """Per-stratum sampling rates that realize a token mixture: stratum
+    s should contribute ``budget_tokens * targets[s]`` tokens, so
+    ``rate(s) = min(1, budget*target / tokens(s))`` (capped when the
+    stratum is smaller than its target share — the under-supplied case
+    a mixture report must surface, not silently rescale). Rates are
+    rounded to 6 dp BEFORE use so the keep predicate is bit-identical
+    across engines. Output (stratum, n_docs, n_tokens, target_share,
+    rate) — |targets| rows."""
+    tgt = F.create_map(
+        *[F.lit(x) for kv in sorted(targets.items()) for x in kv]
+    )
+    return (
+        docs.filter(F.col(stratum_col).isin(*targets.keys()))
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_count_col)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            tgt[F.col("stratum")].cast("double").alias("target_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(budget_tokens))
+                    * tgt[F.col("stratum")]
+                    / F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+
+
+def mix_corpus(
+    docs: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    stratum_col: str,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Down-sample ``docs`` to a target token mixture: compute
+    ``mixture_rates`` (one bounded agg), broadcast the |targets|-row
+    rate table back onto the corpus, keep rows whose draw < rate.
+    Output (id, stratum, n_tokens, u, rate) for kept rows."""
+    rates = mixture_rates(
+        docs, targets, budget_tokens, stratum_col, token_count_col
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col(token_count_col).cast("long").alias("n_tokens"),
+            uniform_hash_col(F.col(id_col), seed).alias("u"),
+        )
+        .join(F.broadcast(rates.select("stratum", "rate")), "stratum")
+        .filter(F.col("u") < F.col("rate"))
+        .select("id", "stratum", "n_tokens", "u", "rate")
+    )
+
+
+def filter_by_quantile(
+    scored: DataFrame,
+    q: float,
+    score_col: str,
+    id_col: str = "id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Keep rows whose score sits at or above the ``q`` quantile of
+    their stratum (ascending percent_rank ≥ q, so q=0.75 keeps the top
+    quartile). Ties share a percent_rank, so a tied score is kept or
+    dropped as a block — deterministic regardless of row order. Scores
+    should be pre-rounded (quality_score rounds to 4 dp) so ties are
+    exact. Output: input columns + ``pr``."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    part = [F.col(stratum_col)] if stratum_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.col(score_col).asc())
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= q)
+    )

@@ -876,6 +876,97 @@ SELECT id,
        array_to_string(toks[s:s+63], ' ') AS chunk_text
 FROM ck_starts ORDER BY id, chunk_idx"""
 
+    # Sampling / mixture: uniform draw = 52 bits of sha256('{seed}:{id}')
+    # over 2^52 (exact in a double — the ANN-LSH hyperplane trick), so
+    # DuckDB recomputes every keep/drop decision bit-identically.
+    # Strata are the language-ID argmax (sm_-prefixed twin of the
+    # docs_language_id CTEs — CTE names are global per query).
+    _sm_arms = " UNION ALL ".join(
+        f"SELECT id, '{code}' AS code, "
+        f"len(list_filter(toks, t -> t IN {inlist})) AS hits FROM sm_t"
+        for code, inlist in sorted(_markers.items())
+    )
+    _sm_base = f"""sm_t AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sm_langs AS ({_sm_arms}),
+sm_best AS (
+  SELECT id, code, hits,
+         row_number() OVER (PARTITION BY id ORDER BY hits DESC, code ASC) AS rn
+  FROM sm_langs
+),
+sm_lang AS (
+  SELECT id, CASE WHEN hits > 0 THEN code ELSE 'und' END AS pred_lang
+  FROM sm_best WHERE rn = 1
+)"""
+    _sm_u = (
+        "(('0x' || substr(sha256('{seed}:' || CAST(id AS VARCHAR)), 1, 13))"
+        "::UBIGINT / 4503599627370496.0)"
+    )
+
+    q["docs_sample_stratified"] = f"""WITH {_sm_base}
+SELECT l.id, l.pred_lang, {_sm_u.format(seed="r3")} AS u
+FROM sm_lang l
+WHERE {_sm_u.format(seed="r3")}
+      < CASE l.pred_lang WHEN 'en' THEN 0.3 WHEN 'und' THEN 0.8 ELSE 0.0 END
+ORDER BY l.id"""
+
+    _sm_rates = f"""sm_tok AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS n_tokens FROM sm_t
+),
+sm_rates AS (
+  SELECT l.pred_lang AS stratum,
+         COUNT(*) AS n_docs,
+         SUM(k.n_tokens) AS n_tokens,
+         0.5 AS target_share,
+         round(least(1.0, 8000.0 * 0.5 / CAST(SUM(k.n_tokens) AS DOUBLE)), 6)
+           AS rate
+  FROM sm_lang l JOIN sm_tok k USING (id)
+  WHERE l.pred_lang IN ('en', 'und')
+  GROUP BY l.pred_lang
+)"""
+
+    q["docs_mixture_rates"] = f"""WITH {_sm_base},
+{_sm_rates}
+SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(target_share AS DOUBLE) AS target_share, rate
+FROM sm_rates ORDER BY stratum"""
+
+    q["docs_mixture"] = f"""WITH {_sm_base},
+{_sm_rates}
+SELECT l.id, l.pred_lang AS stratum, k.n_tokens,
+       {_sm_u.format(seed="mix")} AS u, r.rate
+FROM sm_lang l
+JOIN sm_tok k USING (id)
+JOIN sm_rates r ON l.pred_lang = r.stratum
+WHERE {_sm_u.format(seed="mix")} < r.rate
+ORDER BY l.id"""
+
+    # Quality-quantile filter: keep rows at/above the median
+    # distinct_ratio (the continuous repetition-guard feature — the
+    # 4-gate composite is constant per stratum on this corpus) of their
+    # language stratum (ascending percent_rank >= 0.5; tied scores
+    # share a rank so blocks are kept or dropped whole).
+    q["docs_quality_quantile"] = f"""WITH {_sm_base},
+sm_score AS (
+  SELECT id,
+    round(CASE WHEN len(toks) > 0
+         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         ELSE 0.0 END, 4) AS distinct_ratio
+  FROM sm_t
+),
+sm_pr AS (
+  SELECT s.id, l.pred_lang, s.distinct_ratio,
+         percent_rank() OVER (PARTITION BY l.pred_lang
+                              ORDER BY s.distinct_ratio ASC) AS pr
+  FROM sm_score s JOIN sm_lang l USING (id)
+)
+SELECT id, pred_lang, distinct_ratio, pr FROM sm_pr
+WHERE pr >= 0.5 ORDER BY id"""
+
     # Multimodal metadata: fake-decode over the binary html payload.
     # The oracle reconstructs the deterministic page markup from
     # documents.text (FIXTURES.md §1) — equality proves the Spark side's

@@ -161,6 +161,41 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_sampling_filters_are_shuffle_free_codegen(spark):
+    """Hash-sampling keep/drop is a per-row expression: no Python eval,
+    no Exchange — at 100 TB it prunes rows inside the scan's stage."""
+    from graphiti_spark.operators.sampling import (
+        sample_fraction,
+        sample_stratified,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    strat = docs.withColumn("src", (F.col("doc_id") % 3).cast("string"))
+    for df in (
+        sample_fraction(docs, 0.5),
+        sample_stratified(strat, {"0": 0.5, "1": 0.1}, "src"),
+    ):
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
+
+
+def test_mix_corpus_broadcasts_rate_table(spark):
+    """The per-stratum rate table is |targets| rows by construction —
+    it must reach the corpus via broadcast, never a corpus-wide
+    sort-merge shuffle or a cartesian."""
+    from graphiti_spark.operators.sampling import mix_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("string").alias("src"),
+        F.lit(10).alias("n_tok"),
+    )
+    plan = _plan(mix_corpus(docs, {"0": 0.5, "1": 0.5}, 1000, "src", "n_tok"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_cross_batch_resolve_no_cartesian(spark):
     """D9 incremental blocking must join through LSH band keys — never a
     cartesian of new names × the existing index."""

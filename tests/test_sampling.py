@@ -1,0 +1,122 @@
+"""Deterministic sampling / mixture operators (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.sampling import (
+    filter_by_quantile,
+    mix_corpus,
+    mixture_rates,
+    sample_fraction,
+    sample_stratified,
+    uniform_hash_col,
+)
+
+
+def test_uniform_hash_is_deterministic_and_uniform(spark):
+    ids = spark.range(2000)
+    u1 = ids.select(uniform_hash_col(F.col("id"), "s1").alias("u"))
+    stats = u1.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("m")
+    ).head()
+    assert 0.0 <= stats.lo and stats.hi < 1.0
+    assert abs(stats.m - 0.5) < 0.02  # 2000 draws: sd of mean ~0.0065
+    # same seed -> identical draws; different seed -> different draws
+    again = ids.select(uniform_hash_col(F.col("id"), "s1").alias("u"))
+    assert u1.exceptAll(again).count() == 0
+    other = ids.select(uniform_hash_col(F.col("id"), "s2").alias("u"))
+    assert u1.exceptAll(other).count() > 1900
+
+
+def test_sample_fraction_rate_and_determinism(spark):
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    kept = sample_fraction(docs, 0.25, seed="frac")
+    n = kept.count()
+    assert 400 <= n <= 600  # binomial(2000, .25): mean 500, sd ~19
+    assert kept.filter(F.col("u") >= 0.25).count() == 0
+    # re-running yields the identical sample (content-derived draws)
+    again = sample_fraction(docs, 0.25, seed="frac")
+    assert kept.exceptAll(again).count() == 0
+    with pytest.raises(ValueError):
+        sample_fraction(docs, 1.5)
+
+
+def test_sample_stratified_honors_rate_map(spark):
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    kept = sample_stratified(
+        docs, {"a": 1.0, "b": 0.3}, stratum_col="src", seed="st"
+    )
+    by = {r.src: r.n for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by["a"] == 1000  # rate 1.0 keeps everything
+    assert 230 <= by["b"] <= 370
+    assert "c" not in by  # absent from the rate map -> default 0
+
+
+def test_mixture_rates_budget_and_cap(spark):
+    # stratum a: 100 docs x 100 tokens = 10_000; b: 20 x 50 = 1_000
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "a").otherwise("b").alias("src"),
+        F.when(F.col("id") < 100, 100).otherwise(50).alias("n_tok"),
+    )
+    rates = {
+        r.stratum: r
+        for r in mixture_rates(
+            docs, {"a": 0.5, "b": 0.5}, 4000, "src", "n_tok"
+        ).collect()
+    }
+    assert rates["a"].n_docs == 100 and rates["a"].n_tokens == 10_000
+    assert rates["a"].rate == pytest.approx(0.2)  # 2000 / 10_000
+    assert rates["b"].rate == 1.0  # 2000 > 1_000 -> capped, under-supplied
+    assert rates["a"].target_share == 0.5
+
+
+def test_mix_corpus_hits_token_budget(spark):
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3000, "big").otherwise("small").alias("src"),
+        F.lit(10).alias("n_tok"),
+    )  # big: 30_000 tokens, small: 10_000
+    kept = mix_corpus(
+        docs, {"big": 0.8, "small": 0.2}, 10_000, "src", "n_tok", seed="m"
+    )
+    toks = {
+        r.stratum: r.t
+        for r in kept.groupBy("stratum").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # big: rate 8000/30000 -> expect ~8000 tokens; small: 2000/10000 -> ~2000
+    assert abs(toks["big"] - 8000) < 800
+    assert abs(toks["small"] - 2000) < 450
+    # draws below the stratum rate, never at/above
+    assert kept.filter(F.col("u") >= F.col("rate")).count() == 0
+
+
+def test_filter_by_quantile_per_stratum_with_tie_blocks(spark):
+    rows = [
+        # stratum x: distinct scores 1 < 2 < 3 < 4 -> pr 0, 1/3, 2/3, 1
+        (1, "x", 1.0), (2, "x", 2.0), (3, "x", 3.0), (4, "x", 4.0),
+        # stratum y: tie block below a single top -> pr 0, 0, 0, 1
+        (5, "y", 5.0), (6, "y", 5.0), (7, "y", 5.0), (8, "y", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, score double")
+    kept = filter_by_quantile(df, 0.5, "score", stratum_col="s")
+    ids = sorted(r.id for r in kept.collect())
+    assert ids == [3, 4, 8]  # x keeps pr 2/3 and 1; y's tie block drops whole
+    with pytest.raises(ValueError):
+        filter_by_quantile(df, -0.1, "score")
+
+
+def test_filter_by_quantile_global_when_unstratified(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, score double"
+    )
+    kept = filter_by_quantile(df, 0.75, "score")
+    assert sorted(r.id for r in kept.collect()) == [7, 8, 9]  # pr 7/9..1
