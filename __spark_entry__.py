@@ -619,6 +619,84 @@ def _q_docs_quality_quantile(spark, sf_dir):
     )
 
 
+def _q_docs_dedup_lines(spark, sf_dir):
+    """The corpus is single-line with no cross-doc duplicate sentences,
+    so line dedup runs over deterministically augmented text: every doc
+    gains a shared boilerplate line and every 3rd doc a second one —
+    the DuckDB oracle builds the identical column (PII-augmentation
+    precedent), so the hash compare exercises real cross-doc drops."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.curation import dedup_lines
+
+    d = _docs(spark, sf_dir)
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter today"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\ncopyright example corp all rights reserved"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return dedup_lines(aug)
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_asof_clicks(spark, sf_dir):
+    """For each error event, the latest click by the same user at or
+    before the error (keyed backward as-of join)."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.events import asof_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        "value",
+    )
+    j = asof_join(
+        errors, clicks, on="user_id", value_cols=["click_event_id", "value"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_matched", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "click_event_id",
+        F.col("value").alias("click_value"),
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Per-user gap-based sessions (8 h gap — the corpus's median
+    per-user inter-event gap is ~7.3 h, so the split is non-trivial)
+    with exact decimal value totals."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.events import session_stats
+
+    s = session_stats(_events(spark, sf_dir), gap_s=28800)
+    return s.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.date_format("t_start", "yyyy-MM-dd HH:mm:ss").alias("t_start"),
+        F.date_format("t_end", "yyyy-MM-dd HH:mm:ss").alias("t_end"),
+        "total_value",
+    )
+
+
 def _q_media_metadata(spark, sf_dir):
     from graphiti_spark.operators.multimodal import media_metadata
 
@@ -974,6 +1052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_rates": _q_docs_mixture_rates,
         "docs_mixture": _q_docs_mixture,
         "docs_quality_quantile": _q_docs_quality_quantile,
+        "docs_dedup_lines": _q_docs_dedup_lines,
+        "events_asof_clicks": _q_events_asof_clicks,
+        "events_sessions": _q_events_sessions,
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)

@@ -172,6 +172,72 @@ def decontaminate(
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4/CCNet-style corpus-level line dedup: each distinct normalized
+    (trim+lower) line survives only at its FIRST occurrence — minimal
+    (doc id, line position) across the whole corpus; later copies
+    (boilerplate, nav bars, cookie banners) are dropped and docs are
+    reassembled from their surviving lines in original order.
+
+    Scale: the first-occurrence winner per line is a map-side-combinable
+    ``min(struct(doc, idx))`` keyed by the line hash, so hot boilerplate
+    lines partially aggregate before the shuffle — no hub reducer; the
+    keep join is keyed by the (hash, doc, idx) triple, unique per input
+    line, so no shuffle key carries more than one row per occurrence.
+    Output (id, text_dedup, n_kept, n_dropped)."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+            "idx", "line"
+        ),
+    ).withColumn(
+        "lh", F.sha2(F.trim(F.lower(F.col("line"))).cast("binary"), 256)
+    )
+    winners = lines.groupBy("lh").agg(
+        F.min(F.struct(F.col("id"), F.col("idx"))).alias("w")
+    )
+    kept = lines.join(
+        winners.select(
+            "lh", F.col("w.id").alias("id"), F.col("w.idx").alias("idx")
+        ),
+        ["lh", "id", "idx"],
+    )
+    agg = (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("idx"), F.col("line")))
+            ).alias("ls")
+        )
+        .select(
+            "id",
+            F.concat_ws(
+                line_sep, F.transform(F.col("ls"), lambda s: s["line"])
+            ).alias("text_dedup"),
+            F.size(F.col("ls")).cast("long").alias("n_kept"),
+        )
+    )
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), line_sep, -1))
+        .cast("long")
+        .alias("n_total"),
+    )
+    return totals.join(agg, "id", "left").select(
+        "id",
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def chunk_tokens(
     docs: DataFrame,
     id_col: str = "doc_id",

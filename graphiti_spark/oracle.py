@@ -967,6 +967,88 @@ sm_pr AS (
 SELECT id, pred_lang, distinct_ratio, pr FROM sm_pr
 WHERE pr >= 0.5 ORDER BY id"""
 
+    # Corpus-level line dedup (C4/CCNet): each distinct normalized line
+    # survives only at its first (doc, position). The corpus is
+    # single-line, so both engines dedup the same deterministically
+    # boilerplate-augmented text (PII-augmentation precedent).
+    q["docs_dedup_lines"] = """WITH
+dl_docs AS (
+  SELECT doc_id AS id,
+    text || chr(10) || 'subscribe to our newsletter today'
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'copyright example corp all rights reserved'
+            ELSE '' END AS t
+  FROM documents
+),
+dl_lines AS (
+  SELECT id, unnest(range(0, len(l))) AS idx, unnest(l) AS line
+  FROM (SELECT id, string_split(t, chr(10)) AS l FROM dl_docs)
+),
+dl_rn AS (
+  SELECT id, idx, line,
+         row_number() OVER (PARTITION BY trim(lower(line))
+                            ORDER BY id, idx) AS rn
+  FROM dl_lines
+),
+dl_agg AS (
+  SELECT id, array_to_string(list(line ORDER BY idx), chr(10)) AS text_dedup,
+         COUNT(*) AS n_kept
+  FROM dl_rn WHERE rn = 1 GROUP BY id
+)
+SELECT d.id, COALESCE(a.text_dedup, '') AS text_dedup,
+  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(len(string_split(d.t, chr(10))) - COALESCE(a.n_kept, 0) AS BIGINT)
+    AS n_dropped
+FROM dl_docs d LEFT JOIN dl_agg a ON d.id = a.id
+ORDER BY d.id"""
+
+    # Keyed backward as-of join: DuckDB's native ASOF LEFT JOIN is the
+    # independent twin of the Spark union-sort-backfill plan
+    # (operators/events.py asof_join) — inclusive on ts equality in
+    # both.
+    q["events_asof_clicks"] = """WITH
+ea_err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+ea_clk AS (
+  SELECT user_id, ts, event_id AS click_event_id, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       c.click_event_id, c.value AS click_value
+FROM ea_err e ASOF LEFT JOIN ea_clk c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id"""
+
+    # Gap-based sessionization (8 h gap): lag + running sum of session
+    # starts, then per-session aggregates; value totals accumulate in
+    # DECIMAL(18,2) on both sides so aggregation order can't produce
+    # float drift.
+    q["events_sessions"] = """WITH
+es_prev AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+es_idx AS (
+  SELECT user_id, ts, value,
+         SUM(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > 28800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM es_prev
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS t_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM es_idx GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx"""
+
     # Multimodal metadata: fake-decode over the binary html payload.
     # The oracle reconstructs the deterministic page markup from
     # documents.text (FIXTURES.md §1) — equality proves the Spark side's

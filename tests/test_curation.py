@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from graphiti_spark.operators.curation import (
     chunk_tokens,
     decontaminate,
+    dedup_lines,
     pii_redact,
     pii_scan,
 )
@@ -82,6 +83,31 @@ def test_decontaminate_short_docs_never_match(spark):
     got = decontaminate(docs, bench).collect()
     assert all(not r.contaminated for r in got)
     assert len(got) == 2
+
+
+def test_dedup_lines_keeps_first_occurrence_only(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "unique alpha\nshared boilerplate\nunique beta"),
+            (2, "shared boilerplate\nunique gamma"),
+            (3, "Shared Boilerplate"),  # normalization: trim+lower match
+        ],
+    )
+    got = {r.id: r for r in dedup_lines(docs).collect()}
+    assert got[1].text_dedup == "unique alpha\nshared boilerplate\nunique beta"
+    assert got[1].n_kept == 3 and got[1].n_dropped == 0
+    assert got[2].text_dedup == "unique gamma"  # boilerplate dropped
+    assert got[2].n_kept == 1 and got[2].n_dropped == 1
+    assert got[3].text_dedup == "" and got[3].n_kept == 0  # fully boilerplate
+    assert got[3].n_dropped == 1
+
+
+def test_dedup_lines_within_doc_repeats_collapse(spark):
+    docs = _docs(spark, [(1, "same line\nmiddle\nsame line")])
+    got = dedup_lines(docs).collect()[0]
+    assert got.text_dedup == "same line\nmiddle"  # second copy dropped
+    assert (got.n_kept, got.n_dropped) == (2, 1)
 
 
 def test_chunk_tokens_grid_and_coverage(spark):

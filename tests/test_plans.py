@@ -196,6 +196,38 @@ def test_mix_corpus_broadcasts_rate_table(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_asof_join_has_no_join_operator(spark):
+    """The as-of join is the union-sort-backfill form: one exchange on
+    the key, one window — NO join operator anywhere in the plan (a
+    range-probe join would explode on dense keys)."""
+    from graphiti_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    plan = _plan(asof_join(left, right, on="user_id"))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan
+    assert "Window" in plan
+
+
+def test_dedup_lines_no_cartesian_and_combinable_winner_agg(spark):
+    """Line-dedup winners come from min(struct(doc, idx)) keyed by the
+    line hash — a partial-aggregating HashAggregate (hot boilerplate
+    lines combine map-side; no hub reducer), never a cartesian."""
+    from graphiti_spark.operators.curation import dedup_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup_lines(docs))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine of the winner agg
+
+
 def test_cross_batch_resolve_no_cartesian(spark):
     """D9 incremental blocking must join through LSH band keys — never a
     cartesian of new names × the existing index."""
