@@ -697,6 +697,22 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+def _q_parts_pagerank(spark, sf_dir):
+    """Fixed-point PageRank over the supplier→part supply multigraph
+    (lineitem; part ids offset by 1e6 into a disjoint node space).
+    Integer arithmetic end-to-end, so the DuckDB oracle reproduces the
+    fixpoint bit-identically."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.centrality import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    return pagerank(li, iters=5)
+
+
 def _q_media_metadata(spark, sf_dir):
     from graphiti_spark.operators.multimodal import media_metadata
 
@@ -1055,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_lines": _q_docs_dedup_lines,
         "events_asof_clicks": _q_events_asof_clicks,
         "events_sessions": _q_events_sessions,
+        "parts_pagerank": _q_parts_pagerank,
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)

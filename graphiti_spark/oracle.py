@@ -1049,6 +1049,48 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
 FROM es_idx GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx"""
 
+    # Fixed-point PageRank (centrality.pagerank, 5 iterations, d=0.85)
+    # over the supplier->part multigraph: all-integer arithmetic (//),
+    # so the unrolled iterations reproduce Spark's fixpoint
+    # bit-identically. AS MATERIALIZED per the unrolled-chain rule.
+    _pr_iters = 5
+    _pr_scale = 10**12
+    _pr_base = f"({15 * _pr_scale} // (100 * n.n))"
+    _pr_cte = [
+        """pr_e AS MATERIALIZED (
+  SELECT l_suppkey AS id, l_partkey + 1000000 AS dst FROM lineitem
+)""",
+        """pr_v AS MATERIALIZED (
+  SELECT DISTINCT id
+  FROM (SELECT id FROM pr_e UNION ALL SELECT dst AS id FROM pr_e)
+)""",
+        "pr_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM pr_v)",
+        """pr_l AS MATERIALIZED (
+  SELECT e.id, e.dst, d.out_deg
+  FROM pr_e e
+  JOIN (SELECT id, COUNT(*) AS out_deg FROM pr_e GROUP BY id) d USING (id)
+)""",
+        f"""pr_r0 AS MATERIALIZED (
+  SELECT v.id, {_pr_scale} // n.n AS rank_u FROM pr_v v CROSS JOIN pr_n n
+)""",
+    ]
+    for _k in range(1, _pr_iters + 1):
+        _pr_cte.append(f"""pr_c{_k} AS MATERIALIZED (
+  SELECT l.dst AS id, SUM(r.rank_u // l.out_deg) AS s
+  FROM pr_l l JOIN pr_r{_k - 1} r ON l.id = r.id GROUP BY l.dst
+)""")
+        _pr_cte.append(f"""pr_r{_k} AS MATERIALIZED (
+  SELECT v.id,
+         {_pr_base} + (85 * COALESCE(c.s, 0)) // 100 AS rank_u
+  FROM pr_v v CROSS JOIN pr_n n LEFT JOIN pr_c{_k} c ON v.id = c.id
+)""")
+    q["parts_pagerank"] = (
+        "WITH\n" + ",\n".join(_pr_cte) + f"""
+SELECT id, CAST(rank_u AS BIGINT) AS rank_u,
+       CAST(rank_u AS DOUBLE) / {float(_pr_scale)} AS rank
+FROM pr_r{_pr_iters} ORDER BY id"""
+    )
+
     # Multimodal metadata: fake-decode over the binary html payload.
     # The oracle reconstructs the deterministic page markup from
     # documents.text (FIXTURES.md §1) — equality proves the Spark side's
