@@ -665,6 +665,17 @@ def _q_events_asof_clicks(spark, sf_dir):
         F.col("event_id").alias("click_event_id"),
         "value",
     )
+    # asof_join requires right rows unique per (on, ts); two clicks at
+    # the same instant would otherwise make the winner run-order
+    # dependent. Deterministic tiebreak: keep the min event_id's row.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "ts").orderBy("click_event_id")
+    clicks = (
+        clicks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     j = asof_join(
         errors, clicks, on="user_id", value_cols=["click_event_id", "value"]
     )
@@ -711,6 +722,31 @@ def _q_parts_pagerank(spark, sf_dir):
         (F.col("l_partkey") + 1000000).alias("dst"),
     )
     return pagerank(li, iters=5)
+
+
+def _q_parts_degree(spark, sf_dir):
+    """Out/in degree stats over the same supplier→part supply
+    multigraph as parts_pagerank (disjoint node spaces via the 1e6
+    part-id offset)."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.centrality import degree_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    return degree_stats(li)
+
+
+def _q_docs_sample_fraction(spark, sf_dir):
+    """Deterministic corpus-wide Bernoulli sample at rate 0.4 (52-bit
+    sha-uniform draw — the same construction the stratified sampler
+    uses, verified standalone here)."""
+    from graphiti_spark.operators.sampling import sample_fraction
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return sample_fraction(d, 0.4, id_col="doc_id", seed="frac")
 
 
 def _q_media_metadata(spark, sf_dir):
@@ -1072,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_clicks": _q_events_asof_clicks,
         "events_sessions": _q_events_sessions,
         "parts_pagerank": _q_parts_pagerank,
+        "parts_degree": _q_parts_degree,
+        "docs_sample_fraction": _q_docs_sample_fraction,
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)

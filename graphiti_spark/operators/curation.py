@@ -26,8 +26,15 @@ no backreferences — so the DuckDB oracles reproduce matches exactly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# One tokenization + gram-window contract across fingerprinting and
+# decontamination — a second copy here would silently desynchronize the
+# oracles' single-space-split equivalence argument.
+from .textstats import _tokens, gram_shas as _gram_shas
 
 # Detection order matters for redaction: emails first (their domains
 # contain dot-runs an IPv4 pattern could half-match), then IPs, then
@@ -82,30 +89,6 @@ def pii_redact(
     )
 
 
-def _tokens(text_col):
-    # \s+ split of trim(lower(text)); "" yields [""] (len 1) — the same
-    # contract as DuckDB string_split on the single-spaced corpora the
-    # oracles run over (textstats.doc_fingerprint precedent).
-    return F.split(F.trim(F.lower(text_col)), r"\s+")
-
-
-def _gram_shas(toks, gram: int):
-    """sha256 over every ``gram``-token window; empty array when the
-    doc is shorter than one window (no partial grams — a contaminated
-    span must be a full benchmark window)."""
-    n = F.size(toks)
-    return F.when(
-        n >= gram,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(gram - 1)),
-            lambda i: F.sha2(
-                F.concat_ws(
-                    " ", *[F.element_at(toks, i + k) for k in range(gram)]
-                ).cast("binary"),
-                256,
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def benchmark_grams(
@@ -190,9 +173,12 @@ def dedup_lines(
     keep join is keyed by the (hash, doc, idx) triple, unique per input
     line, so no shuffle key carries more than one row per occurrence.
     Output (id, text_dedup, n_kept, n_dropped)."""
+    # F.split takes a REGEX but concat_ws rejoins with the literal —
+    # escape so separators like "." or "|" split literally too.
+    sep_pat = re.escape(line_sep)
     lines = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+        F.posexplode(F.split(F.col(text_col), sep_pat, -1)).alias(
             "idx", "line"
         ),
     ).withColumn(
@@ -224,7 +210,7 @@ def dedup_lines(
     )
     totals = docs.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), line_sep, -1))
+        F.size(F.split(F.col(text_col), sep_pat, -1))
         .cast("long")
         .alias("n_total"),
     )

@@ -133,6 +133,28 @@ def quality_score(
     )
 
 
+def gram_shas(toks, gram: int):
+    """sha256 over every ``gram``-token window of ``toks``; empty array
+    when the doc is shorter than one window (no partial grams). The
+    single tokenization/gram-window contract shared by fingerprinting
+    and decontamination — the DuckDB oracles' single-space-split
+    equivalence argument depends on this exact expression, so there is
+    deliberately one copy of it."""
+    n = F.size(toks)
+    return F.when(
+        n >= gram,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(gram - 1)),
+            lambda i: F.sha2(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(gram)]
+                ).cast("binary"),
+                256,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     gram: int = FINGERPRINT_GRAM,
@@ -143,21 +165,12 @@ def doc_fingerprint(
     hash is sha256 over the gram text, not a custom rolling polynomial).
     Output (id, content_sha, min_gram_sha)."""
     t = F.col(text_col)
-    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    toks = _tokens(t)
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(gram - 1)),
-        lambda i: F.sha2(
-            F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(gram)]
-            ).cast("binary"),
-            256,
-        ),
-    )
     return docs.select(
         F.col(id_col).alias("id"),
         F.sha2(F.trim(F.lower(t)).cast("binary"), 256).alias("content_sha"),
-        F.when(n >= gram, F.array_min(grams))
+        F.when(n >= gram, F.array_min(gram_shas(toks, gram)))
         .otherwise(F.sha2(F.concat_ws(" ", toks).cast("binary"), 256))
         .alias("min_gram_sha"),
     )

@@ -448,10 +448,18 @@ cands AS (
 scored AS (
   SELECT e.vec_id AS id,
          round(
-           list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT q FROM qv))
-           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])))
-              * sqrt(list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)))),
+           CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) = 0
+                  OR list_inner_product((SELECT q FROM qv),
+                                        (SELECT q FROM qv)) = 0
+                THEN 0.0
+                ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        (SELECT q FROM qv))
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product((SELECT q FROM qv),
+                                                  (SELECT q FROM qv))))
+           END,
          4) AS score
   FROM embeddings e JOIN cands c ON e.vec_id = c.vec_id
 ),
@@ -476,10 +484,15 @@ cent AS (
 qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
 assign AS (
   SELECT e.vec_id, c.cid,
-         list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
-         / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(e.embedding AS DOUBLE[])))
-            * sqrt(list_inner_product(c.cvec, c.cvec))) + 0.0 AS s
+         CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) = 0
+                OR list_inner_product(c.cvec, c.cvec) = 0
+              THEN 0.0
+              ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(c.cvec, c.cvec)))
+         END + 0.0 AS s
   FROM embeddings e CROSS JOIN cent c
 ),
 cells AS (
@@ -491,19 +504,33 @@ cells AS (
 qprobe AS (
   SELECT cid FROM (
     SELECT c.cid,
-           list_inner_product((SELECT q FROM qv), c.cvec)
-           / (sqrt(list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)))
-              * sqrt(list_inner_product(c.cvec, c.cvec))) + 0.0 AS s
+           CASE WHEN list_inner_product((SELECT q FROM qv),
+                                        (SELECT q FROM qv)) = 0
+                  OR list_inner_product(c.cvec, c.cvec) = 0
+                THEN 0.0
+                ELSE list_inner_product((SELECT q FROM qv), c.cvec)
+                     / (sqrt(list_inner_product((SELECT q FROM qv),
+                                                (SELECT q FROM qv)))
+                        * sqrt(list_inner_product(c.cvec, c.cvec)))
+           END + 0.0 AS s
     FROM cent c) ORDER BY s DESC, cid ASC LIMIT 4
 ),
 cands AS (SELECT vec_id FROM cells JOIN qprobe USING (cid)),
 scored AS (
   SELECT e.vec_id AS id,
          round(
-           list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT q FROM qv))
-           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])))
-              * sqrt(list_inner_product((SELECT q FROM qv), (SELECT q FROM qv)))),
+           CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) = 0
+                  OR list_inner_product((SELECT q FROM qv),
+                                        (SELECT q FROM qv)) = 0
+                THEN 0.0
+                ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        (SELECT q FROM qv))
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product((SELECT q FROM qv),
+                                                  (SELECT q FROM qv))))
+           END,
          4) AS score
   FROM embeddings e JOIN cands c ON e.vec_id = c.vec_id
 ),
@@ -1011,8 +1038,13 @@ ea_err AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
 ),
 ea_clk AS (
-  SELECT user_id, ts, event_id AS click_event_id, value
-  FROM events WHERE event_type = 'click'
+  -- same deterministic (user, ts) dedup as the Spark entry: min
+  -- event_id wins when two clicks share an instant
+  SELECT user_id, ts, click_event_id, value FROM (
+    SELECT user_id, ts, event_id AS click_event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1
 )
 SELECT e.event_id, e.user_id,
        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -1090,6 +1122,29 @@ SELECT id, CAST(rank_u AS BIGINT) AS rank_u,
        CAST(rank_u AS DOUBLE) / {float(_pr_scale)} AS rank
 FROM pr_r{_pr_iters} ORDER BY id"""
     )
+
+    # Degree stats over the same supplier->part multigraph (multigraph
+    # counts, full outer join of the two directions).
+    q["parts_degree"] = """WITH
+dg_e AS (SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem),
+dg_o AS (SELECT src AS id, COUNT(*) AS out_deg FROM dg_e GROUP BY src),
+dg_i AS (SELECT dst AS id, COUNT(*) AS in_deg FROM dg_e GROUP BY dst)
+SELECT COALESCE(o.id, i.id) AS id,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+FROM dg_o o FULL JOIN dg_i i ON o.id = i.id
+ORDER BY id"""
+
+    # Bernoulli sample at 0.4: the 52-bit sha-uniform draw recomputed
+    # exactly (13 hex chars = 52 bits; both the UBIGINT and the 2^52
+    # denominator are exact in a double, so the keep/drop comparison is
+    # bit-identical to Spark's conv()/cast path).
+    _sf_u = (
+        "(('0x' || substr(sha256('frac:' || CAST(doc_id AS VARCHAR)), 1, 13))"
+        "::UBIGINT / 4503599627370496.0)"
+    )
+    q["docs_sample_fraction"] = f"""SELECT doc_id, {_sf_u} AS u
+FROM documents WHERE {_sf_u} < 0.4 ORDER BY doc_id"""
 
     # Multimodal metadata: fake-decode over the binary html payload.
     # The oracle reconstructs the deterministic page markup from

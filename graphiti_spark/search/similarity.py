@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphiti_spark.functions.embed import cosine_col
+from graphiti_spark.functions.smalldf import literal_df
 
 DEFAULT_MIN_SCORE = 0.6  # reference search_utils.py:64
 
@@ -181,8 +182,21 @@ def cosine_topk_ivf(
     select identical probe cells (ties broken by cid)."""
     if centroids is None:
         centroids = ivf_centroids(df, id_col, vec_col, n_cells)
+    # The probe scores need the centroid rows driver-side anyway, so
+    # collect ONCE (bounded by n_cells, not data) and, when the inline
+    # assign still has to run, rebuild the centroid relation as a
+    # Catalyst literal — otherwise the centroid plan (a full corpus
+    # scan + TakeOrdered) would execute a second time inside
+    # ivf_assign's broadcast.
+    cent_rows = centroids.collect()
     if assigned is None:
-        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        cid_t = centroids.schema["cid"].dataType.simpleString()
+        cent_lit = literal_df(
+            df.sparkSession,
+            [(r["cid"], [float(x) for x in r["cvec"]]) for r in cent_rows],
+            [("cid", cid_t), ("cvec", "array<double>")],
+        )
+        assigned = ivf_assign(df, cent_lit, id_col, vec_col)
 
     def _fold_dot(a: list[float], b: list[float]) -> float:
         acc = 0.0
@@ -193,7 +207,7 @@ def cosine_topk_ivf(
     qd = [float(x) for x in query_vec]
     qn = math.sqrt(_fold_dot(qd, qd))
     probes = []
-    for row in centroids.collect():  # bounded by n_cells, not data
+    for row in cent_rows:
         cv = [float(x) for x in row["cvec"]]
         cn = math.sqrt(_fold_dot(cv, cv))
         s = 0.0 if qn == 0 or cn == 0 else _fold_dot(qd, cv) / (qn * cn)

@@ -110,6 +110,18 @@ def test_dedup_lines_within_doc_repeats_collapse(spark):
     assert (got.n_kept, got.n_dropped) == (2, 1)
 
 
+def test_dedup_lines_regex_metachar_separator_is_literal(spark):
+    # line_sep is a LITERAL separator: "." or "|" must not be read as a
+    # regex by the split (which would explode per-character/empty
+    # fragments while concat_ws rejoined literally).
+    docs = _docs(spark, [(1, "alpha.beta.alpha"), (2, "beta.gamma")])
+    got = {r.id: r for r in dedup_lines(docs, line_sep=".").collect()}
+    assert got[1].text_dedup == "alpha.beta"
+    assert (got[1].n_kept, got[1].n_dropped) == (2, 1)
+    assert got[2].text_dedup == "gamma"
+    assert (got[2].n_kept, got[2].n_dropped) == (1, 1)
+
+
 def test_chunk_tokens_grid_and_coverage(spark):
     toks = [f"t{i}" for i in range(10)]
     docs = _docs(spark, [(1, " ".join(toks))])
