@@ -749,6 +749,59 @@ def _q_docs_sample_fraction(spark, sf_dir):
     return sample_fraction(d, 0.4, id_col="doc_id", seed="frac")
 
 
+def _li_gi(spark, sf_dir):
+    """Distinct (order, part) incidence — the grouped-item input for
+    the co-occurrence family."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i")
+    )
+
+
+def _q_parts_cooccur_lift(spark, sf_dir):
+    """Market-basket association over orders: parts co-purchased in
+    >= 2 orders with exact lift = c_ab*N/(c_a*c_b)."""
+    from graphiti_spark.operators.cooccur import lift_scores
+
+    return lift_scores(_li_gi(spark, sf_dir), "g", "i", min_count=2)
+
+
+def _q_parts_triangles(spark, sf_dir):
+    """Per-node triangle counts over the co-purchase graph (pairs
+    co-occurring >= 2 times), via degree-ordered orientation."""
+    from graphiti_spark.operators.cooccur import (
+        cooccurrence_pairs,
+        triangle_count,
+    )
+
+    e = cooccurrence_pairs(_li_gi(spark, sf_dir), "g", "i", min_count=2)
+    return triangle_count(e, "a", "b")
+
+
+def _q_docs_repetition(spark, sf_dir):
+    """Gopher repetition gates. The corpus is single-line with few
+    natural repeats, so every 3rd doc is deterministically augmented
+    with a full duplicate line (text + newline + text) to exercise the
+    duplicate-line family; top-gram counts come from the natural
+    text."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.textstats import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return repetition_stats(aug)
+
+
 def _q_media_metadata(spark, sf_dir):
     from graphiti_spark.operators.multimodal import media_metadata
 
@@ -1110,6 +1163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_pagerank": _q_parts_pagerank,
         "parts_degree": _q_parts_degree,
         "docs_sample_fraction": _q_docs_sample_fraction,
+        "parts_cooccur_lift": _q_parts_cooccur_lift,
+        "parts_triangles": _q_parts_triangles,
+        "docs_repetition": _q_docs_repetition,
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,
         # fuzzy edge dedup / temporal candidates (D16-D18, T4)

@@ -133,6 +133,126 @@ def quality_score(
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_grams: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1: repetitious documents are low-quality even when every
+    individual line looks fine):
+
+      - ``dup_line_frac``      = (n_lines − n_distinct_lines) / n_lines
+      - ``dup_line_char_frac`` = chars in the 2nd+ copies of repeated
+        lines / total line chars
+      - ``top{n}_char_frac``   = chars covered by the single most
+        frequent word n-gram (count × gram length, space-joined,
+        capped at 1.0 — overlapping occurrences can overcount) /
+        chars of the whitespace-normalized text, for n in ``top_grams``
+
+    All fractions are rounded to 4 dp and 0.0-guarded on empty
+    denominators (deterministic across engines; ties for the most
+    frequent gram resolve to the lexicographically smallest, so the
+    numerator is engine-independent too).
+
+    Scale: two shuffles, both keyed by (doc id, content) pairs —
+    uniform, map-side-combinable counts with no hub keys (a gram can
+    be hot globally but the key includes the doc id). Everything else
+    is per-row array math in whole-stage codegen.
+    """
+    did = F.col(id_col).alias("id")
+    # --- line family -------------------------------------------------
+    lines = docs.select(
+        did, F.explode(F.split(F.col(text_col), r"\n", -1)).alias("line")
+    )
+    per_line = lines.groupBy("id", "line").agg(F.count(F.lit(1)).alias("c"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum((F.col("c") - 1) * F.length("line")).alias("dup_chars"),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+    )
+    # --- top-n-gram family -------------------------------------------
+    toks = _tokens(F.col(text_col))
+    norm_len = F.length(F.concat_ws(" ", toks))
+
+    def _grams(n: int):
+        sz = F.size(toks)
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), sz - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    res = docs.select(did, norm_len.alias("norm_len")).join(
+        line_stats, "id", "left"
+    ).select(
+        "id",
+        "norm_len",
+        F.round(
+            (F.col("n_lines") - F.col("n_distinct"))
+            / F.col("n_lines").cast("double"),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(F.col("line_chars") > 0,
+                   F.col("dup_chars") / F.col("line_chars").cast("double"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+    # one tagged explode covers every n — a single (id, n, gram) count
+    # shuffle + one (id, n) argmax instead of a shuffle chain per n.
+    # NB: the tag must close over n via a factory — a two-arg lambda
+    # would make F.transform pass the ARRAY INDEX as the second arg.
+    def _tag(n: int):
+        return F.transform(
+            _grams(n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    tagged = docs.select(
+        did,
+        F.explode(
+            F.flatten(F.array(*[_tag(n) for n in top_grams]))
+        ).alias("t"),
+    ).select("id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    top = (
+        tagged.groupBy("id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id", "n")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("g").alias("g"))
+            ).alias("w")
+        )
+        .groupBy("id")
+        .pivot("n", list(top_grams))
+        .agg(F.first((-F.col("w.nc")) * F.length(F.col("w.g"))))
+    )
+    res = res.join(top, "id", "left")
+    for n in top_grams:
+        res = res.withColumn(
+            f"top{n}_char_frac",
+            F.round(
+                F.when(
+                    (F.col("norm_len") > 0) & F.col(str(n)).isNotNull(),
+                    F.least(
+                        F.lit(1.0),
+                        F.col(str(n)) / F.col("norm_len").cast("double"),
+                    ),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        ).drop(str(n))
+    return res.drop("norm_len")
+
+
 def gram_shas(toks, gram: int):
     """sha256 over every ``gram``-token window of ``toks``; empty array
     when the doc is shorter than one window (no partial grams). The

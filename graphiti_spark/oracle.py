@@ -1146,6 +1146,130 @@ ORDER BY id"""
     q["docs_sample_fraction"] = f"""SELECT doc_id, {_sf_u} AS u
 FROM documents WHERE {_sf_u} < 0.4 ORDER BY doc_id"""
 
+    # Co-occurrence lift over (order, part): exact integer counts, one
+    # IEEE double division (bit-identical both engines; PMI = ln(lift)
+    # is left to consumers — log parity is not ulp-guaranteed, ratios
+    # are).
+    q["parts_cooccur_lift"] = """WITH
+co_gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+co_pairs AS (
+  SELECT a.i AS a, b.i AS b, COUNT(*) AS c_ab
+  FROM co_gi a JOIN co_gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+),
+co_marg AS (SELECT i, COUNT(*) AS c FROM co_gi GROUP BY i),
+co_n AS (SELECT COUNT(DISTINCT g) AS n FROM co_gi)
+SELECT p.a, p.b, CAST(p.c_ab AS BIGINT) AS c_ab,
+       CAST(ma.c AS BIGINT) AS c_a, CAST(mb.c AS BIGINT) AS c_b,
+       CAST(p.c_ab * n.n AS DOUBLE) / CAST(ma.c * mb.c AS DOUBLE) AS lift
+FROM co_pairs p
+JOIN co_marg ma ON ma.i = p.a
+JOIN co_marg mb ON mb.i = p.b
+CROSS JOIN co_n n
+ORDER BY p.a, p.b"""
+
+    # Triangle counts via the SAME degree-ordered orientation as the
+    # Spark operator (cooccur.triangle_count) — exact integers.
+    q["parts_triangles"] = """WITH
+tr_gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+tr_e AS (
+  SELECT a.i AS u, b.i AS v
+  FROM tr_gi a JOIN tr_gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+),
+tr_deg AS (
+  SELECT id, COUNT(*) AS d
+  FROM (SELECT u AS id FROM tr_e UNION ALL SELECT v FROM tr_e)
+  GROUP BY id
+),
+tr_o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS x,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS y
+  FROM tr_e e
+  JOIN tr_deg du ON du.id = e.u
+  JOIN tr_deg dv ON dv.id = e.v
+),
+tr_w AS (
+  SELECT o1.x, o1.y AS y1, o2.y AS y2
+  FROM tr_o o1 JOIN tr_o o2 ON o1.x = o2.x AND o1.y < o2.y
+),
+tr_t AS (
+  SELECT w.x, w.y1, w.y2
+  FROM tr_w w JOIN tr_e e ON e.u = w.y1 AND e.v = w.y2
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS id FROM tr_t
+      UNION ALL SELECT y1 FROM tr_t
+      UNION ALL SELECT y2 FROM tr_t)
+GROUP BY id ORDER BY id"""
+
+    # Gopher repetition gates: regexp \s+ tokenization (the augmented
+    # text embeds a newline, so plain string_split(' ') would glue two
+    # tokens); gram windows via 1-based inclusive list slices.
+    q["docs_repetition"] = r"""WITH
+rp_docs AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+              ELSE text END AS t
+  FROM documents
+),
+rp_lc AS (
+  SELECT id, line, COUNT(*) AS c
+  FROM rp_docs, unnest(string_split(t, chr(10))) AS u(line)
+  GROUP BY id, line
+),
+rp_ls AS (
+  SELECT id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+         SUM((c - 1) * len(line)) AS dup_chars,
+         SUM(c * len(line)) AS line_chars
+  FROM rp_lc GROUP BY id
+),
+rp_tok AS (
+  SELECT id, regexp_split_to_array(trim(lower(t)), '\s+') AS toks FROM rp_docs
+),
+rp_norm AS (
+  SELECT id, len(array_to_string(toks, ' ')) AS norm_len FROM rp_tok
+),
+rp_grams AS (
+  SELECT k.id, nn.n, array_to_string(k.toks[ii.i:ii.i + nn.n - 1], ' ') AS g
+  FROM rp_tok k,
+       unnest([2, 3, 4]) AS nn(n),
+       unnest(range(1, len(k.toks) - nn.n + 2)) AS ii(i)
+  WHERE len(k.toks) >= nn.n
+),
+rp_gc AS (SELECT id, n, g, COUNT(*) AS c FROM rp_grams GROUP BY id, n, g),
+rp_top AS (
+  SELECT id, n, c, g FROM (
+    SELECT id, n, c, g,
+           row_number() OVER (PARTITION BY id, n ORDER BY c DESC, g ASC)
+             AS rn
+    FROM rp_gc) WHERE rn = 1
+)
+SELECT d.id,
+  round((ls.n_lines - ls.n_distinct) / CAST(ls.n_lines AS DOUBLE), 4)
+    AS dup_line_frac,
+  round(CASE WHEN ls.line_chars > 0
+             THEN ls.dup_chars / CAST(ls.line_chars AS DOUBLE)
+             ELSE 0.0 END, 4) AS dup_line_char_frac,
+  round(CASE WHEN nm.norm_len > 0 AND t2.c IS NOT NULL
+             THEN least(1.0, t2.c * len(t2.g) / CAST(nm.norm_len AS DOUBLE))
+             ELSE 0.0 END, 4) AS top2_char_frac,
+  round(CASE WHEN nm.norm_len > 0 AND t3.c IS NOT NULL
+             THEN least(1.0, t3.c * len(t3.g) / CAST(nm.norm_len AS DOUBLE))
+             ELSE 0.0 END, 4) AS top3_char_frac,
+  round(CASE WHEN nm.norm_len > 0 AND t4.c IS NOT NULL
+             THEN least(1.0, t4.c * len(t4.g) / CAST(nm.norm_len AS DOUBLE))
+             ELSE 0.0 END, 4) AS top4_char_frac
+FROM rp_docs d
+JOIN rp_ls ls ON ls.id = d.id
+JOIN rp_norm nm ON nm.id = d.id
+LEFT JOIN rp_top t2 ON t2.id = d.id AND t2.n = 2
+LEFT JOIN rp_top t3 ON t3.id = d.id AND t3.n = 3
+LEFT JOIN rp_top t4 ON t4.id = d.id AND t4.n = 4
+ORDER BY d.id"""
+
     # Multimodal metadata: fake-decode over the binary html payload.
     # The oracle reconstructs the deterministic page markup from
     # documents.text (FIXTURES.md §1) — equality proves the Spark side's

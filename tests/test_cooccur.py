@@ -1,0 +1,109 @@
+"""Co-occurrence analytics: pair counts, lift, triangle counting
+(operators/cooccur.py) and Gopher repetition stats
+(textstats.repetition_stats)."""
+
+from __future__ import annotations
+
+from graphiti_spark.operators.cooccur import (
+    cooccurrence_pairs,
+    lift_scores,
+    triangle_count,
+)
+from graphiti_spark.operators.textstats import repetition_stats
+
+
+def _gi(spark, rows):
+    return spark.createDataFrame(rows, "g long, i long")
+
+
+def test_cooccurrence_pairs_counts_distinct_groups(spark):
+    # g1={1,2,3}, g2={1,2}, g3={2,3} (dup item collapses), g4={4}
+    df = _gi(
+        spark,
+        [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 2), (3, 3), (3, 3),
+         (4, 4)],
+    )
+    got = {(r.a, r.b): r.c_ab for r in cooccurrence_pairs(df, "g", "i").collect()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 2}
+
+
+def test_cooccurrence_cap_keeps_smallest_items(spark):
+    df = _gi(spark, [(1, 3), (1, 1), (1, 2)])
+    got = {(r.a, r.b) for r in
+           cooccurrence_pairs(df, "g", "i", max_per_group=2).collect()}
+    assert got == {(1, 2)}  # deterministic: {1,2} survive, 3 truncated
+
+
+def test_lift_values_exact(spark):
+    df = _gi(
+        spark,
+        [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 2), (3, 3), (4, 4)],
+    )
+    got = {(r.a, r.b): r for r in
+           lift_scores(df, "g", "i", min_count=2).collect()}
+    # N=4; (1,2): c_ab=2, c_1=2, c_2=3 -> 8/6
+    assert got[(1, 2)].lift == (2 * 4) / (2 * 3)
+    assert got[(2, 3)].lift == (2 * 4) / (3 * 2)
+    assert set(got) == {(1, 2), (2, 3)}
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "a long, b long")
+
+
+def test_triangle_count_basic(spark):
+    # triangle {1,2,3} + pendant 3-4; duplicate/reversed edges collapse
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1), (2, 2)])
+    got = {r.id: r.n_triangles for r in triangle_count(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_shared_edge(spark):
+    # {1,2,3} and {1,2,4} share edge 1-2
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4)])
+    got = {r.id: r.n_triangles for r in triangle_count(e).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_count_star_has_none(spark):
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    assert triangle_count(e).count() == 0
+
+
+def test_triangle_count_matches_naive_on_clique(spark):
+    # K5: C(5,3)=10 triangles, each node on C(4,2)=6
+    e = _edges(
+        spark, [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    )
+    got = {r.id: r.n_triangles for r in triangle_count(e).collect()}
+    assert got == {i: 6 for i in range(5)}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_lines_and_grams(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb\naa bb\ncc"),
+            (2, "x y x y x y"),
+            (3, ""),
+            (4, "unique words only here now"),
+        ],
+    )
+    got = {r.id: r for r in repetition_stats(docs).collect()}
+    assert got[1].dup_line_frac == 0.3333  # 1 dup of 3 lines
+    assert got[1].dup_line_char_frac == 0.4167  # 5 of 12 line chars
+    # 'x y' x3 over 'x y x y x y' (11 chars): 9/11
+    assert got[2].top2_char_frac == 0.8182
+    # overlapping occurrences cap at 1.0: 'x y x y' x2 = 14 chars > 11
+    assert got[2].top4_char_frac == 1.0
+    assert got[3] == got[3].__class__(
+        id=3, dup_line_frac=0.0, dup_line_char_frac=0.0,
+        top2_char_frac=0.0, top3_char_frac=0.0, top4_char_frac=0.0,
+    )
+    # all grams unique -> tie resolves to lexicographically smallest
+    # 3-gram 'only here now' (13 chars of 26)
+    assert got[4].top3_char_frac == 0.5
