@@ -779,6 +779,17 @@ def _q_parts_triangles(spark, sf_dir):
     return triangle_count(e, "a", "b")
 
 
+def _q_parts_kcore(spark, sf_dir):
+    """2-core of the co-purchase graph (iterative peeling, 8-round
+    cap; the fixture converges in 4 — the no-op tail keeps the DuckDB
+    unrolled twin bit-identical)."""
+    from graphiti_spark.operators.centrality import k_core
+    from graphiti_spark.operators.cooccur import cooccurrence_pairs
+
+    e = cooccurrence_pairs(_li_gi(spark, sf_dir), "g", "i", min_count=2)
+    return k_core(e, 2, "a", "b", max_rounds=8)
+
+
 def _q_docs_repetition(spark, sf_dir):
     """Gopher repetition gates. The corpus is single-line with few
     natural repeats, so every 3rd doc is deterministically augmented
@@ -1165,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_fraction": _q_docs_sample_fraction,
         "parts_cooccur_lift": _q_parts_cooccur_lift,
         "parts_triangles": _q_parts_triangles,
+        "parts_kcore": _q_parts_kcore,
         "docs_repetition": _q_docs_repetition,
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,

@@ -114,3 +114,62 @@ def pagerank(
         F.col("rank_u").cast("long").alias("rank_u"),
         (F.col("rank_u").cast("double") / F.lit(float(SCALE))).alias("rank"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """The k-core of an undirected (multi)edge list: the maximal
+    subgraph where every node keeps degree >= k — iterative peeling
+    (drop sub-k nodes, recompute degrees, repeat). The classic graph
+    cleanup before community detection: peels the weakly attached
+    fringe a web-scale co-occurrence graph is mostly made of.
+
+    ``max_rounds`` caps the peeling (each round = one degree aggregate
+    + one semi-join per side — the same shuffle both engines key on
+    node ids); the loop exits early once a round removes nothing, and
+    since no-op rounds are identities, a DuckDB twin that always
+    unrolls the full ``max_rounds`` matches bit-for-bit. The per-round
+    keep set is localCheckpointed: referencing it twice per round
+    would otherwise triple the plan every iteration (exponential
+    analysis blow-up — the same lineage trap operators/incremental.py
+    documents), and it doubles as the convergence counter.
+
+    Output (id, core_deg): surviving nodes with their degree inside
+    the k-core. Exact integers end-to-end.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_kept: int | None = None
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("id").localCheckpoint()
+        kept = keep.count()
+        if kept == prev_kept:
+            break
+        prev_kept = kept
+        e = e.join(
+            keep.select(F.col("id").alias("u")), "u", "semi"
+        ).join(keep.select(F.col("id").alias("v")), "v", "semi")
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )

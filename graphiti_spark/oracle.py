@@ -1205,6 +1205,41 @@ FROM (SELECT x AS id FROM tr_t
       UNION ALL SELECT y2 FROM tr_t)
 GROUP BY id ORDER BY id"""
 
+    # 2-core by unrolled peeling rounds (converges in 4 on this
+    # corpus; rounds 5-8 are identities, matching the Spark operator's
+    # early exit). AS MATERIALIZED per the unrolled-chain rule.
+    _kc_rounds = 8
+    _kc_cte = [
+        """kc_gi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+)""",
+        """kc_e0 AS MATERIALIZED (
+  SELECT a.i AS u, b.i AS v
+  FROM kc_gi a JOIN kc_gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+)""",
+    ]
+    for _r in range(1, _kc_rounds + 1):
+        _kc_cte.append(f"""kc_k{_r} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id, COUNT(*) AS d
+    FROM (SELECT u AS id FROM kc_e{_r - 1}
+          UNION ALL SELECT v FROM kc_e{_r - 1})
+    GROUP BY id) WHERE d >= 2
+)""")
+        _kc_cte.append(f"""kc_e{_r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM kc_e{_r - 1} e
+  JOIN kc_k{_r} ka ON ka.id = e.u
+  JOIN kc_k{_r} kb ON kb.id = e.v
+)""")
+    q["parts_kcore"] = (
+        "WITH\n" + ",\n".join(_kc_cte) + f"""
+SELECT id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS id FROM kc_e{_kc_rounds}
+      UNION ALL SELECT v FROM kc_e{_kc_rounds})
+GROUP BY id HAVING COUNT(*) >= 2 ORDER BY id"""
+    )
+
     # Gopher repetition gates: regexp \s+ tokenization (the augmented
     # text embeds a newline, so plain string_split(' ') would glue two
     # tokens); gram windows via 1-based inclusive list slices.

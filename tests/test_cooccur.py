@@ -107,3 +107,28 @@ def test_repetition_stats_lines_and_grams(spark):
     # all grams unique -> tie resolves to lexicographically smallest
     # 3-gram 'only here now' (13 chars of 26)
     assert got[4].top3_char_frac == 0.5
+
+
+def test_k_core_peels_transitively(spark):
+    from graphiti_spark.operators.cooccur import cooccurrence_pairs  # noqa: F401
+    from graphiti_spark.operators.centrality import k_core
+
+    # triangle {1,2,3} + tail 3-4: 2-core is exactly the triangle
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r.id: r.core_deg for r in k_core(e, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    # K4 minus one edge: removing the two degree-2 nodes cascades the
+    # whole graph away — 3-core is empty (peeling must be transitive)
+    e2 = _edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]  # no (3,4)
+    )
+    assert k_core(e2, 3).count() == 0
+
+    # full K4: every node stays at degree 3
+    e3 = _edges(
+        spark,
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+    )
+    got3 = {r.id: r.core_deg for r in k_core(e3, 3).collect()}
+    assert got3 == {1: 3, 2: 3, 3: 3, 4: 3}
