@@ -1,0 +1,211 @@
+"""Cluster entry point for CORPUS CURATION: the training-data pipeline
+composed end-to-end from the operator library — exact dedup, MinHash
+near-dup with connected-component canonicals, C4 corpus line dedup,
+quality/language/repetition gates, optional benchmark decontamination,
+PII redaction, deterministic sampling, and token-window chunking.
+
+  spark-submit --py-files /tmp/graphiti_spark.zip \
+    jobs/curate_corpus.py --input /data/sf0.1 --output /data/corpus \
+    --benchmark /data/benchmarks.parquet --sample-rate 0.5
+
+Outputs under --output:
+  docs/    curated documents (doc_id, text, pred_lang, quality fields)
+  chunks/  training windows (doc_id, chunk_idx, start_token, n_tokens,
+           chunk_text)
+  stats.json  one JSON object: the per-stage survivor funnel plus the
+           dropped-LSH-bucket count (recall loss is never silent)
+
+Every decision is content-derived and deterministic — rerunning the
+job on the same input produces byte-identical outputs, so the corpus
+is reproducible from (input, flags) alone. The per-stage funnel counts
+cost one job each; at cluster scale keep them (they are the numbers a
+data team actually monitors) or pass --no-funnel to collapse the
+pipeline into the two output writes.
+
+This layer has no reference analogue (peabodyAdmin/graphiti assumes a
+clean corpus); it is the SURVEY §2 "beyond the reference"
+training-data family, composed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir containing documents.parquet")
+    ap.add_argument("--output", required=True, help="output dir (docs/, chunks/, stats.json)")
+    ap.add_argument("--benchmark", default=None, help="parquet of benchmark rows with a text column (decontamination)")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.9)
+    ap.add_argument("--langs", default="en,und", help="comma-separated pred_lang allowlist")
+    ap.add_argument("--min-quality", type=float, default=0.25)
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.5)
+    ap.add_argument("--max-top2-frac", type=float, default=0.5)
+    ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument("--sample-seed", default="curate")
+    ap.add_argument("--chunk-size", type=int, default=128)
+    ap.add_argument("--chunk-overlap", type=int, default=32)
+    ap.add_argument("--no-funnel", action="store_true", help="skip per-stage counts (two jobs total)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    builder = SparkSession.builder.appName("graphiti-curate-corpus")
+    if args.shuffle_partitions:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
+        )
+    spark = builder.getOrCreate()
+
+    from graphiti_spark.operators.curation import (
+        chunk_tokens,
+        decontaminate,
+        dedup_lines,
+        pii_redact,
+    )
+    from graphiti_spark.operators.dedup_docs import (
+        canonical_docs,
+        exact_dedup,
+        minhash_near_dup,
+    )
+    from graphiti_spark.operators.sampling import sample_fraction
+    from graphiti_spark.operators.textstats import (
+        language_id,
+        quality_score,
+        repetition_stats,
+    )
+
+    t0 = time.time()
+    stats: dict[str, object] = {}
+
+    def funnel(name: str, df):
+        # persist each stage boundary: the funnel count then doubles as
+        # the cache fill, so no downstream stage (or count) re-runs the
+        # dedup/UDF chain above it — without this the lineage recompute
+        # grows with every stage (measured: OOM at sf0.001 on a default
+        # heap purely from re-derivation, not data size)
+        df = df.persist()
+        if not args.no_funnel:
+            stats[name] = df.count()
+        return df
+
+    docs = spark.read.parquet(f"{args.input}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs = funnel("input_docs", docs)
+
+    # 1. exact dedup: the canonical copy survives
+    ex = exact_dedup(docs)
+    docs = docs.join(
+        ex.filter(F.col("id") == F.col("canonical_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    docs = funnel("after_exact_dedup", docs)
+
+    # 2. near-dup: MinHash-LSH pairs -> CC canonicals; keep canonicals.
+    # Capped LSH buckets are surfaced in stats, never dropped silently.
+    drop_sink: list = []
+    pairs = minhash_near_dup(
+        docs, threshold=args.near_dup_threshold, dropped_sink=drop_sink
+    )
+    canon = canonical_docs(docs, pairs)
+    docs = docs.join(
+        canon.filter(F.col("id") == F.col("canonical_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    stats["dropped_lsh_buckets"] = drop_sink[0].count() if drop_sink else 0
+    docs = funnel("after_near_dup", docs)
+
+    # 3. corpus-level line dedup (C4): rewrite text to surviving lines
+    dl = dedup_lines(docs)
+    docs = docs.drop("text").join(
+        dl.select(F.col("id").alias("doc_id"), F.col("text_dedup").alias("text")),
+        "doc_id",
+    ).filter(F.length("text") > 0)
+    docs = funnel("after_line_dedup", docs)
+
+    # 4. language + quality + repetition gates
+    allow = [s for s in args.langs.split(",") if s]
+    lang = language_id(docs).select(
+        F.col("id").alias("doc_id"), "pred_lang"
+    )
+    qual = quality_score(docs).select(
+        F.col("id").alias("doc_id"), F.col("score").alias("quality")
+    )
+    rep = repetition_stats(docs).select(
+        F.col("id").alias("doc_id"), "dup_line_frac", "top2_char_frac"
+    )
+    docs = (
+        docs.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .filter(F.col("pred_lang").isin(allow))
+        .filter(F.col("quality") >= args.min_quality)
+        .filter(F.col("dup_line_frac") <= args.max_dup_line_frac)
+        .filter(F.col("top2_char_frac") <= args.max_top2_frac)
+    )
+    docs = funnel("after_quality_gates", docs)
+
+    # 5. optional benchmark decontamination
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        dec = decontaminate(docs, bench)
+        docs = docs.join(
+            dec.filter(~F.col("contaminated")).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+        docs = funnel("after_decontamination", docs)
+
+    # 6. PII redaction (text leaves the pipeline only redacted)
+    red = pii_redact(docs)
+    docs = docs.drop("text").join(
+        red.select(F.col("id").alias("doc_id"), F.col("redacted").alias("text")),
+        "doc_id",
+    )
+
+    # 7. deterministic sampling
+    if args.sample_rate < 1.0:
+        docs = sample_fraction(
+            docs, args.sample_rate, seed=args.sample_seed
+        ).drop("u")
+        docs = funnel("after_sampling", docs)
+
+    # 8. persist the curated set once; both writes consume it
+    docs = docs.persist()
+    docs.write.mode("overwrite").parquet(f"{args.output}/docs")
+    stats["curated_docs"] = docs.count()
+
+    chunks = chunk_tokens(
+        docs, size=args.chunk_size, overlap=args.chunk_overlap
+    )
+    chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")
+    if not args.no_funnel:
+        out_chunks = spark.read.parquet(f"{args.output}/chunks")
+        stats["chunks"] = out_chunks.count()
+        stats["chunk_tokens"] = out_chunks.agg(
+            F.sum("n_tokens")
+        ).first()[0]
+
+    stats["wall_sec"] = round(time.time() - t0, 3)
+    payload = json.dumps(stats, sort_keys=True)
+    with open(f"{args.output}/stats.json", "w") as fh:
+        fh.write(payload + "\n")
+    print(payload)
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
