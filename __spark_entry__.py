@@ -689,6 +689,46 @@ def _q_events_asof_clicks(spark, sf_dir):
     )
 
 
+def _q_events_asof_next_error(spark, sf_dir):
+    """For each click, the NEXT error by the same user within 24 h
+    (forward as-of with tolerance — the other direction of the keyed
+    as-of operator, hash-verified against DuckDB's native ASOF)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.events import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_event_id")
+    )
+    # deterministic (on, ts) uniqueness: min event_id wins
+    w = Window.partitionBy("user_id", "ts").orderBy("error_event_id")
+    errors = (
+        errors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    j = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        value_cols=["error_event_id"],
+        direction="forward",
+        tolerance_s=86400.0,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("ts_matched", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        "error_event_id",
+    )
+
+
 def _q_events_sessions(spark, sf_dir):
     """Per-user gap-based sessions (8 h gap — the corpus's median
     per-user inter-event gap is ~7.3 h, so the split is non-trivial)
@@ -1170,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_dedup_lines": _q_docs_dedup_lines,
         "events_asof_clicks": _q_events_asof_clicks,
+        "events_asof_next_error": _q_events_asof_next_error,
         "events_sessions": _q_events_sessions,
         "parts_pagerank": _q_parts_pagerank,
         "parts_degree": _q_parts_degree,

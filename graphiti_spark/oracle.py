@@ -1054,6 +1054,35 @@ FROM ea_err e ASOF LEFT JOIN ea_clk c
   ON e.user_id = c.user_id AND e.ts >= c.ts
 ORDER BY e.event_id"""
 
+    # Forward as-of with tolerance: DuckDB ASOF LEFT JOIN on c.ts <=
+    # r.ts picks the NEXT error; the 24 h tolerance nulls the match
+    # post-hoc (left row retained) exactly like the Spark operator.
+    q["events_asof_next_error"] = """WITH
+an_clk AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+an_err AS (
+  SELECT user_id, ts, error_event_id FROM (
+    SELECT user_id, ts, event_id AS error_event_id,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id) AS rn
+    FROM events WHERE event_type = 'error') WHERE rn = 1
+),
+an_j AS (
+  SELECT c.event_id, c.user_id, c.ts, r.ts AS mts, r.error_event_id
+  FROM an_clk c ASOF LEFT JOIN an_err r
+    ON c.user_id = r.user_id AND c.ts <= r.ts
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN mts IS NOT NULL
+              AND epoch_us(mts) - epoch_us(ts) <= 86400000000
+            THEN strftime(mts, '%Y-%m-%d %H:%M:%S') END AS error_ts,
+       CASE WHEN mts IS NOT NULL
+              AND epoch_us(mts) - epoch_us(ts) <= 86400000000
+            THEN error_event_id END AS error_event_id
+FROM an_j ORDER BY event_id"""
+
     # Gap-based sessionization (8 h gap): lag + running sum of session
     # starts, then per-session aggregates; value totals accumulate in
     # DECIMAL(18,2) on both sides so aggregation order can't produce
