@@ -819,6 +819,20 @@ def _q_parts_triangles(spark, sf_dir):
     return triangle_count(e, "a", "b")
 
 
+def _q_embeddings_quantized(spark, sf_dir):
+    """Per-vector affine int8 quantization of the embedding table:
+    codes + reconstruction scalars + exact RMSE (the storage lever for
+    ANN at corpus scale)."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.functions.quantize import quantize_embeddings
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(e).select(
+        F.col("id").alias("vec_id"), "q", "vmin", "scale", "rmse"
+    )
+
+
 def _q_parts_kcore(spark, sf_dir):
     """2-core of the co-purchase graph (iterative peeling, 8-round
     cap; the fixture converges in 4 — the no-op tail keeps the DuckDB
@@ -1218,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_cooccur_lift": _q_parts_cooccur_lift,
         "parts_triangles": _q_parts_triangles,
         "parts_kcore": _q_parts_kcore,
+        "embeddings_quantized": _q_embeddings_quantized,
         "docs_repetition": _q_docs_repetition,
         "media_metadata": _q_media_metadata,
         "frame_offsets": _q_frame_offsets,

@@ -1234,6 +1234,35 @@ FROM (SELECT x AS id FROM tr_t
       UNION ALL SELECT y2 FROM tr_t)
 GROUP BY id ORDER BY id"""
 
+    # Affine int8 quantization: scale/rounding arguments are always
+    # >= 0, so Spark HALF_UP and DuckDB round-half-away agree; the RMSE
+    # fold reuses the list_inner_product ≡ F.aggregate equivalence the
+    # cosine oracles prove. CAST(round(..) AS INT) is exact (integral
+    # double), so DuckDB's half-even int cast can't diverge.
+    q["embeddings_quantized"] = """WITH
+qz_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz_p AS (
+  SELECT vec_id, v, list_min(v) AS vmin,
+         (list_max(v) - list_min(v)) / 255.0 AS scale
+  FROM qz_v
+),
+qz_q AS (
+  SELECT vec_id, v, vmin + 0.0 AS vmin, scale + 0.0 AS scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(round((x - vmin) / scale) AS INT))
+         END AS q
+  FROM qz_p
+),
+qz_e AS (
+  SELECT vec_id, q, vmin, scale, len(v) AS n,
+         list_transform(range(1, len(v) + 1),
+                        i -> v[i] - (vmin + q[i] * scale)) AS err
+  FROM qz_q
+)
+SELECT vec_id, q, vmin, scale,
+       round(sqrt(list_inner_product(err, err) / n), 4) AS rmse
+FROM qz_e ORDER BY vec_id"""
+
     # 2-core by unrolled peeling rounds (converges in 4 on this
     # corpus; rounds 5-8 are identities, matching the Spark operator's
     # early exit). AS MATERIALIZED per the unrolled-chain rule.
