@@ -371,3 +371,18 @@ def test_salted_topk_stays_hash_partitioned(spark):
     assert "WindowGroupLimit" in plan
     # no global single-partition exchange for the windows
     assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_quantize_is_pure_codegen_no_shuffle(spark):
+    """int8 quantization is a per-row map: no Python evaluation nodes
+    and no exchange anywhere in the plan."""
+    from graphiti_spark.functions.quantize import quantize_embeddings
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1)).cast("float") for i in range(8)])
+        .alias("embedding"),
+    )
+    plan = _plan(quantize_embeddings(df))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
