@@ -257,6 +257,20 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_quantized(spark, sf_dir):
+    """IVF top-k over the int8-quantized index (the 4x-bandwidth scan
+    path): probe cells are chosen on full precision, the candidate scan
+    reads dequantized codes. The oracle re-derives the identical affine
+    codes (round((x - vmin)/scale) with scale = range/255 — exact IEEE
+    doubles both sides) and scores the same dequantized vectors."""
+    from graphiti_spark.search.similarity import cosine_topk_ivf_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_ivf_quantized(
+        emb, _query_vec(spark, sf_dir), limit=10, n_cells=16, n_probe=4
+    )
+
+
 def _q_mmr(spark, sf_dir):
     from graphiti_spark.search.fuse import mmr_rerank
     from graphiti_spark.search.similarity import cosine_topk
@@ -332,6 +346,56 @@ def _q_communities(spark, sf_dir):
     out = _pipe(spark, sf_dir)
     comm = build_communities(out["nodes"], out["edges_merged"], DEFAULT_RUN_TS)
     return comm["communities"].select("uuid", "name", "group_id", "member_count")
+
+
+def _comm_incr(spark, sf_dir):
+    """Shared computation of the two G4 incremental-community queries:
+    run the prior half (WITHIN-group split — see oracle.py
+    COMM_INCR_PRIOR_PRED) with communities built, then ingest the batch
+    half incrementally; `ingest_incremental` maintains the communities/
+    has_member tables per batch (reference add_episode(
+    update_communities=True) → update_community,
+    community_operations.py:246-331). Cached per (session, sf_dir) like
+    _pipe — the two queries hash different projections of one run."""
+    import weakref
+
+    from graphiti_spark.operators.incremental import ingest_incremental
+    from graphiti_spark.oracle import COMM_INCR_BATCH_PRED, COMM_INCR_PRIOR_PRED
+    from graphiti_spark.pipeline import run_pipeline_from_pages
+    from graphiti_spark.sources.pages import load_pages
+
+    key = (id(spark), sf_dir, "comm_incr")
+    cached = _CACHE.get(key)
+    if cached is not None:
+        ref, out = cached
+        if ref() is spark and _session_alive(spark):
+            return out
+    pages = load_pages(spark, sf_dir).persist()
+    cfg = RunConfig(with_communities=True)
+    out_a = run_pipeline_from_pages(
+        spark, pages.filter(F.expr(COMM_INCR_PRIOR_PRED)), cfg
+    )
+    merged = ingest_incremental(
+        spark, pages.filter(F.expr(COMM_INCR_BATCH_PRED)), out_a, cfg
+    )
+    out = {
+        "communities": merged["communities"].localCheckpoint(),
+        "has_member": merged["has_member"].localCheckpoint(),
+    }
+    _CACHE[key] = (weakref.ref(spark), out)
+    return out
+
+
+def _q_communities_incremental(spark, sf_dir):
+    return _comm_incr(spark, sf_dir)["communities"].select(
+        "uuid", "name", "group_id", "member_count"
+    )
+
+
+def _q_has_member_incremental(spark, sf_dir):
+    return _comm_incr(spark, sf_dir)["has_member"].select(
+        "community_uuid", "entity_uuid"
+    )
 
 
 def _map_edge_embeddings(spark, sf_dir, edges: DataFrame) -> DataFrame:
@@ -1023,6 +1087,31 @@ def _q_node_attributes(spark, sf_dir):
     )
 
 
+def _q_episode_subgraph(spark, sf_dir):
+    """Episode→subgraph fetch (reference graphiti.py:1155-1167): the
+    canonical nodes mentioned by the 5 lexicographically-first episodes
+    plus the edges carrying those episodes in their provenance array."""
+    from graphiti_spark.operators.maintenance import (
+        get_nodes_and_edges_by_episode,
+    )
+
+    out = _pipe(spark, sf_dir)
+    eps = [
+        r.uuid
+        for r in out["episodes"].select("uuid").orderBy("uuid").limit(5).collect()
+    ]
+    sub = get_nodes_and_edges_by_episode(
+        eps, out["mention_edges"], out["nodes"], out["edges"]
+    )
+    n = sub["nodes"].select(
+        F.lit("node").alias("kind"), "uuid", "name", "group_id"
+    )
+    e = sub["edges"].select(
+        F.lit("edge").alias("kind"), "uuid", "name", "group_id"
+    )
+    return n.unionByName(e)
+
+
 def _q_delta_commit_merge(spark, sf_dir):
     """The MERGE-commit path hash-proven end-to-end (VERDICT r02 #1
     'done' criterion, jobs/ingest_delta.py shape): batch A saved as a
@@ -1194,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _q_cosine_topk,
         "ann_lsh_embeddings": _q_ann_lsh,          # oracle: sha256 planes (r3)
         "ann_ivf_embeddings": _q_ann_ivf,          # oracle: sha256 centroids (r3)
+        "ann_ivf_quantized": _q_ann_ivf_quantized,  # int8 scan path (r4)
         "mmr_embeddings": _q_mmr,                  # oracle: unrolled greedy CTEs
         "bfs_reachable": _q_bfs_reachable,
         "node_distance_src1": _q_node_distance,
@@ -1201,6 +1291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_weights": _q_neighbor_weights,
         "filtered_edges": _q_filtered_edges,
         "communities": _q_communities,
+        # G4 community maintenance inside the delta-incremental ingest
+        # (r4): prior-half LP communities + direct/neighbor placement of
+        # every batch canonical, vs the oracle's re-derivation
+        "communities_incremental": _q_communities_incremental,
+        "has_member_incremental": _q_has_member_incremental,
         "hybrid_search_edges": _q_hybrid_search,  # oracle: mapped embeddings (r3)
         "hybrid_search_docs": _q_hybrid_search_docs,
         # training-data pipeline ops over documents/embeddings
@@ -1247,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_attributes": _q_node_attributes,
         # D9/Q7/Q8 incremental ingest vs existing graph
         "incremental_merge": _q_incremental_merge,
+        # episode→subgraph fetch (reference get_nodes_and_edges_by_episode)
+        "episode_subgraph": _q_episode_subgraph,
         # Structured Streaming micro-batch ingest ≡ one batch (r3)
         "streaming_merge": _q_streaming_merge,
         # snapshot + delta-dir MERGE commit, merge-on-read ≡ one batch (r3)

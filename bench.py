@@ -162,8 +162,8 @@ def run_bench(
         # wide intermediate rows is memory pressure, not reuse.
         cfg = RunConfig(
             persist_stages=frozenset(
-                {"episodes", "mentions", "entities", "pairs", "uuid_map",
-                 "edges_merged"}
+                {"episodes", "token_stream", "mentions", "entities",
+                 "pairs", "uuid_map", "edges_merged"}
             )
         )
     t0 = time.monotonic()

@@ -131,6 +131,13 @@ class RunConfig:
     # (reference truth table, edge_operations.py:406-441) instead of the
     # narrower same-(subject, predicate) window only.
     cross_predicate_invalidation: bool = True
+    # G2-G4: build the communities/has_member tables as part of the
+    # batch DAG (reference build_communities) so the incremental/
+    # streaming ingest can MAINTAIN them per batch (reference
+    # add_episode(update_communities=True) — community_operations.py
+    # update_community). Off by default: community detection is an
+    # iterative LP fixpoint the flagship triple path doesn't need.
+    with_communities: bool = False
     checkpoint_dir: str | None = None   # enables lineage + stage resume
     # Which stages to cache. True = all (interactive/bench mode);
     # False = none; a set of stage names = selective (single-output
@@ -141,8 +148,9 @@ class RunConfig:
 
 
 # The small, reused subtree worth caching in single-output batch runs:
-# episodes feed both extraction outputs; entities/pairs/uuid_map are tiny
-# and consumed by several joins (incl. the eager CC fixpoint).
+# the token stream feeds both extraction outputs (one posexplode pass);
+# entities/pairs/uuid_map are tiny and consumed by several joins (incl.
+# the eager CC fixpoint).
 BATCH_PERSIST_STAGES = frozenset(
-    {"episodes", "entities", "pairs", "uuid_map"}
+    {"episodes", "token_stream", "entities", "pairs", "uuid_map"}
 )

@@ -66,7 +66,17 @@ def quantize_embeddings(
         "q",
         "vmin",
         "scale",
-        F.round(F.sqrt(sq / F.size(F.col("q"))), 4).alias("rmse"),
+        # empty-vector guard (ADVICE r03): 0.0/0 is NaN and would poison
+        # any downstream avg/max monitoring aggregate; an empty embedding
+        # reconstructs exactly (to nothing), so rmse 0.0 with null
+        # vmin/scale is the honest row, matching the zero-norm guards in
+        # the cosine paths
+        F.when(
+            F.size(F.col("q")) > 0,
+            F.round(F.sqrt(sq / F.size(F.col("q"))), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rmse"),
     )
 
 

@@ -30,6 +30,9 @@ GRAPH_TABLES = (
     "mention_edges",
     "episodes",
     "communities",
+    # community membership edges (reference HAS_MEMBER) — consumed and
+    # maintained by the incremental ingest's G4 community update
+    "has_member",
     # resolution state consumed by incremental ingest (operators/
     # incremental.py): the alias-level name index and accepted duplicate
     # pairs (the reference persists the latter as IS_DUPLICATE_OF edges)
@@ -102,6 +105,7 @@ DELTA_KEYS: dict[str, list[str]] = {
     "mention_edges": ["uuid"],
     "episodes": ["uuid"],
     "communities": ["uuid"],
+    "has_member": ["uuid"],
     "entities": ["uuid"],
     "pairs": ["src", "dst"],
     "uuid_map": ["uuid"],

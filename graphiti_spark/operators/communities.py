@@ -148,7 +148,9 @@ def update_communities(
          and bumps member_count.
 
     Returns {"communities": full updated table, "has_member": full table
-    including appended memberships}.
+    including appended memberships, "communities_changed": ONLY the
+    community rows this update touched (the upsert side of a delta
+    commit), "has_member_appended": ONLY the appended membership rows}.
     """
     new_ids = new_nodes.select("uuid", "summary")
 
@@ -158,7 +160,29 @@ def update_communities(
     ).select("uuid", "community_uuid", F.lit(False).alias("is_new"))
 
     undirect = new_ids.join(direct.select("uuid"), "uuid", "left_anti")
-    nbrs = neighbor_weights(edges).select(
+    # neighbor-mode voting only reads edges INCIDENT to the new nodes —
+    # restrict the adjacency build to that bounded subset before the
+    # (src, dst) aggregation so a per-batch incremental update never
+    # shuffles the whole graph's edge table (the weights over the local
+    # subset are identical: every edge between a new node and any
+    # neighbor is in it).
+    ids_ = new_ids.select("uuid")
+    touch_uuids = (
+        edges.join(
+            ids_.withColumnRenamed("uuid", "source_node_uuid"),
+            "source_node_uuid", "left_semi",
+        )
+        .select("uuid")
+        .unionByName(
+            edges.join(
+                ids_.withColumnRenamed("uuid", "target_node_uuid"),
+                "target_node_uuid", "left_semi",
+            ).select("uuid")
+        )
+        .distinct()
+    )
+    e_local = edges.join(touch_uuids, "uuid", "left_semi")
+    nbrs = neighbor_weights(e_local).select(
         F.col("src").alias("uuid"), F.col("dst").alias("nbr")
     )
     votes = (
@@ -237,11 +261,16 @@ def update_communities(
             "member_count",
             F.col("member_count") + F.coalesce(F.col("n_added"), F.lit(0)),
         )
-        .drop("new_members_cat", "n_added")
     )
+    changed = updated.filter(F.col("new_members_cat").isNotNull()).drop(
+        "new_members_cat", "n_added"
+    )
+    updated = updated.drop("new_members_cat", "n_added")
     return {
         "communities": updated,
         "has_member": has_member.unionByName(appended),
+        "communities_changed": changed,
+        "has_member_appended": appended,
     }
 
 

@@ -71,7 +71,6 @@ from graphiti_spark.operators.edges import (
     merge_edge_rows,
     resolve_edge_pointers,
 )
-from graphiti_spark.operators.extract import extract_mentions_and_triples
 from graphiti_spark.operators.resolve import (
     canonical_uuid_map,
     duplicate_pairs,
@@ -349,6 +348,139 @@ def _invalidate_delta(
     return full, changed
 
 
+def _update_communities_delta(
+    prior_comms: DataFrame,
+    prior_hm: DataFrame,
+    repoint: DataFrame,
+    edges_merged: DataFrame,
+    new_nodes: DataFrame,
+    run_ts,
+) -> dict[str, DataFrame]:
+    """G4 community maintenance for one incremental batch (reference
+    update_community, community_operations.py:246-331, the
+    add_episode(update_communities=True) path, graphiti.py:780-787):
+
+      1. memberships of RE-POINTED canonicals follow the merge: the
+         HAS_MEMBER row re-keys to the surviving canonical uuid; when a
+         merge gives one entity several candidate memberships (both
+         merged nodes were members), the smaller community uuid wins
+         (deterministic stand-in for the reference's "first record");
+         member_count is recounted for every community whose membership
+         set changed (a merge can collapse two member rows into one);
+      2. every canonical the BATCH resolved (``new_nodes``) runs the
+         direct-or-neighbor-mode placement + summary fold of
+         operators.communities.update_communities.
+
+    All inputs except prior_comms/prior_hm are batch/touched-sized; the
+    adjacency build inside update_communities is restricted to edges
+    incident to the batch's nodes, so per-batch cost stays
+    O(|batch| + |touched|), never O(|graph|).
+
+    Returns {"communities", "has_member"} full tables plus the delta
+    frames {"comm_upserts", "hm_upserts", "hm_deletes"}.
+    """
+    from graphiti_spark.operators.communities import update_communities
+
+    hm_cols = ["uuid", "group_id", "community_uuid", "entity_uuid",
+               "created_at"]
+    prior_hm = prior_hm.select(*hm_cols)
+    rp_ent = repoint.withColumnRenamed("uuid", "entity_uuid")
+    hm_touched = prior_hm.join(
+        rp_ent.select("entity_uuid"), "entity_uuid", "left_semi"
+    )
+    hm_untouched = prior_hm.join(
+        rp_ent.select("entity_uuid"), "entity_uuid", "left_anti"
+    )
+    # canonicals the re-pointed memberships land on: their existing rows
+    # join the conflict resolution too
+    targets = rp_ent.select(
+        F.col("canonical_uuid").alias("entity_uuid")
+    ).distinct()
+    hm_target_prior = hm_untouched.join(targets, "entity_uuid", "left_semi")
+    hm_rest = hm_untouched.join(targets, "entity_uuid", "left_anti")
+    cand = (
+        hm_touched.join(rp_ent, "entity_uuid")
+        .select(
+            F.col("canonical_uuid").alias("entity_uuid"),
+            "group_id", "community_uuid", "created_at",
+        )
+        .unionByName(
+            hm_target_prior.select(
+                "entity_uuid", "group_id", "community_uuid", "created_at"
+            )
+        )
+    )
+    winner = cand.groupBy("entity_uuid").agg(
+        F.min(F.struct("community_uuid", "group_id", "created_at")).alias("w")
+    )
+    hm_for_targets = winner.select(
+        ids.mention_uuid_col(
+            F.col("w.community_uuid"), F.col("entity_uuid")
+        ).alias("uuid"),
+        F.col("w.group_id").alias("group_id"),
+        F.col("w.community_uuid").alias("community_uuid"),
+        "entity_uuid",
+        F.col("w.created_at").alias("created_at"),
+    ).localCheckpoint()
+    has_member_base = hm_rest.unionByName(hm_for_targets.select(*hm_cols))
+
+    # recount communities whose membership set the remap touched
+    recount_ids = (
+        hm_touched.select("community_uuid")
+        .unionByName(hm_target_prior.select("community_uuid"))
+        .unionByName(hm_for_targets.select("community_uuid"))
+        .distinct()
+        .withColumnRenamed("community_uuid", "uuid")
+        .localCheckpoint()
+    )
+    new_counts = (
+        has_member_base.join(
+            recount_ids.withColumnRenamed("uuid", "community_uuid"),
+            "community_uuid", "left_semi",
+        )
+        .groupBy(F.col("community_uuid").alias("uuid"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # a recounted community absent from new_counts lost every member →
+    # corrected count 0
+    corrections = recount_ids.join(new_counts, "uuid", "left").select(
+        "uuid",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_corrected"),
+    )
+    comm_base = (
+        prior_comms.join(corrections, "uuid", "left")
+        .withColumn(
+            "member_count",
+            F.coalesce(F.col("_corrected"), F.col("member_count")),
+        )
+        .drop("_corrected")
+    )
+
+    upd = update_communities(
+        comm_base, has_member_base, edges_merged, new_nodes, run_ts
+    )
+    changed_ids = upd["communities_changed"].select("uuid")
+    touched_comm_ids = changed_ids.unionByName(recount_ids).distinct()
+    comm_upserts = upd["communities"].join(
+        touched_comm_ids, "uuid", "left_semi"
+    )
+    hm_upserts = hm_for_targets.unionByName(
+        upd["has_member_appended"].select(*hm_cols)
+    )
+    hm_deletes = (
+        hm_touched.select("uuid")
+        .unionByName(hm_target_prior.select("uuid"))
+        .join(hm_for_targets.select("uuid"), "uuid", "left_anti")
+    )
+    return {
+        "communities": upd["communities"],
+        "has_member": upd["has_member"],
+        "comm_upserts": comm_upserts,
+        "hm_upserts": hm_upserts,
+        "hm_deletes": hm_deletes,
+    }
+
+
 def ingest_incremental(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -366,6 +498,46 @@ def ingest_incremental(
     graph, plus ``delta``: the per-table changed-row frames a MERGE/
     streaming commit writes instead of the full graph.
     """
+    cfg = cfg or RunConfig()
+
+    # --- O(|batch|): extraction (one token-stream pass for both outputs;
+    # the persisted stream is batch-sized) ---
+    from graphiti_spark.operators.extract import (
+        extract_token_stream,
+        mentions_from_stream,
+        triples_from_stream,
+    )
+
+    episodes_new = pages_to_episodes(new_pages, cfg.run_ts).persist()
+    stream_new = extract_token_stream(episodes_new).persist()
+    mentions_new = mentions_from_stream(stream_new)
+    triples_new = triples_from_stream(stream_new)
+    return ingest_extracted(
+        spark, episodes_new, mentions_new, triples_new, prior, cfg
+    )
+
+
+def ingest_extracted(
+    spark: SparkSession,
+    episodes_new: DataFrame,
+    mentions_new: DataFrame,
+    triples_new: DataFrame,
+    prior: dict[str, DataFrame],
+    cfg: RunConfig | None = None,
+) -> dict[str, DataFrame]:
+    """The extraction-bypassing tail of ``ingest_incremental``: resolve +
+    merge PRE-BUILT (episodes, mentions, triples) frames into a prior
+    graph. This is the seam the reference's `add_triplet`
+    (graphiti.py:1169-1233) needs — it hands the engine an already-formed
+    triple and only runs dedup/resolution/save — and what a caller with
+    its own extractor (an LLM batch job writing triples to parquet)
+    plugs into.
+
+    episodes_new: (uuid, name, group_id, source, source_description,
+    content, valid_at, created_at); mentions_new: (episode_uuid,
+    group_id, valid_at, name); triples_new: (episode_uuid, group_id,
+    valid_at, subj_name, pred, obj_name, fact).
+    """
     from graphiti_spark.pipeline import build_nodes
 
     cfg = cfg or RunConfig()
@@ -379,9 +551,6 @@ def ingest_incremental(
         prior_map = canonical_uuid_map(prior_entities, prior_pairs)
     prior_map = prior_map.select("uuid", "canonical_uuid")
 
-    # --- O(|batch|): extraction ---
-    episodes_new = pages_to_episodes(new_pages, run_ts).persist()
-    mentions_new, triples_new = extract_mentions_and_triples(episodes_new)
     entities_new = extracted_entities(mentions_new).persist()
 
     entities_all = merge_entity_index(prior_entities, entities_new)
@@ -640,6 +809,41 @@ def ingest_incremental(
             {"edges": edges_merged, "nodes": nodes, "episodes": episodes_all}
         )
 
+    # --- communities: G4 maintenance when the prior graph carries them
+    # (reference add_episode(update_communities=True)). The node set the
+    # batch "resolved" = canonicals of the batch's extracted entities;
+    # their MERGED summaries come from nodes_delta (a superset). A prior
+    # without the tables passes through unchanged — communities stay an
+    # opt-in graph feature (RunConfig.with_communities seeds them).
+    prior_comms = prior.get("communities")
+    prior_hm = prior.get("has_member")
+    comm_out: dict[str, DataFrame] = {}
+    comm_delta: dict = {}
+    if prior_comms is not None and prior_hm is not None:
+        batch_canon = (
+            entities_new.select("uuid")
+            .join(delta_map, "uuid")
+            .select(F.col("canonical_uuid").alias("uuid"))
+            .distinct()
+        )
+        comm_nodes = nodes_delta.join(batch_canon, "uuid", "left_semi").select(
+            "uuid", "summary"
+        )
+        cd = _update_communities_delta(
+            prior_comms, prior_hm, repoint, edges_merged, comm_nodes, run_ts
+        )
+        comm_out = {
+            "communities": cd["communities"],
+            "has_member": cd["has_member"],
+        }
+        comm_delta = {
+            "communities": {"upserts": cd["comm_upserts"]},
+            "has_member": {
+                "upserts": cd["hm_upserts"],
+                "deletes": cd["hm_deletes"],
+            },
+        }
+
     # the changed-row frames a MERGE/streaming commit writes instead of
     # rewriting the graph (materialize.save_graph_delta shape:
     # per-table upserts keyed by DELTA_KEYS + optional deletes)
@@ -669,6 +873,7 @@ def ingest_incremental(
             "deletes": me_touched.select("uuid"),
         },
         "postings": {"upserts": postings_delta, "deletes": removed_ids},
+        **comm_delta,
         # observability: how much of the prior graph this batch touched
         "edges_touched_prior": touched_prior,
     }
@@ -685,5 +890,87 @@ def ingest_incremental(
         "nodes": nodes,
         "mention_edges": mention_edges,
         "postings": postings,
+        **comm_out,
         "delta": delta,
     }
+
+
+def add_triplet(
+    spark: SparkSession,
+    prior: dict[str, DataFrame],
+    group_id: str,
+    subj_name: str,
+    pred: str,
+    obj_name: str,
+    fact: str | None = None,
+    valid_at=None,
+    cfg: RunConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Manually insert ONE (subject, predicate, object) triple into the
+    graph (reference add_triplet, graphiti.py:1169-1233): the triple
+    bypasses extraction but runs the SAME incremental resolution tail as
+    an extracted batch — exact + fuzzy LSH dedup of both endpoints
+    against the prior graph, pointer remap, edge dedup/episode union,
+    temporal invalidation, community maintenance, and a delta-commit map.
+
+    Documented divergence: the reference persists NO episode for a
+    manual triple (it fabricates an ephemeral EpisodicNode purely for
+    temporal resolution, graphiti.py:1213-1222). This engine's
+    provenance model keys every edge to provenance episodes, so the
+    manual insert IS recorded as a deterministic `manual:` episode
+    (uuid = sha256 of the manual url) — re-adding the identical triplet
+    replays the same identities, and get_nodes_and_edges_by_episode
+    works on manual inserts like any other.
+    """
+    from graphiti_spark.functions.smalldf import literal_df
+
+    cfg = cfg or RunConfig()
+    fact = fact or f"{subj_name} {pred} {obj_name}"
+    url = f"manual:{group_id}|{fact}"
+    ep_uuid = ids.episode_uuid(url)
+    valid_at = valid_at if valid_at is not None else cfg.run_ts
+
+    episodes_new = literal_df(
+        spark,
+        [(ep_uuid, url, group_id, "manual", "", fact, valid_at, cfg.run_ts)],
+        [
+            ("uuid", "string"),
+            ("name", "string"),
+            ("group_id", "string"),
+            ("source", "string"),
+            ("source_description", "string"),
+            ("content", "string"),
+            ("valid_at", "timestamp"),
+            ("created_at", "timestamp"),
+        ],
+    ).persist()
+    mention_cols = [
+        ("episode_uuid", "string"),
+        ("group_id", "string"),
+        ("valid_at", "timestamp"),
+        ("name", "string"),
+    ]
+    mentions_new = literal_df(
+        spark,
+        [
+            (ep_uuid, group_id, valid_at, subj_name),
+            (ep_uuid, group_id, valid_at, obj_name),
+        ],
+        mention_cols,
+    )
+    triples_new = literal_df(
+        spark,
+        [(ep_uuid, group_id, valid_at, subj_name, pred.upper(), obj_name, fact)],
+        [
+            ("episode_uuid", "string"),
+            ("group_id", "string"),
+            ("valid_at", "timestamp"),
+            ("subj_name", "string"),
+            ("pred", "string"),
+            ("obj_name", "string"),
+            ("fact", "string"),
+        ],
+    )
+    return ingest_extracted(
+        spark, episodes_new, mentions_new, triples_new, prior, cfg
+    )

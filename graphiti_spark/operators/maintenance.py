@@ -93,3 +93,29 @@ def remove_episode(
     if episodes is not None:
         out["episodes"] = episodes.filter(F.col("uuid") != episode_uuid)
     return out
+
+
+def get_nodes_and_edges_by_episode(
+    episode_uuids: list[str],
+    mention_edges: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> dict[str, DataFrame]:
+    """The episode→subgraph fetch (reference
+    graphiti.py:1155-1167 get_nodes_and_edges_by_episode): the canonical
+    entity nodes the episodes mention, plus every edge carrying one of
+    the episodes in its provenance array (the reference walks
+    episode.entity_edges uuid lists; here provenance lives ON the edge
+    as the `episodes` array, so the lookup is one array-overlap filter —
+    at Iceberg scale a bloom/inverted index on the array column).
+
+    The probe list is query-sized (user-supplied uuids), so the literal
+    array stays a broadcast-free codegen predicate.
+    """
+    from graphiti_spark.search.graph import get_mentioned_nodes
+
+    probe = F.array(*[F.lit(u) for u in episode_uuids])
+    return {
+        "nodes": get_mentioned_nodes(mention_edges, nodes, episode_uuids),
+        "edges": edges.filter(F.arrays_overlap(F.col("episodes"), probe)),
+    }

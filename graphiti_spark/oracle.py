@@ -99,6 +99,14 @@ triples AS (
     AND obj_name IS NOT NULL AND subj_name <> obj_name
 )"""
 
+# The prior/batch split for the G4 incremental-communities oracle and
+# its Spark twin (__spark_entry__). WITHIN groups by construction:
+# group_id = source = src(doc_id % 20), so any doc_id-parity split would
+# put prior and batch in disjoint graph partitions (entity uuid embeds
+# group_id) and the placement arms would be vacuously empty.
+COMM_INCR_PRIOR_PRED = "doc_id % 40 < 20"
+COMM_INCR_BATCH_PRED = "doc_id % 40 >= 20"
+
 # Canonical edges: merged on (group, src, dst, pred, fact), provenance
 # episodes aggregated; deterministic sha256 identities throughout.
 EDGES_CTE = f"""{TRIPLES_CTE},
@@ -533,6 +541,87 @@ scored AS (
            END,
          4) AS score
   FROM embeddings e JOIN cands c ON e.vec_id = c.vec_id
+),
+topk AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM topk ORDER BY rank"""
+
+    # Q3 ANN (IVF, int8-quantized scan): same centroids/cells/probes as
+    # ann_ivf_embeddings (full precision), but candidate scoring runs
+    # over the DEQUANTIZED affine int8 codes (functions/quantize.py):
+    # scale = (max-min)/255 and vmin are exact IEEE doubles, the rounding
+    # argument is always >= 0 (HALF_UP == half-away-from-zero), and
+    # vmin + q_i*scale folds left-to-right in double on both engines —
+    # so the reconstructed vectors, their cosines, and the final ranking
+    # are bit-identical.
+    q["ann_ivf_quantized"] = """WITH
+cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) = 0
+                OR list_inner_product(c.cvec, c.cvec) = 0
+              THEN 0.0
+              ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(c.cvec, c.cvec)))
+         END + 0.0 AS s
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM assign) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           CASE WHEN list_inner_product((SELECT q FROM qv),
+                                        (SELECT q FROM qv)) = 0
+                  OR list_inner_product(c.cvec, c.cvec) = 0
+                THEN 0.0
+                ELSE list_inner_product((SELECT q FROM qv), c.cvec)
+                     / (sqrt(list_inner_product((SELECT q FROM qv),
+                                                (SELECT q FROM qv)))
+                        * sqrt(list_inner_product(c.cvec, c.cvec)))
+           END + 0.0 AS s
+    FROM cent c) ORDER BY s DESC, cid ASC LIMIT 4
+),
+qz AS (
+  SELECT vec_id, v, list_min(v) + 0.0 AS vmin,
+         (list_max(v) - list_min(v)) / 255.0 + 0.0 AS scale
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> vmin)
+              ELSE list_transform(v, x ->
+                vmin + CAST(round((x - vmin) / scale) AS INT) * scale)
+         END AS dv
+  FROM qz
+),
+cands AS (SELECT vec_id FROM cells JOIN qprobe USING (cid)),
+scored AS (
+  SELECT d.vec_id AS id,
+         round(
+           CASE WHEN list_inner_product(d.dv, d.dv) = 0
+                  OR list_inner_product((SELECT q FROM qv),
+                                        (SELECT q FROM qv)) = 0
+                THEN 0.0
+                ELSE list_inner_product(d.dv, (SELECT q FROM qv))
+                     / (sqrt(list_inner_product(d.dv, d.dv))
+                        * sqrt(list_inner_product((SELECT q FROM qv),
+                                                  (SELECT q FROM qv))))
+           END,
+         4) AS score
+  FROM deq d JOIN cands c ON d.vec_id = c.vec_id
 ),
 topk AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 10)
 SELECT id, score,
@@ -1641,6 +1730,182 @@ SELECT sha256(group_id || '|' || 'community|' || min_member_uuid) AS uuid,
        group_id, member_count
 FROM agg ORDER BY uuid"""
 
+    # G4 INCREMENTAL community maintenance (communities.update_communities
+    # wired into ingest_incremental): prior graph = the first 20-doc
+    # block of every 40 with its LP communities; batch = the other
+    # block. The split is WITHIN groups on purpose: group_id = source =
+    # src(doc_id % 20), so a doc_id-parity split would put the halves in
+    # DISJOINT graph partitions (entity uuid embeds group_id) and both
+    # placement arms would be vacuously empty. Every batch-resolved
+    # canonical is placed direct-or-neighbor-mode against the PRIOR
+    # memberships over the MERGED adjacency (reference update_community,
+    # community_operations.py:246-331). The oracle re-derives all three
+    # graphs (prior/batch/merged) in prefixed CTE chains. NOTE: on this
+    # gazetteer corpus the uuid_map is the identity (no fuzzy-name
+    # merges, same simplification every node/edge oracle relies on), so
+    # the canonical-re-point remap arm never fires here — that arm is
+    # pinned by tests/test_incremental_communities.py instead.
+    def _prior_chain(prefix: str, half_pred: str, with_triples: bool) -> str:
+        p = prefix
+        chain = f"""
+{p}pages AS (
+  SELECT {SQL_URL} AS url, text, source AS group_id, doc_id
+  FROM documents WHERE {half_pred}
+),
+{p}episodes AS (
+  SELECT sha256(url) AS uuid, group_id, text AS content FROM {p}pages
+),
+{p}toks AS (
+  SELECT uuid AS episode_uuid, group_id,
+         unnest(string_split(content, ' ')) AS tok,
+         generate_subscripts(string_split(content, ' '), 1) - 1 AS pos
+  FROM {p}episodes
+),
+{p}tagged AS (
+  SELECT *, lag(tok) OVER (PARTITION BY episode_uuid ORDER BY pos) AS prev_tok
+  FROM {p}toks WHERE tok <> ''
+),
+{p}mention_pos AS (
+  SELECT episode_uuid, group_id, pos,
+         CASE WHEN prev_tok IN {ADJS} THEN prev_tok || ' ' || tok
+              ELSE tok END AS name
+  FROM {p}tagged WHERE tok IN {NOUNS}
+)"""
+        if not with_triples:
+            return chain
+        return chain + f""",
+{p}stream AS (
+  SELECT episode_uuid, group_id, pos, name, CAST(NULL AS VARCHAR) AS verb
+  FROM {p}mention_pos
+  UNION ALL
+  SELECT episode_uuid, group_id, pos, NULL, tok
+  FROM {p}tagged WHERE tok IN {VERBS}
+),
+{p}win AS (
+  SELECT *,
+    last_value(name IGNORE NULLS) OVER (
+      PARTITION BY episode_uuid ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS subj_name,
+    first_value(name IGNORE NULLS) OVER (
+      PARTITION BY episode_uuid ORDER BY pos
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS obj_name
+  FROM {p}stream
+),
+{p}triples AS (
+  SELECT DISTINCT group_id, subj_name, upper(verb) AS pred, obj_name,
+         subj_name || ' ' || verb || ' ' || obj_name AS fact
+  FROM {p}win
+  WHERE verb IS NOT NULL AND subj_name IS NOT NULL
+    AND obj_name IS NOT NULL AND subj_name <> obj_name
+)"""
+
+    p_lp_rounds = []
+    for i in range(1, MAX_LP_ITERATIONS + 1):
+        p_lp_rounds.append(
+            f"""p_l{i} AS MATERIALIZED (
+  SELECT v.src AS uuid, max(struct_pack(w := v.w, c := v.nbr_comm))['c'] AS community
+  FROM (
+    SELECT n.src, l.community AS nbr_comm, sum(n.weight) AS w
+    FROM p_nbrs n JOIN p_l{i - 1} l ON l.uuid = n.dst
+    GROUP BY n.src, l.community
+  ) v GROUP BY v.src
+)"""
+        )
+    _COMM_INCR_CTES = f"""WITH {EDGES_CTE},
+m_sym AS (
+  SELECT source_node_uuid AS src, target_node_uuid AS dst FROM edges
+  UNION ALL
+  SELECT target_node_uuid, source_node_uuid FROM edges
+),
+m_nbrs AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM m_sym WHERE src <> dst
+),
+{_prior_chain('p_', COMM_INCR_PRIOR_PRED, True)},
+p_edges AS (
+  SELECT DISTINCT group_id,
+         sha256(group_id || '|' || subj_name) AS source_node_uuid,
+         sha256(group_id || '|' || obj_name) AS target_node_uuid,
+         pred, fact
+  FROM p_triples
+),
+p_sym AS (
+  SELECT source_node_uuid AS src, target_node_uuid AS dst FROM p_edges
+  UNION ALL
+  SELECT target_node_uuid, source_node_uuid FROM p_edges
+),
+p_nbrs AS MATERIALIZED (
+  SELECT src, dst, count(*) AS weight FROM p_sym
+  WHERE src <> dst GROUP BY src, dst
+),
+p_l0 AS (SELECT DISTINCT src AS uuid, src AS community FROM p_nbrs),
+{','.join(p_lp_rounds)},
+p_ents AS (
+  SELECT group_id, name, sha256(group_id || '|' || name) AS uuid
+  FROM (SELECT DISTINCT group_id, subj_name AS name FROM p_triples
+        UNION SELECT DISTINCT group_id, obj_name FROM p_triples) t
+),
+p_members AS (
+  SELECT e.group_id, l.community, e.uuid, e.name
+  FROM p_ents e JOIN p_l{MAX_LP_ITERATIONS} l USING (uuid)
+),
+p_agg AS (
+  SELECT group_id, community, count(*) AS member_count,
+         min(uuid) AS min_member_uuid, min(name) AS min_member_name
+  FROM p_members GROUP BY group_id, community
+),
+p_comms AS MATERIALIZED (
+  SELECT sha256(group_id || '|' || 'community|' || min_member_uuid) AS uuid,
+         'community ' || min_member_name AS name,
+         group_id, member_count, community
+  FROM p_agg
+),
+p_hm AS MATERIALIZED (
+  SELECT c.uuid AS community_uuid, m.uuid AS entity_uuid
+  FROM p_members m
+  JOIN p_comms c ON c.community = m.community AND c.group_id = m.group_id
+),
+{_prior_chain('b_', COMM_INCR_BATCH_PRED, False)},
+b_ents AS (
+  SELECT DISTINCT group_id, name, sha256(group_id || '|' || name) AS uuid
+  FROM b_mention_pos
+),
+ci_direct AS (
+  SELECT b.uuid, h.community_uuid, FALSE AS is_new
+  FROM b_ents b JOIN p_hm h ON h.entity_uuid = b.uuid
+),
+ci_votes AS (
+  SELECT u.uuid, h.community_uuid, count(*) AS n
+  FROM (SELECT uuid FROM b_ents
+        WHERE uuid NOT IN (SELECT uuid FROM ci_direct)) u
+  JOIN m_nbrs nb ON nb.src = u.uuid
+  JOIN p_hm h ON h.entity_uuid = nb.dst
+  GROUP BY u.uuid, h.community_uuid
+),
+ci_by_nbr AS (
+  SELECT uuid,
+         min(struct_pack(negn := -n, c := community_uuid))['c']
+           AS community_uuid,
+         TRUE AS is_new
+  FROM ci_votes GROUP BY uuid
+),
+ci_assigned AS MATERIALIZED (
+  SELECT * FROM ci_direct UNION ALL SELECT * FROM ci_by_nbr
+),
+ci_added AS (
+  SELECT community_uuid, count(*) AS n_added
+  FROM ci_assigned WHERE is_new GROUP BY community_uuid
+)"""
+    q["communities_incremental"] = f"""{_COMM_INCR_CTES}
+SELECT c.uuid, c.name, c.group_id,
+       c.member_count + coalesce(a.n_added, 0) AS member_count
+FROM p_comms c LEFT JOIN ci_added a ON a.community_uuid = c.uuid
+ORDER BY c.uuid"""
+    q["has_member_incremental"] = f"""{_COMM_INCR_CTES}
+SELECT community_uuid, entity_uuid FROM p_hm
+UNION ALL
+SELECT community_uuid, uuid AS entity_uuid FROM ci_assigned WHERE is_new
+ORDER BY community_uuid, entity_uuid"""
+
     # Q5 MMR: the greedy selection UNROLLED to limit steps (argmax of
     # λ·sim_q − (1−λ)·max-sim-to-picked over the unpicked top-20
     # candidates; ties → lowest id; score = selection-time MMR value).
@@ -2119,6 +2384,34 @@ hit AS (
 )
 SELECT n.uuid, n.name, n.group_id, n.mention_count, n.summary, n.label
 FROM nodes n JOIN hit USING (uuid) ORDER BY n.uuid"""
+
+    # The episode→subgraph fetch (reference graphiti.py:1155-1167
+    # get_nodes_and_edges_by_episode): mentioned canonical nodes + every
+    # edge carrying a probe episode in its provenance, for the 5
+    # lexicographically-first episodes. Edge membership re-derives from
+    # the triples relation (edge uuid is a pure function of the merge
+    # key, so no provenance array is needed SQL-side).
+    q["episode_subgraph"] = f"""WITH {NODES_CTE},
+probe_eps AS (SELECT uuid FROM episodes ORDER BY uuid LIMIT 5),
+hit AS (
+  SELECT DISTINCT sha256(group_id || '|' || name) AS uuid
+  FROM mentions WHERE episode_uuid IN (SELECT uuid FROM probe_eps)
+),
+node_rows AS (
+  SELECT 'node' AS kind, n.uuid, n.name, n.group_id
+  FROM nodes n JOIN hit USING (uuid)
+),
+edge_rows AS (
+  SELECT DISTINCT 'edge' AS kind,
+         sha256(group_id || '|' ||
+                sha256(group_id || '|' || subj_name) || '|' ||
+                sha256(group_id || '|' || obj_name) || '|' ||
+                pred || '|' || fact) AS uuid,
+         pred AS name, group_id
+  FROM triples WHERE episode_uuid IN (SELECT uuid FROM probe_eps)
+)
+SELECT * FROM node_rows UNION ALL SELECT * FROM edge_rows
+ORDER BY kind, uuid"""
 
     # Q6 deterministic cross-encoder stand-in: token overlap |q∩d|/|q|.
     q["cross_encoder_docs"] = r"""WITH toks AS (

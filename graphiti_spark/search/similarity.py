@@ -198,12 +198,28 @@ def cosine_topk_ivf(
         )
         assigned = ivf_assign(df, cent_lit, id_col, vec_col)
 
-    def _fold_dot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
+    probe_cells = _probe_cells(cent_rows, query_vec, n_probe)
+    candidates = assigned.filter(F.col("cell").isin(probe_cells)).select(
+        "id", "vec"
+    )
+    return cosine_topk(
+        candidates, query_vec, id_col="id", vec_col="vec", limit=limit
+    )
 
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _probe_cells(cent_rows, query_vec, n_probe: int) -> list:
+    """The ``n_probe`` centroid ids nearest the query by cosine,
+    computed driver-side with a left-to-right double fold — the same
+    IEEE evaluation order as cosine_col's F.aggregate and DuckDB's
+    list_inner_product, so all three engines select identical probe
+    cells (ties broken by cid)."""
     qd = [float(x) for x in query_vec]
     qn = math.sqrt(_fold_dot(qd, qd))
     probes = []
@@ -213,10 +229,61 @@ def cosine_topk_ivf(
         s = 0.0 if qn == 0 or cn == 0 else _fold_dot(qd, cv) / (qn * cn)
         probes.append((s + 0.0, row["cid"]))
     probes.sort(key=lambda t: (-t[0], t[1]))
-    probe_cells = [cid for _, cid in probes[:n_probe]]
+    return [cid for _, cid in probes[:n_probe]]
 
-    candidates = assigned.filter(F.col("cell").isin(probe_cells)).select(
-        "id", "vec"
+
+def cosine_topk_ivf_quantized(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    limit: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    bits: int = 8,
+    assigned_q: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF top-k over the int8-QUANTIZED index — the bandwidth lever
+    functions/quantize.py motivates, wired end-to-end (VERDICT r03 next
+    #6): the probe-cell scan reads int codes + two doubles per vector
+    (~4× fewer bytes than float32 at bits=8), dequantizes in-flight
+    (pure codegen, no UDF), and scores cosine in double.
+
+    Build-time (once per corpus): assignment runs on the FULL-PRECISION
+    vectors — cell quality is not degraded by quantization — and the
+    index table stores only (id, cell, q, vmin, scale), partitioned by
+    ``cell`` at cluster scale. Query-time accuracy is bounded by the
+    reconstruction rmse (quantize_embeddings surfaces it); exact
+    re-scoring of the returned top-k against the float column is one
+    k-row join if a caller needs true scores.
+
+    Pass a prebuilt (``centroids``, ``assigned_q``) pair to skip the
+    build (the cluster calling convention); otherwise derived inline.
+    """
+    from graphiti_spark.functions.quantize import (
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    if centroids is None:
+        centroids = ivf_centroids(df, id_col, vec_col, n_cells)
+    cent_rows = centroids.collect()
+    if assigned_q is None:
+        cid_t = centroids.schema["cid"].dataType.simpleString()
+        cent_lit = literal_df(
+            df.sparkSession,
+            [(r["cid"], [float(x) for x in r["cvec"]]) for r in cent_rows],
+            [("cid", cid_t), ("cvec", "array<double>")],
+        )
+        assigned = ivf_assign(df, cent_lit, id_col, vec_col)
+        codes = quantize_embeddings(df, id_col, vec_col, bits)
+        assigned_q = assigned.select("id", "cell").join(codes, "id")
+
+    probe_cells = _probe_cells(cent_rows, query_vec, n_probe)
+    candidates = assigned_q.filter(F.col("cell").isin(probe_cells)).select(
+        "id",
+        dequantize_col(F.col("q"), F.col("vmin"), F.col("scale")).alias("vec"),
     )
     return cosine_topk(
         candidates, query_vec, id_col="id", vec_col="vec", limit=limit

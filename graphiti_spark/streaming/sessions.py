@@ -125,7 +125,15 @@ def _session_fn(gap_us: int, retention_ms: int):
             )
 
         out = []
-        for pdf in pdfs:
+        # applyInPandasWithState delivers one group's micro-batch across
+        # MULTIPLE Arrow chunks (default 10k rows) with no cross-chunk
+        # ordering guarantee — sorting each chunk independently would
+        # silently mis-split sessions for groups larger than a chunk.
+        # Materialize the whole group's batch and sort ONCE; state stays
+        # O(1) per user, this buffer is one user's micro-batch rows.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["ts", "event_id"])
             ts_us = (
                 pdf["ts"].astype("datetime64[us]").astype("int64").tolist()

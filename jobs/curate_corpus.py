@@ -83,16 +83,23 @@ def main() -> None:
 
     t0 = time.time()
     stats: dict[str, object] = {}
+    live_caches: list = []
 
     def funnel(name: str, df):
         # persist each stage boundary: the funnel count then doubles as
         # the cache fill, so no downstream stage (or count) re-runs the
         # dedup/UDF chain above it — without this the lineage recompute
         # grows with every stage (measured: OOM at sf0.001 on a default
-        # heap purely from re-derivation, not data size)
+        # heap purely from re-derivation, not data size). Once the NEXT
+        # stage is materialized (its own funnel count), the superseded
+        # cache is released — the job holds at most two stage copies of
+        # the corpus, not 8+ (ADVICE r03).
         df = df.persist()
         if not args.no_funnel:
             stats[name] = df.count()
+            while live_caches:
+                live_caches.pop().unpersist()
+        live_caches.append(df)
         return df
 
     docs = spark.read.parquet(f"{args.input}/documents.parquet").select(
@@ -123,7 +130,12 @@ def main() -> None:
         ),
         "doc_id",
     )
-    stats["dropped_lsh_buckets"] = drop_sink[0].count() if drop_sink else 0
+    # counting the dropped-bucket frame is its own LSH job; under
+    # --no-funnel the job really does collapse to the two output writes
+    # (ADVICE r03) — recall loss stays observable in funnel mode, which
+    # is the monitored configuration
+    if not args.no_funnel:
+        stats["dropped_lsh_buckets"] = drop_sink[0].count() if drop_sink else 0
     docs = funnel("after_near_dup", docs)
 
     # 3. corpus-level line dedup (C4): rewrite text to surviving lines
@@ -186,10 +198,12 @@ def main() -> None:
     docs = docs.persist()
     docs.write.mode("overwrite").parquet(f"{args.output}/docs")
     stats["curated_docs"] = docs.count()
+    while live_caches:
+        live_caches.pop().unpersist()
 
     chunks = chunk_tokens(
         docs, size=args.chunk_size, overlap=args.chunk_overlap
-    )
+    ).withColumnRenamed("id", "doc_id")  # match the documented contract
     chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")
     if not args.no_funnel:
         out_chunks = spark.read.parquet(f"{args.output}/chunks")
@@ -200,8 +214,16 @@ def main() -> None:
 
     stats["wall_sec"] = round(time.time() - t0, 3)
     payload = json.dumps(stats, sort_keys=True)
-    with open(f"{args.output}/stats.json", "w") as fh:
-        fh.write(payload + "\n")
+    # write through the Hadoop FS layer, same as the docs/chunks writes —
+    # a local open() would crash at the very end on hdfs://, s3://, ...
+    # outputs after all the heavy work succeeded (ADVICE r03)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{args.output}/stats.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray((payload + "\n").encode("utf-8")))
+    finally:
+        stream.close()
     print(payload)
     sys.stdout.flush()
     spark.stop()

@@ -57,3 +57,34 @@ def test_dequantized_topk_recall(spark):
     )
     approx = {r.id for r in cosine_topk(deq, qvec, limit=10).collect()}
     assert len(exact & approx) >= 9
+
+
+def test_ivf_quantized_recall_vs_full_float(spark):
+    """The end-to-end quantized IVF path (probe cells chosen on full
+    precision, candidate scan over dequantized int8 codes) must agree
+    with the full-float IVF top-10 on >= 9 of 10 ids — quantization is
+    the ONLY difference between the two paths, so the bound isolates
+    the reconstruction error's ranking impact."""
+    from graphiti_spark.search.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_quantized,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    full = cosine_topk_ivf(
+        embs, qvec, limit=10, n_cells=16, n_probe=4
+    ).collect()
+    quant = cosine_topk_ivf_quantized(
+        embs, qvec, limit=10, n_cells=16, n_probe=4
+    ).collect()
+    assert len({r.id for r in full} & {r.id for r in quant}) >= 9
+    # int8 over 64 dims: the reconstructed scores stay within a loose
+    # absolute band of the float scores for the shared ids
+    fs = {r.id: r.score for r in full}
+    for r in quant:
+        if r.id in fs:
+            assert abs(r.score - fs[r.id]) < 0.05
