@@ -48,23 +48,33 @@ class SearchConfig:
     limit: int = DEFAULT_SEARCH_LIMIT
 
 
-def _edge(rr): return SearchConfig(edges=ChannelConfig(["bm25", "cosine"], rr))
-def _node(rr): return SearchConfig(nodes=ChannelConfig(["bm25", "cosine"], rr))
+def _edge(rr, methods=("bm25", "cosine")):
+    return SearchConfig(edges=ChannelConfig(list(methods), rr))
+def _node(rr, methods=("bm25", "cosine")):
+    return SearchConfig(nodes=ChannelConfig(list(methods), rr))
 def _comm(rr): return SearchConfig(communities=ChannelConfig(["bm25"], rr))
 
 
 # The reference's 17 canned recipes (search_config_recipes.py:34-223),
-# same names, deterministic rerankers (cross_encoder = token-overlap stub).
+# same names, deterministic rerankers (cross_encoder = token-overlap
+# stub). The cross_encoder recipes carry bfs as a THIRD retrieval
+# method (search_config_recipes.py:84-97,143-149,188-194) — inert until
+# the caller passes origin_uuids, exactly like the reference's
+# bfs_origin_node_uuids.
 EDGE_HYBRID_SEARCH_RRF = _edge("rrf")
 EDGE_HYBRID_SEARCH_MMR = _edge("mmr")
 EDGE_HYBRID_SEARCH_NODE_DISTANCE = _edge("node_distance")
 EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = _edge("episode_mentions")
-EDGE_HYBRID_SEARCH_CROSS_ENCODER = _edge("cross_encoder")
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = _edge(
+    "cross_encoder", ("bm25", "cosine", "bfs")
+)
 NODE_HYBRID_SEARCH_RRF = _node("rrf")
 NODE_HYBRID_SEARCH_MMR = _node("mmr")
 NODE_HYBRID_SEARCH_NODE_DISTANCE = _node("node_distance")
 NODE_HYBRID_SEARCH_EPISODE_MENTIONS = _node("episode_mentions")
-NODE_HYBRID_SEARCH_CROSS_ENCODER = _node("cross_encoder")
+NODE_HYBRID_SEARCH_CROSS_ENCODER = _node(
+    "cross_encoder", ("bm25", "cosine", "bfs")
+)
 COMMUNITY_HYBRID_SEARCH_RRF = _comm("rrf")
 COMMUNITY_HYBRID_SEARCH_MMR = _comm("mmr")
 COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = _comm("cross_encoder")
@@ -82,8 +92,8 @@ COMBINED_HYBRID_SEARCH_MMR = SearchConfig(
     communities=ChannelConfig(["bm25"], "rrf"),
 )
 COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
-    edges=ChannelConfig(["bm25", "cosine"], "cross_encoder"),
-    nodes=ChannelConfig(["bm25", "cosine"], "cross_encoder"),
+    edges=ChannelConfig(["bm25", "cosine", "bfs"], "cross_encoder"),
+    nodes=ChannelConfig(["bm25", "cosine", "bfs"], "cross_encoder"),
     episodes=ChannelConfig(["bm25"], "cross_encoder"),
     communities=ChannelConfig(["bm25"], "cross_encoder"),
 )

@@ -48,8 +48,13 @@ def leg(spark, pages, prior_pages_filter, batch_filter, label: str) -> dict:
 
     tmp = tempfile.mkdtemp(prefix=f"delta_bench_{label}_")
     try:
+        # with_communities: the prior carries communities/has_member, so
+        # the timed leg includes the G4 incremental community update
+        # (r4) — its delta-row counts must track the batch like every
+        # other table's
         prior_out = run_pipeline_from_pages(
-            spark, pages.filter(prior_pages_filter), RunConfig()
+            spark, pages.filter(prior_pages_filter),
+            RunConfig(with_communities=True),
         )
         save_graph(prior_out, f"{tmp}/prior")
         spark.catalog.clearCache()

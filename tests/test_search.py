@@ -495,3 +495,27 @@ def test_node_channel_bfs_returns_node_ids(spark):
     )["edges"]
     ids_e = {r.id for r in out_e.collect()}
     assert ids_e <= {r.uuid for r in edges.collect()}
+
+
+def test_cross_encoder_recipes_carry_bfs_method():
+    """The reference's three cross_encoder recipes list bfs as a THIRD
+    retrieval method (search_config_recipes.py:84-97,143-149,188-194);
+    the other 14 don't. Inert without origin_uuids, so recipe outputs
+    for origin-less callers are unchanged."""
+    from graphiti_spark.search import hybrid as H
+
+    assert H.EDGE_HYBRID_SEARCH_CROSS_ENCODER.edges.methods == [
+        "bm25", "cosine", "bfs"
+    ]
+    assert H.NODE_HYBRID_SEARCH_CROSS_ENCODER.nodes.methods == [
+        "bm25", "cosine", "bfs"
+    ]
+    cc = H.COMBINED_HYBRID_SEARCH_CROSS_ENCODER
+    assert cc.edges.methods == ["bm25", "cosine", "bfs"]
+    assert cc.nodes.methods == ["bm25", "cosine", "bfs"]
+    for r in (
+        H.EDGE_HYBRID_SEARCH_RRF, H.EDGE_HYBRID_SEARCH_MMR,
+        H.EDGE_HYBRID_SEARCH_NODE_DISTANCE,
+        H.EDGE_HYBRID_SEARCH_EPISODE_MENTIONS,
+    ):
+        assert r.edges.methods == ["bm25", "cosine"]
