@@ -271,6 +271,41 @@ def _q_ann_ivf_quantized(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_incremental(spark, sf_dir):
+    """Incremental IVF index-add (r4): centroids are trained on (hash-
+    sampled from) the PRIOR corpus and FROZEN; the new batch
+    (vec_id % 5 == 0) is assigned to the existing cells and unioned into
+    the index — no rebuild, the 100 TB maintenance path. The oracle
+    recomputes the same frozen-centroid index over the union, proving
+    add-then-search == build-with-same-centroids-then-search."""
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.search.similarity import (
+        cosine_topk_ivf,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    prior = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    # collect the centroid rows ONCE (bounded by n_cells) and assign both
+    # sides against the literal — the documented calling convention that
+    # keeps the centroid plan from re-executing inside each broadcast
+    cent_rows = ivf_centroids(prior, n_cells=16).collect()
+    cent_lit = literal_df(
+        spark,
+        [(r["cid"], [float(x) for x in r["cvec"]]) for r in cent_rows],
+        [("cid", "bigint"), ("cvec", "array<double>")],
+    )
+    assigned = ivf_assign(prior, cent_lit).unionByName(
+        ivf_assign(new, cent_lit)
+    )
+    return cosine_topk_ivf(
+        emb, _query_vec(spark, sf_dir), limit=10, n_probe=4,
+        assigned=assigned, centroids=cent_lit,
+    )
+
+
 def _q_mmr(spark, sf_dir):
     from graphiti_spark.search.fuse import mmr_rerank
     from graphiti_spark.search.similarity import cosine_topk
@@ -486,6 +521,26 @@ def _q_docs_near_dup_word3(spark, sf_dir):
     return minhash_near_dup(_docs(spark, sf_dir), threshold=0.8, mode="word3")
 
 
+def _q_docs_near_dup_incremental(spark, sf_dir):
+    """Incremental corpus dedup (r4): the NEW batch (doc_id % 5 == 0)
+    dedups against a PREBUILT LSH index of the prior corpus — new x new
+    and new x prior pairs only, never prior x prior. The oracle is the
+    brute-force ground truth over the union restricted to pairs touching
+    the batch, so equality also proves the index join keeps full recall
+    at τ=0.95 on this corpus."""
+    from graphiti_spark.operators.dedup_docs import (
+        build_minhash_index,
+        minhash_near_dup_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prior = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return minhash_near_dup_incremental(
+        new, build_minhash_index(prior), prior, threshold=0.95, mode="word"
+    )
+
+
 def _q_docs_simhash(spark, sf_dir):
     from graphiti_spark.operators.dedup_docs import simhash_near_dup
 
@@ -497,6 +552,33 @@ def _q_docs_canonical(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return canonical_docs(docs, minhash_near_dup(docs, threshold=0.95, mode="word"))
+
+
+def _q_docs_canonical_incremental(spark, sf_dir):
+    """Incremental canonical maintenance (r4): the standing (id,
+    canonical_id) table built from the PRIOR corpus (doc_id % 5 != 0) is
+    updated with the new batch's incremental dedup pairs — only touched
+    components re-enter CC; untouched rows pass through. The oracle is
+    the full ``docs_canonical`` rebuild over the union, so a hash match
+    proves incremental ≡ rebuild including cross-component bridges."""
+    from graphiti_spark.operators.dedup_docs import (
+        build_minhash_index,
+        canonical_docs,
+        canonical_docs_incremental,
+        minhash_near_dup,
+        minhash_near_dup_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prior = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    prior_canon = canonical_docs(
+        prior, minhash_near_dup(prior, threshold=0.95, mode="word")
+    )
+    inc_pairs = minhash_near_dup_incremental(
+        new, build_minhash_index(prior), prior, threshold=0.95, mode="word"
+    )
+    return canonical_docs_incremental(prior_canon, new, inc_pairs)
 
 
 def _q_embeddings_near_dup(spark, sf_dir):
@@ -1284,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh,          # oracle: sha256 planes (r3)
         "ann_ivf_embeddings": _q_ann_ivf,          # oracle: sha256 centroids (r3)
         "ann_ivf_quantized": _q_ann_ivf_quantized,  # int8 scan path (r4)
+        # frozen-centroid index-add == same-centroid full build (r4)
+        "ann_ivf_incremental": _q_ann_ivf_incremental,
         "mmr_embeddings": _q_mmr,                  # oracle: unrolled greedy CTEs
         "bfs_reachable": _q_bfs_reachable,
         "node_distance_src1": _q_node_distance,
@@ -1302,8 +1386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_near_dup": _q_docs_near_dup,
         "docs_near_dup_word3": _q_docs_near_dup_word3,
+        # batch-vs-prior-index dedup, full recall vs brute force (r4)
+        "docs_near_dup_incremental": _q_docs_near_dup_incremental,
         "docs_simhash": _q_docs_simhash,  # oracle: brute-force hamming (r3)
         "docs_canonical": _q_docs_canonical,       # oracle: recursive-CTE closure
+        # touched-components-only canon update == full rebuild (r4)
+        "docs_canonical_incremental": _q_docs_canonical_incremental,
         "embeddings_near_dup": _q_embeddings_near_dup,
         "docs_language_id": _q_docs_language_id,
         "docs_token_stats": _q_docs_token_stats,

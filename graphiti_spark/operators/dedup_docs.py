@@ -143,6 +143,152 @@ def minhash_near_dup(
     )
 
 
+def build_minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "word",
+) -> DataFrame:
+    """The corpus-side LSH index a daily-batch dedup joins against:
+    (id, band_idx, band_key), one row per (doc, band). Built ONCE per
+    corpus; at 100 TB write it partitioned by ``band_idx`` and bucketed
+    by ``band_key`` so an incremental batch's band-key join prunes to
+    its own buckets instead of scanning the corpus. Prior TEXT is not
+    in the index — the incremental verifier re-reads it only for the
+    candidate ids the band join surfaces."""
+    prepared = docs.select(
+        F.col(id_col).alias("id"),
+        shingles_of(F.col(text_col), mode).alias("shingles"),
+    ).withColumn("sig", minhash_signature_udf(F.col("shingles")))
+    return prepared.select(
+        "id", F.explode(lsh_band_keys_col(F.col("sig"))).alias("b")
+    ).select(
+        "id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+
+
+def minhash_near_dup_incremental(
+    new_docs: DataFrame,
+    prior_index: DataFrame,
+    prior_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.95,
+    mode: str = "word",
+    max_bucket: int = MAX_BUCKET,
+    dropped_sink: list | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch: new x new and new x prior,
+    never prior x prior — the training-pipeline shape where each crawl
+    increment dedups against the full corpus without re-pairing it.
+
+    Same contract as ``minhash_near_dup`` restricted to pairs touching
+    the batch, and exactly composable with it (law-tested):
+
+        minhash_near_dup_incremental(new, index(prior), prior)
+          UNION  minhash_near_dup(prior)
+          ==     minhash_near_dup(prior UNION new)
+
+    Scale shape: the only prior-sized access is the band-key semi-join
+    against the PREBUILT index (partition/bucket-pruned at 100 TB —
+    O(|batch| x bands) lookup keys); prior text is re-read only for the
+    verification candidates (a semi-join bounded by candidate count);
+    bucket caps count the COMBINED bucket (new + prior rows per band
+    key) and are surfaced via ``dropped_sink``, never silent."""
+    keys = ["band_idx", "band_key"]
+    new_prepared = new_docs.select(
+        F.col(id_col).alias("id"),
+        shingles_of(F.col(text_col), mode).alias("shingles"),
+    ).withColumn("sig", minhash_signature_udf(F.col("shingles")))
+    new_banded = new_prepared.select(
+        "id", "shingles", F.explode(lsh_band_keys_col(F.col("sig"))).alias("b")
+    ).select(
+        "id",
+        "shingles",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    # prune the prior index to the batch's band keys FIRST: the only
+    # prior-sized read, and it's key-pruned (bucket/partition pruning
+    # when the index table is laid out by band)
+    batch_keys = new_banded.select(*keys).distinct()
+    prior_hits = prior_index.join(batch_keys, keys, "left_semi").select(
+        "id", *keys
+    )
+
+    # combined bucket cap: the pair join below fans out with the TOTAL
+    # bucket population, so the cap must count both sides
+    from graphiti_spark.operators.resolve import capped_buckets
+
+    all_banded = (
+        new_banded.select("id", *keys)
+        .unionByName(prior_hits)
+    )
+    _, dropped = capped_buckets(all_banded, max_bucket, keys=keys)
+    if dropped_sink is not None:
+        dropped_sink.append(dropped)
+    kept_keys = (
+        all_banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select(*keys)
+    )
+    new_k = new_banded.join(kept_keys, keys, "left_semi")
+    prior_k = prior_hits.join(kept_keys, keys, "left_semi")
+
+    # candidate id pairs: new x new (within-batch) + new x prior
+    nn = (
+        new_k.select(*keys, F.col("id").alias("a_id"))
+        .join(new_k.select(*keys, F.col("id").alias("b_id")), keys)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    np_ = (
+        new_k.select(*keys, F.col("id").alias("n_id"))
+        .join(prior_k.select(*keys, F.col("id").alias("p_id")), keys)
+        .select(
+            F.least("n_id", "p_id").alias("a_id"),
+            F.greatest("n_id", "p_id").alias("b_id"),
+        )
+    )
+    cand = nn.unionByName(np_).dropDuplicates(["a_id", "b_id"])
+
+    # shingle lookup bounded by the candidate set: batch shingles are in
+    # hand; prior shingles are recomputed for candidate ids only
+    cand_ids = cand.select(F.col("a_id").alias("id")).unionByName(
+        cand.select(F.col("b_id").alias("id"))
+    ).distinct()
+    prior_sh = (
+        prior_docs.join(
+            cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_of(F.col(text_col), mode).alias("shingles"),
+        )
+    )
+    sh = new_prepared.select("id", "shingles").unionByName(prior_sh)
+    pairs = (
+        cand.join(
+            sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh")),
+            "a_id",
+        )
+        .join(
+            sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh")),
+            "b_id",
+        )
+    )
+    return (
+        pairs.withColumn(
+            "jaccard", F.round(jaccard_col(F.col("a_sh"), F.col("b_sh")), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 
@@ -389,3 +535,80 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
             .alias("canonical_id"),
         )
     )
+
+
+def canonical_docs_incremental(
+    prior_canon: DataFrame,
+    new_docs: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Update a canonical mapping when a new batch's dedup pairs arrive —
+    WITHOUT re-running connected components over the whole corpus. The
+    third leg of the daily-increment family (pairs:
+    ``minhash_near_dup_incremental``; index: ``build_minhash_index``).
+
+    Inputs: ``prior_canon`` is the standing (id, canonical_id) table;
+    ``new_pairs`` the incremental dedup output (pairs touching the batch,
+    never prior x prior); ``new_docs`` the batch rows. Returns the full
+    updated (id, canonical_id) mapping, hash-provably equal to
+    ``canonical_docs`` rebuilt over the union (the law the oracle checks):
+    a prior mapping is an edge-contraction of its pair set, so CC over
+    (new pairs ∪ touched prior id→canon edges) lands on the same min-id
+    components — including when one new doc BRIDGES two prior components.
+
+    Scale shape: only components TOUCHED by a new pair are recomputed.
+    The prior-sized accesses are (a) one semi-join of prior_canon against
+    the pair ids and (b) one membership join on canonical_id — both
+    key-pruned when the canon table is bucketed by canonical_id at
+    100 TB. CC itself runs over O(|batch pairs| + |touched members|)
+    edges; every untouched prior row passes through untouched (no
+    shuffle — a broadcast anti-join on the touched canon set, which is
+    bounded by the batch's pair count, not the corpus)."""
+    touched_ids = (
+        new_pairs.select(F.col("a_id").alias("id"))
+        .unionByName(new_pairs.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    touched_canons = (
+        prior_canon.join(touched_ids, "id", "left_semi")
+        .select("canonical_id")
+        .distinct()
+    )
+    touched_prior = prior_canon.join(
+        F.broadcast(touched_canons), "canonical_id", "left_semi"
+    )
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 12, "0")
+
+    # membership edges of touched prior components + the batch's pairs
+    prior_edges = touched_prior.filter(
+        F.col("id") != F.col("canonical_id")
+    ).select(pad(F.col("id")).alias("src"), pad(F.col("canonical_id")).alias("dst"))
+    edges = new_pairs.select(
+        pad(F.col("a_id")).alias("src"), pad(F.col("b_id")).alias("dst")
+    ).unionByName(prior_edges)
+
+    from graphiti_spark.operators.cc import connected_components
+
+    cc = connected_components(edges)
+    scope = (
+        touched_prior.select("id")
+        .unionByName(new_docs.select(F.col(id_col).alias("id")))
+        .distinct()
+    )
+    recomputed = (
+        scope.select(pad(F.col("id")).alias("uuid"))
+        .join(cc, "uuid", "left")
+        .select(
+            F.col("uuid").cast("long").alias("id"),
+            F.coalesce(F.col("canonical_uuid"), F.col("uuid"))
+            .cast("long")
+            .alias("canonical_id"),
+        )
+    )
+    untouched = prior_canon.join(
+        F.broadcast(touched_canons), "canonical_id", "left_anti"
+    ).select("id", "canonical_id")
+    return untouched.unionByName(recomputed)

@@ -547,6 +547,77 @@ SELECT id, score,
        CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
 FROM topk ORDER BY rank"""
 
+    # Q3 ANN (IVF, incremental index-add, r4): identical math to
+    # ann_ivf_embeddings except centroids are hash-sampled from the
+    # PRIOR corpus only (vec_id % 5 <> 0) and frozen — the Spark side
+    # assigns the prior and the new batch separately against the frozen
+    # centroid literal and unions the index; this oracle re-derives the
+    # same frozen-centroid index over the union, so a hash match proves
+    # add-then-search == build-with-same-centroids-then-search.
+    q["ann_ivf_incremental"] = """WITH
+aii_cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id % 5 <> 0
+  ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+aii_qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+aii_assign AS (
+  SELECT e.vec_id, c.cid,
+         CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) = 0
+                OR list_inner_product(c.cvec, c.cvec) = 0
+              THEN 0.0
+              ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(c.cvec, c.cvec)))
+         END + 0.0 AS s
+  FROM embeddings e CROSS JOIN aii_cent c
+),
+aii_cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM aii_assign) WHERE rn = 1
+),
+aii_qprobe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           CASE WHEN list_inner_product((SELECT q FROM aii_qv),
+                                        (SELECT q FROM aii_qv)) = 0
+                  OR list_inner_product(c.cvec, c.cvec) = 0
+                THEN 0.0
+                ELSE list_inner_product((SELECT q FROM aii_qv), c.cvec)
+                     / (sqrt(list_inner_product((SELECT q FROM aii_qv),
+                                                (SELECT q FROM aii_qv)))
+                        * sqrt(list_inner_product(c.cvec, c.cvec)))
+           END + 0.0 AS s
+    FROM aii_cent c) ORDER BY s DESC, cid ASC LIMIT 4
+),
+aii_cands AS (SELECT vec_id FROM aii_cells JOIN aii_qprobe USING (cid)),
+aii_scored AS (
+  SELECT e.vec_id AS id,
+         round(
+           CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) = 0
+                  OR list_inner_product((SELECT q FROM aii_qv),
+                                        (SELECT q FROM aii_qv)) = 0
+                THEN 0.0
+                ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        (SELECT q FROM aii_qv))
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product((SELECT q FROM aii_qv),
+                                                  (SELECT q FROM aii_qv))))
+           END,
+         4) AS score
+  FROM embeddings e JOIN aii_cands c ON e.vec_id = c.vec_id
+),
+aii_topk AS (SELECT * FROM aii_scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM aii_topk ORDER BY rank"""
+
     # Q3 ANN (IVF, int8-quantized scan): same centroids/cells/probes as
     # ann_ivf_embeddings (full precision), but candidate scoring runs
     # over the DEQUANTIZED affine int8 codes (functions/quantize.py):
@@ -726,6 +797,27 @@ pairs AS (
   FROM s a JOIN s b ON a.id < b.id
 )
 SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.95
+ORDER BY a_id, b_id"""
+
+    # Incremental corpus dedup (r4): the Spark side joins the NEW batch
+    # (doc_id % 5 = 0) against a prebuilt prior-corpus LSH index. The
+    # oracle is brute-force ground truth over the UNION restricted to
+    # pairs touching the batch — equality proves the index join loses
+    # no recall and never emits a prior x prior pair.
+    q["docs_near_dup_incremental"] = """WITH
+ndi_s AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+ndi_pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.w, b.w))), 4) AS jaccard
+  FROM ndi_s a JOIN ndi_s b ON a.id < b.id
+)
+SELECT a_id, b_id, jaccard FROM ndi_pairs
+WHERE jaccard >= 0.95 AND (a_id % 5 = 0 OR b_id % 5 = 0)
 ORDER BY a_id, b_id"""
 
     # Order-sensitive 3-token-gram near-dup (word3 mode, τ=0.8): the
@@ -2208,6 +2300,14 @@ r16 AS MATERIALIZED (
   ) n USING (id)
 )
 SELECT id, m AS canonical_id FROM r16 ORDER BY id"""
+
+    # Incremental canonical maintenance (r4): the ground truth for the
+    # touched-components-only update IS the full rebuild over the union —
+    # the Spark side recomputes only components the batch's pairs touch
+    # and passes every other prior row through, so hash equality with the
+    # identical docs_canonical closure proves incremental ≡ rebuild
+    # (including new docs bridging two prior components).
+    q["docs_canonical_incremental"] = q["docs_canonical"]
 
     # Q1 composition, fully oracle-able twin: BM25 + cosine channels over
     # the documents/embeddings corpus fused with RRF (1/(rank-1+1)

@@ -89,6 +89,26 @@ def test_embedding_near_dup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_incremental_no_cartesian(spark):
+    """The batch-vs-prior-index dedup must pair ONLY through band-key
+    equi-joins (new x new and new x prior-index) and fetch prior text
+    through semi-joins — any CartesianProduct/BroadcastNestedLoopJoin
+    here re-pairs the corpus, the exact cost the index exists to avoid."""
+    from graphiti_spark.operators.dedup_docs import (
+        build_minhash_index,
+        minhash_near_dup_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prior = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    plan = _plan(
+        minhash_near_dup_incremental(new, build_minhash_index(prior), prior)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_extraction_is_pure_codegen(spark):
     """E1/E4 extraction must stay JVM-side: no Python evaluation nodes
     in the mention/triple plans (the only Arrow stage allowed is the

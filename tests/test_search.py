@@ -126,6 +126,28 @@ def test_cosine_ivf_recall_clustered(spark):
     assert len(exact & approx) / 10 >= 0.8
 
 
+def test_ivf_add_equals_full_build_with_frozen_centroids(spark):
+    """Incremental IVF maintenance (r4): assigning a NEW batch against
+    the FROZEN centroid set and unioning into the prior index must equal
+    assigning the whole corpus against those centroids — the law that
+    makes index-add (no rebuild) sound. Guards ivf_assign against any
+    future corpus-global term that would break per-row additivity."""
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(80, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    prior = df.filter(F.col("vec_id") % 5 != 0)
+    new = df.filter(F.col("vec_id") % 5 == 0)
+    cent = ivf_centroids(prior, n_cells=4).localCheckpoint()
+    added = ivf_assign(prior, cent).unionByName(ivf_assign(new, cent))
+    full = ivf_assign(df, cent)
+    a = sorted((r.id, r.cell) for r in added.collect())
+    b = sorted((r.id, r.cell) for r in full.collect())
+    assert a == b
+
+
 def test_ivf_assignment_deterministic_and_total(spark):
     """Every vector gets exactly one cell; reruns pick identical
     centroids (content-derived sha256 sample, no RNG)."""

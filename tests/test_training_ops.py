@@ -70,6 +70,92 @@ def test_minhash_word3_order_sensitive(spark):
     assert len(word3) == 0  # 3-gram view: nothing shared
 
 
+def test_minhash_incremental_composes_with_batch(docs):
+    """The incremental dedup law: pairs(new vs prior-index) ∪
+    pairs(prior) == pairs(prior ∪ new), and the incremental side never
+    emits a prior x prior pair — the contract that lets a 100 TB corpus
+    dedup each crawl increment without re-pairing itself."""
+    from graphiti_spark.operators.dedup_docs import (
+        build_minhash_index,
+        minhash_near_dup_incremental,
+    )
+
+    prior = docs.filter(F.col("doc_id") <= 3)
+    new = docs.filter(F.col("doc_id") > 3)
+    inc = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_near_dup_incremental(
+            new, build_minhash_index(prior), prior, threshold=0.8
+        ).collect()
+    }
+    prior_pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_near_dup(prior, threshold=0.8).collect()
+    }
+    full = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_near_dup(docs, threshold=0.8).collect()
+    }
+    assert {**prior_pairs, **inc} == full
+    assert not set(inc) & set(prior_pairs)
+    assert all(a > 3 or b > 3 for a, b in inc)  # every pair touches new
+    assert (1, 5) in inc  # new x prior found through the index
+
+
+def test_minhash_incremental_caps_surfaced(docs):
+    """A bound combined bucket (new + prior rows per band key) drops
+    pairs but never silently: the dropped-bucket metrics land in the
+    sink with the total bucket population."""
+    from graphiti_spark.operators.dedup_docs import (
+        build_minhash_index,
+        minhash_near_dup_incremental,
+    )
+
+    prior = docs.filter(F.col("doc_id") <= 3)
+    new = docs.filter(F.col("doc_id") > 3)
+    sink = []
+    out = minhash_near_dup_incremental(
+        new, build_minhash_index(prior), prior,
+        threshold=0.8, max_bucket=1, dropped_sink=sink,
+    )
+    assert out.count() == 0  # every pairing bucket (size >= 2) capped
+    dropped = sink[0].collect()
+    assert dropped and all(r.bucket_n >= 2 for r in dropped)
+
+
+def test_canonical_incremental_bridges_components(spark):
+    """Incremental canonical maintenance: a new doc whose pairs touch TWO
+    prior components must merge them (the hard case — the update can't
+    treat prior canonicals as immutable), singleton batch docs map to
+    themselves, and untouched components pass through byte-identical.
+    Result must equal the full CC rebuild over the union."""
+    from graphiti_spark.operators.dedup_docs import canonical_docs_incremental
+
+    prior_canon = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5), (6, 6)],
+        "id long, canonical_id long",
+    )
+    new_docs = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    new_pairs = spark.createDataFrame([(2, 7), (3, 7)], "a_id long, b_id long")
+    out = {
+        r.id: r.canonical_id
+        for r in canonical_docs_incremental(
+            prior_canon, new_docs, new_pairs
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 1, 5: 5, 6: 6, 8: 8}
+
+    all_docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    all_pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 7), (3, 7)], "a_id long, b_id long"
+    )
+    full = {
+        r.id: r.canonical_id
+        for r in canonical_docs(all_docs, all_pairs).collect()
+    }
+    assert out == full
+
+
 def test_simhash_near_dup(docs):
     pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_near_dup(docs).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
