@@ -581,6 +581,67 @@ def _q_docs_canonical_incremental(spark, sf_dir):
     return canonical_docs_incremental(prior_canon, new, inc_pairs)
 
 
+def _q_dedup_state_stream(spark, sf_dir):
+    """Streaming corpus dedup ≡ one-shot rebuild, proven in the driver
+    gate: the documents table split into two feed commits, each drained
+    as a micro-batch (foreachBatch → incremental pairs vs the standing
+    LSH index → touched-components canon update → versioned delta
+    commit); the final state's canon table equals ``canonical_docs``
+    over the whole corpus, so the oracle IS the full-rebuild SQL
+    (same DuckDB closure as docs_canonical)."""
+    import os
+    import shutil
+    import tempfile
+
+    from graphiti_spark.operators.dedup_state import (
+        load_dedup_state,
+        run_streaming_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q_dedup_state_")
+    try:
+        feed = os.path.join(tmp, "feed")
+        state = os.path.join(tmp, "state")
+        ckpt = os.path.join(tmp, "ckpt")
+        docs = _docs(spark, sf_dir)
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(
+            os.path.join(feed, "part=a")
+        )
+        run_streaming_dedup(spark, feed + "/part=a", state, ckpt + "1")
+        docs.filter(F.col("doc_id") % 2 == 1).write.parquet(
+            os.path.join(feed, "part=b")
+        )
+        run_streaming_dedup(spark, feed + "/part=b", state, ckpt + "2")
+
+        got = load_dedup_state(spark, state)
+        out = got["canon"].select("id", "canonical_id")
+        # detach from the state parquet before the finally-rmtree
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_dedup_state_takedown(spark, sf_dir):
+    """Takedown law, hash-proved in the driver gate: build the standing
+    dedup state over the whole corpus, ``remove_docs`` the
+    ``doc_id % 10 == 7`` slice, return the repaired canonical mapping.
+    The oracle is the docs_canonical closure over the REMAINING corpus,
+    so a hash match proves remove ≡ rebuild — including cluster SPLITS,
+    which only the retained pairs evidence can decide (canon alone is a
+    contraction)."""
+    from graphiti_spark.operators.dedup_state import (
+        init_dedup_state,
+        remove_docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    state = init_dedup_state(docs)
+    doomed = docs.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("id")
+    )
+    return remove_docs(doomed, state)["canon"].select("id", "canonical_id")
+
+
 def _q_embeddings_near_dup(spark, sf_dir):
     from graphiti_spark.operators.dedup_docs import embedding_near_dup
 
@@ -1392,6 +1453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_canonical": _q_docs_canonical,       # oracle: recursive-CTE closure
         # touched-components-only canon update == full rebuild (r4)
         "docs_canonical_incremental": _q_docs_canonical_incremental,
+        # streamed versioned dedup state == one-shot rebuild (r4)
+        "dedup_state_stream": _q_dedup_state_stream,
+        # takedown repair == rebuild over the remaining corpus (r4)
+        "dedup_state_takedown": _q_dedup_state_takedown,
         "embeddings_near_dup": _q_embeddings_near_dup,
         "docs_language_id": _q_docs_language_id,
         "docs_token_stats": _q_docs_token_stats,

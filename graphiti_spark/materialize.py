@@ -51,12 +51,20 @@ GRAPH_TABLES = (
 )
 
 
-def save_graph(outputs: dict[str, DataFrame], path: str) -> dict[str, str]:
+def save_graph(
+    outputs: dict[str, DataFrame],
+    path: str,
+    tables: tuple[str, ...] = GRAPH_TABLES,
+    partition_cols: dict[str, str] | None = None,
+) -> dict[str, str]:
     """Write every present graph table to ``path/<table>`` parquet,
     partitioned by group_id (when present), sorted by uuid within
-    partitions."""
+    partitions. ``tables``/``partition_cols`` generalize the same
+    versioned-state layout to other table families (the corpus dedup
+    state partitions its LSH index by band)."""
+    partition_cols = partition_cols or {}
     written: dict[str, str] = {}
-    for name in GRAPH_TABLES:
+    for name in tables:
         df = outputs.get(name)
         if df is None:
             continue
@@ -80,15 +88,25 @@ def save_graph(outputs: dict[str, DataFrame], path: str) -> dict[str, str]:
                 .partitionBy("group_id")
                 .parquet(target)
             )
+        elif name in partition_cols:
+            pcol = partition_cols[name]
+            (
+                df.repartition(pcol)
+                .write.mode("overwrite")
+                .partitionBy(pcol)
+                .parquet(target)
+            )
         else:  # e.g. pairs(src, dst)
             df.write.mode("overwrite").parquet(target)
         written[name] = target
     return written
 
 
-def load_graph(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+def load_graph(
+    spark: SparkSession, path: str, tables: tuple[str, ...] = GRAPH_TABLES
+) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
-    for name in GRAPH_TABLES:
+    for name in tables:
         target = os.path.join(path, name)
         if os.path.isdir(target):
             out[name] = spark.read.parquet(target)
@@ -115,14 +133,17 @@ DELTA_KEYS: dict[str, list[str]] = {
 DELTA_MARKER = "_DELTA"
 
 
-def save_graph_delta(delta: dict, path: str) -> dict[str, str]:
+def save_graph_delta(
+    delta: dict, path: str, keys: dict[str, list[str]] | None = None
+) -> dict[str, str]:
     """Write ONLY the changed rows of a batch (ingest_incremental's
     ``delta`` map: {table: {upserts, deletes?}}) — the parquet sandbox
     equivalent of one Iceberg MERGE per table (upsert_sql). Layout:
     ``path/<table>/upserts`` (+ ``/deletes``) plus a _DELTA marker."""
+    keys = keys if keys is not None else DELTA_KEYS
     written: dict[str, str] = {}
     for table, parts in delta.items():
-        if table not in DELTA_KEYS or not isinstance(parts, dict):
+        if table not in keys or not isinstance(parts, dict):
             continue
         target = os.path.join(path, table)
         parts["upserts"].write.mode("overwrite").parquet(
@@ -140,13 +161,19 @@ def save_graph_delta(delta: dict, path: str) -> dict[str, str]:
     return written
 
 
-def apply_graph_delta(spark: SparkSession, base: dict, path: str) -> dict:
+def apply_graph_delta(
+    spark: SparkSession,
+    base: dict,
+    path: str,
+    table_keys: dict[str, list[str]] | None = None,
+) -> dict:
     """Merge-on-read one delta version onto ``base`` (lazy plans; nothing
     materializes until a query runs): delete keyed rows, append upserts."""
     from pyspark.sql import functions as F  # noqa: F401
 
+    table_keys = table_keys if table_keys is not None else DELTA_KEYS
     out = dict(base)
-    for table, keys in DELTA_KEYS.items():
+    for table, keys in table_keys.items():
         target = os.path.join(path, table)
         up_dir = os.path.join(target, "upserts")
         if not os.path.isdir(up_dir):
@@ -176,13 +203,18 @@ def apply_graph_delta(spark: SparkSession, base: dict, path: str) -> dict:
     return out
 
 
-def load_graph_versions(spark: SparkSession, dirs: list[str]) -> dict:
+def load_graph_versions(
+    spark: SparkSession,
+    dirs: list[str],
+    tables: tuple[str, ...] = GRAPH_TABLES,
+    keys: dict[str, list[str]] | None = None,
+) -> dict:
     """Reconstruct graph state from a FULL snapshot dir followed by zero
     or more delta dirs (newest last) — the reader half of the versioned
     delta commit (streaming/ingest.py)."""
-    state = load_graph(spark, dirs[0])
+    state = load_graph(spark, dirs[0], tables)
     for d in dirs[1:]:
-        state = apply_graph_delta(spark, state, d)
+        state = apply_graph_delta(spark, state, d, keys)
     return state
 
 

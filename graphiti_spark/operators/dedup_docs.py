@@ -542,6 +542,7 @@ def canonical_docs_incremental(
     new_docs: DataFrame,
     new_pairs: DataFrame,
     id_col: str = "doc_id",
+    delta_sink: list | None = None,
 ) -> DataFrame:
     """Update a canonical mapping when a new batch's dedup pairs arrive —
     WITHOUT re-running connected components over the whole corpus. The
@@ -608,6 +609,10 @@ def canonical_docs_incremental(
             .alias("canonical_id"),
         )
     )
+    if delta_sink is not None:
+        # the batch's MERGE upserts: exactly the recomputed rows (every
+        # untouched prior row is unchanged by construction)
+        delta_sink.append(recomputed)
     untouched = prior_canon.join(
         F.broadcast(touched_canons), "canonical_id", "left_anti"
     ).select("id", "canonical_id")

@@ -2309,6 +2309,20 @@ SELECT id, m AS canonical_id FROM r16 ORDER BY id"""
     # (including new docs bridging two prior components).
     q["docs_canonical_incremental"] = q["docs_canonical"]
 
+    # Streamed versioned dedup state (operators/dedup_state.py): folding
+    # per-batch updates over the feed must land on the same canonical
+    # mapping as one full rebuild — the identical closure again.
+    q["dedup_state_stream"] = q["docs_canonical"]
+
+    # Takedown (operators/dedup_state.py remove_docs): repairing the
+    # standing state after deleting the doc_id % 10 == 7 slice must land
+    # on the same canonical mapping as a rebuild over the remaining
+    # corpus — the identical closure with both `documents` scans
+    # (shingle source + CC seed) filtered to the survivors.
+    q["dedup_state_takedown"] = q["docs_canonical"].replace(
+        "FROM documents", "FROM documents WHERE doc_id % 10 <> 7"
+    )
+
     # Q1 composition, fully oracle-able twin: BM25 + cosine channels over
     # the documents/embeddings corpus fused with RRF (1/(rank-1+1)
     # contributions, round 4dp, ties → id asc). The edge-channel hybrid

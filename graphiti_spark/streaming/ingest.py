@@ -66,22 +66,38 @@ def _latest_pointer(state_dir: str) -> dict | None:
 COMPACT_EVERY = 8
 
 
-def load_graph_state(spark: SparkSession, state_dir: str):
+def load_graph_state(
+    spark: SparkSession,
+    state_dir: str,
+    tables: tuple[str, ...] | None = None,
+    keys: dict[str, list[str]] | None = None,
+):
     """Latest committed graph state (None before the first batch):
-    merge-on-read over the last full snapshot + its delta chain."""
-    from graphiti_spark.materialize import load_graph_versions
+    merge-on-read over the last full snapshot + its delta chain.
+    ``tables``/``keys`` retarget the same versioned layout at another
+    table family (corpus dedup state, operators/dedup_state.py)."""
+    from graphiti_spark.materialize import GRAPH_TABLES, load_graph_versions
 
     ptr = _latest_pointer(state_dir)
     if ptr is None:
         return None
     chain = ptr.get("chain") or [ptr["version"]]
     return load_graph_versions(
-        spark, [os.path.join(state_dir, v) for v in chain]
+        spark,
+        [os.path.join(state_dir, v) for v in chain],
+        tables if tables is not None else GRAPH_TABLES,
+        keys,
     )
 
 
 def _commit_graph_version(
-    outputs, state_dir: str, batch_id: int, stream_id: str | None = None
+    outputs,
+    state_dir: str,
+    batch_id: int,
+    stream_id: str | None = None,
+    tables: tuple[str, ...] | None = None,
+    keys: dict[str, list[str]] | None = None,
+    partition_cols: dict[str, str] | None = None,
 ) -> None:
     """Commit a batch: DELTA version (only the changed rows — the
     parquet equivalent of per-table Iceberg MERGE) when the batch was an
@@ -89,7 +105,11 @@ def _commit_graph_version(
     (first batch, or compaction every COMPACT_EVERY deltas). Versions are
     write-new-then-flip — the directories a lazy prior plan is reading
     are never touched."""
-    from graphiti_spark.materialize import save_graph, save_graph_delta
+    from graphiti_spark.materialize import (
+        GRAPH_TABLES,
+        save_graph,
+        save_graph_delta,
+    )
 
     ptr = _latest_pointer(state_dir)
     chain = [] if ptr is None else (ptr.get("chain") or [ptr["version"]])
@@ -101,10 +121,15 @@ def _commit_graph_version(
     version = f"v{seq:09d}"
     delta = outputs.get("delta")
     if delta is not None and chain and len(chain) < COMPACT_EVERY:
-        save_graph_delta(delta, os.path.join(state_dir, version))
+        save_graph_delta(delta, os.path.join(state_dir, version), keys)
         chain = chain + [version]
     else:
-        save_graph(outputs, os.path.join(state_dir, version))
+        save_graph(
+            outputs,
+            os.path.join(state_dir, version),
+            tables if tables is not None else GRAPH_TABLES,
+            partition_cols,
+        )
         chain = [version]
     tmp = os.path.join(state_dir, f".{_LATEST}.tmp")
     with open(tmp, "w") as fh:
