@@ -512,6 +512,26 @@ def _q_docs_near_dup(spark, sf_dir):
     return minhash_near_dup(_docs(spark, sf_dir), threshold=0.95, mode="word")
 
 
+def _q_docs_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2021 suffix-array
+    dedup, k-gram relaxation, k=8 tokens): maximal token runs occurring
+    more than once anywhere in the corpus. The DuckDB twin recomputes
+    gram hashing + gaps-and-islands independently — a hash match proves
+    span boundaries, not just counts."""
+    from graphiti_spark.operators.dedup_docs import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir), k=8)
+
+
+def _q_docs_despanned(spark, sf_dir):
+    """Rewrite twin of docs_dup_spans: every duplicated span's tokens
+    dropped (all copies — ExactSubstr semantics); output is the
+    normalized surviving text + kept/dropped counts per doc."""
+    from graphiti_spark.operators.dedup_docs import drop_dup_spans
+
+    return drop_dup_spans(_docs(spark, sf_dir), k=8)
+
+
 def _q_docs_near_dup_word3(spark, sf_dir):
     """Order-sensitive near-dup: 3-token-gram shingles (word3 mode) —
     prose reordering breaks gram identity where word-set Jaccard
@@ -1471,6 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture": _q_docs_mixture,
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_dedup_lines": _q_docs_dedup_lines,
+        # exact-substring (suffix-array-equivalent) span dedup (r4)
+        "docs_dup_spans": _q_docs_dup_spans,
+        "docs_despanned": _q_docs_despanned,
         "events_asof_clicks": _q_events_asof_clicks,
         "events_asof_next_error": _q_events_asof_next_error,
         "events_sessions": _q_events_sessions,

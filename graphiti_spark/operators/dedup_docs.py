@@ -617,3 +617,143 @@ def canonical_docs_incremental(
         F.broadcast(touched_canons), "canonical_id", "left_anti"
     ).select("id", "canonical_id")
     return untouched.unionByName(recomputed)
+
+
+def _norm_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text_col(F.col(text_col)), " ").alias("toks"),
+    )
+
+
+def dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Exact-substring duplicate spans — the suffix-array dedup of Lee et
+    al. 2021 (arXiv:2107.06499, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed for a cluster: a monolithic
+    suffix array over 100 TB doesn't distribute, but its OUTPUT (every
+    substring of >= k tokens that occurs more than once) is exactly
+    reproduced by k-gram content hashing — one shuffle keyed on the gram
+    hash (uniform by construction, no hub skew), then a per-doc window
+    that merges overlapping marked grams into maximal spans
+    (gaps-and-islands over a running max of span ends). Detection
+    granularity is k tokens: every duplicated run of >= k tokens is found
+    exactly; shorter repeats are invisible (the standard n-gram
+    relaxation of the suffix-array criterion).
+
+    Gram generation is pure codegen (transform over a sequence of start
+    offsets + sha2 slice hash — no Python); the only wide ops are the
+    gram-key aggregate/semi-join and the per-doc window.
+
+    Tokens are the whitespace split of the NORMALIZED text (lowered,
+    whitespace collapsed — same normalization as exact_dedup). With
+    ``cross_doc_only`` a gram must appear in >= 2 distinct docs; default
+    counts within-doc repeats too (Lee et al. semantics).
+
+    Output: one row per maximal duplicated span,
+    (id, span_start, span_end, span_len) in 0-based inclusive token
+    coordinates.
+    """
+    from pyspark.sql import Window
+
+    toks_df = _norm_tokens(docs, id_col, text_col)
+    n = F.size("toks")
+    gram_hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.sha2(
+                F.concat_ws(" ", F.slice("toks", i, k)).cast("binary"), 256
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = toks_df.select(
+        "id", F.posexplode(gram_hashes).alias("pos", "gram")
+    )
+    counts = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct("id").alias("n_docs"),
+    )
+    dup = counts.filter(
+        F.col("n_docs") > 1 if cross_doc_only else F.col("n_occ") > 1
+    ).select("gram")
+    marked = occ.join(dup, "gram", "left_semi")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (
+        marked.select("id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end"))
+        .withColumn("prev_end", F.max("end").over(prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(run))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .select(
+            "id",
+            F.col("s").cast("long").alias("span_start"),
+            F.col("e").cast("long").alias("span_end"),
+            (F.col("e") - F.col("s") + 1).cast("long").alias("span_len"),
+        )
+    )
+    return spans
+
+
+def drop_dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Rewrite each doc with every duplicated span's tokens removed
+    (ALL copies — Lee et al.'s ExactSubstr drop). Spans are disjoint and
+    maximal by construction, so token coverage is a single left join +
+    higher-order filter over the token array (no explode of the corpus).
+
+    Output: (id, text_dedup, n_kept, n_dropped) over the NORMALIZED
+    token stream (the dedup decision and the rewrite share one
+    tokenization; callers wanting original bytes keep the span
+    coordinates from dup_spans instead).
+    """
+    spans = dup_spans(docs, k, id_col, text_col, cross_doc_only)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks_df = _norm_tokens(docs, id_col, text_col)
+    empty_spans = F.array().cast(
+        "array<struct<span_start:long,span_end:long>>"
+    )
+    joined = toks_df.join(per_doc, "id", "left").select(
+        "id", "toks", F.coalesce("spans", empty_spans).alias("spans")
+    )
+    kept = F.filter(
+        F.transform(
+            "toks", lambda t, j: F.struct(t.alias("t"), j.alias("j"))
+        ),
+        lambda s: ~F.exists(
+            "spans",
+            lambda sp: (s["j"] >= sp["span_start"])
+            & (s["j"] <= sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias(
+            "text_dedup"
+        ),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_dropped"),
+    )

@@ -1210,6 +1210,74 @@ SELECT d.id, COALESCE(a.text_dedup, '') AS text_dedup,
 FROM dl_docs d LEFT JOIN dl_agg a ON d.id = a.id
 ORDER BY d.id"""
 
+    # Exact-substring duplicate spans (Lee et al. 2021 suffix-array
+    # dedup, k-gram relaxation; operators/dedup_docs.py dup_spans,
+    # k=8 tokens): every k-token gram hashed, grams occurring > once
+    # mark their start positions, per-doc gaps-and-islands merge into
+    # maximal spans. The shared CTE chain feeds both the span listing
+    # and the rewrite twin below.
+    _dsp_chain = """
+dsp_docs AS MATERIALIZED (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+dsp_pos AS (
+  SELECT id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i FROM dsp_docs
+),
+dsp_grams AS MATERIALIZED (
+  SELECT id, i - 1 AS pos,
+         sha256(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gram
+  FROM dsp_pos
+),
+dsp_dup AS (SELECT gram FROM dsp_grams GROUP BY gram HAVING COUNT(*) > 1),
+dsp_marked AS (SELECT g.id, g.pos FROM dsp_grams g JOIN dsp_dup USING (gram)),
+dsp_isl AS (
+  SELECT id, pos, pos + 7 AS e,
+         MAX(pos + 7) OVER (PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dsp_marked
+),
+dsp_isl2 AS (
+  SELECT id, pos, e,
+    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id ORDER BY pos) AS island
+  FROM dsp_isl
+),
+dsp_spans AS MATERIALIZED (
+  SELECT id, MIN(pos) AS s, MAX(e) AS e2 FROM dsp_isl2 GROUP BY id, island
+)"""
+
+    q["docs_dup_spans"] = f"""WITH {_dsp_chain}
+SELECT id, CAST(s AS BIGINT) AS span_start, CAST(e2 AS BIGINT) AS span_end,
+       CAST(e2 - s + 1 AS BIGINT) AS span_len
+FROM dsp_spans ORDER BY id, span_start"""
+
+    # Rewrite twin (drop_dup_spans): every span token removed — spans
+    # are maximal and disjoint, so the coverage join is 1:at-most-1.
+    q["docs_despanned"] = f"""WITH {_dsp_chain},
+dsp_tok AS (
+  SELECT id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS j
+  FROM dsp_docs
+),
+dsp_kept AS (
+  SELECT t.id, t.j, t.tok
+  FROM dsp_tok t LEFT JOIN dsp_spans s
+    ON t.id = s.id AND t.j BETWEEN s.s AND s.e2
+  WHERE s.id IS NULL
+),
+dsp_keptagg AS (
+  SELECT id, array_to_string(list(tok ORDER BY j), ' ') AS text_dedup,
+         COUNT(*) AS n_kept
+  FROM dsp_kept GROUP BY id
+)
+SELECT d.id, COALESCE(a.text_dedup, '') AS text_dedup,
+  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM dsp_docs d LEFT JOIN dsp_keptagg a USING (id)
+ORDER BY d.id"""
+
     # Keyed backward as-of join: DuckDB's native ASOF LEFT JOIN is the
     # independent twin of the Spark union-sort-backfill plan
     # (operators/events.py asof_join) — inclusive on ts equality in

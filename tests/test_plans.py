@@ -406,3 +406,17 @@ def test_quantize_is_pure_codegen_no_shuffle(spark):
     plan = _plan(quantize_embeddings(df))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_dup_spans_no_cartesian_and_codegen_grams(spark):
+    """Exact-substring span dedup: gram generation must be pure codegen
+    (no Python eval) and the dup-gram marking must be a keyed semi-join —
+    a CartesianProduct here is the all-pairs scale-killer."""
+    from graphiti_spark.operators.dedup_docs import dup_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dup_spans(docs, k=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan

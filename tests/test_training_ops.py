@@ -245,3 +245,66 @@ def test_frame_sample_offsets(spark):
     df = spark.createDataFrame([("u1", bytearray(b"x" * 100))], "url string, html binary")
     offs = [(r.frame_idx, r.byte_offset) for r in frame_sample_offsets(df).collect()]
     assert offs == [(0, 0), (1, 25), (2, 50), (3, 75)]
+
+
+# ---- exact-substring span dedup (dup_spans / drop_dup_spans) ----
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique one"),
+        (2, "prefix words here alpha beta gamma delta epsilon zeta eta theta iota kappa suffix"),
+        (3, "totally different content nothing shared with others at all in this document"),
+        (4, "rep rep rep rep rep rep rep rep rep rep tail"),
+        (5, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_spans_maximal_merge(span_docs):
+    from graphiti_spark.operators.dedup_docs import dup_spans
+
+    got = {
+        (r.id, r.span_start, r.span_end, r.span_len)
+        for r in dup_spans(span_docs, k=8).collect()
+    }
+    # docs 1/2 share the 10-token run; the three overlapping 8-grams
+    # merge into ONE maximal span on each side
+    assert got == {(1, 0, 9, 10), (2, 3, 12, 10), (4, 0, 9, 10)}
+
+
+def test_dup_spans_cross_doc_only_drops_self_repeat(span_docs):
+    from graphiti_spark.operators.dedup_docs import dup_spans
+
+    got = {
+        (r.id, r.span_start, r.span_end)
+        for r in dup_spans(span_docs, k=8, cross_doc_only=True).collect()
+    }
+    # doc 4's within-doc repetition has no second document → excluded
+    assert got == {(1, 0, 9), (2, 3, 12)}
+
+
+def test_drop_dup_spans_rewrite(span_docs):
+    from graphiti_spark.operators.dedup_docs import drop_dup_spans
+
+    got = {r.id: r for r in drop_dup_spans(span_docs, k=8).collect()}
+    assert got[1].text_dedup == "unique one"
+    assert got[2].text_dedup == "prefix words here suffix"
+    assert (got[3].n_dropped, got[4].text_dedup) == (0, "tail")
+    assert got[5].text_dedup == "short doc"  # < k tokens: untouched
+    for r in got.values():
+        # n_kept must equal the surviving token count exactly
+        assert r.n_kept == len([t for t in r.text_dedup.split(" ") if t])
+
+
+def test_dup_spans_short_and_empty_docs(spark):
+    from graphiti_spark.operators.dedup_docs import drop_dup_spans, dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, "   "), (4, "seven words is less than k here")],
+        "doc_id long, text string",
+    )
+    assert dup_spans(docs, k=8).count() == 0
+    out = {r.id: r for r in drop_dup_spans(docs, k=8).collect()}
+    assert out[1].n_dropped == 0 and out[4].n_dropped == 0
