@@ -662,6 +662,18 @@ def _q_dedup_state_takedown(spark, sf_dir):
     return remove_docs(doomed, state)["canon"].select("id", "canonical_id")
 
 
+def _q_embeddings_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF-cell clustering bounds the
+    quadratic, exact within-cell cosine >= 0.4 pairs close over CC into
+    min-id canonicals. The DuckDB twin recomputes centroids, cell
+    assignment, pair cut, and closure independently — the hash match
+    proves cluster assignment AND duplicate grouping."""
+    from graphiti_spark.operators.dedup_docs import semantic_dedup
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(embs, n_cells=16, threshold=0.4)
+
+
 def _q_embeddings_near_dup(spark, sf_dir):
     from graphiti_spark.operators.dedup_docs import embedding_near_dup
 
@@ -1478,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # takedown repair == rebuild over the remaining corpus (r4)
         "dedup_state_takedown": _q_dedup_state_takedown,
         "embeddings_near_dup": _q_embeddings_near_dup,
+        # SemDeDup: IVF-cell clustering + within-cell cosine CC (r4)
+        "embeddings_semantic_dedup": _q_embeddings_semantic_dedup,
         "docs_language_id": _q_docs_language_id,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,

@@ -757,3 +757,64 @@ def drop_dup_spans(
         F.size(kept).cast("long").alias("n_kept"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_dropped"),
     )
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then dedup EXACTLY within each cluster
+    — the cells bound the quadratic, so the cost is
+    sum_cells(|cell|^2) instead of |corpus|^2, and the only wide ops
+    are one broadcast assignment pass and one cell-keyed self-join.
+
+    This engine's variant keeps the whole path deterministic and
+    oracle-able: cells come from ivf_centroids/ivf_assign (hash-picked
+    centroids, no RNG — the same build the ANN index uses, so at scale
+    the assignment is computed ONCE and shared), within-cell cosine is
+    rounded to 4 dp before the >= threshold cut (knife-edge parity with
+    the DuckDB twin), and the duplicate groups close over connected
+    components with min-id canonicals (same contract as
+    canonical_docs).
+
+    At 100 TB: assignment is a broadcast cross join (centroid frame is
+    n_cells rows), the self-join keys on cell — cell-size skew is the
+    knob n_cells controls (SemDeDup's own design assumption); components
+    never span cells by construction.
+
+    Output: (id, cell, canonical_id) — one row per vector; singletons
+    map to themselves.
+    """
+    from graphiti_spark.functions.embed import cosine_col
+    from graphiti_spark.search.similarity import ivf_assign, ivf_centroids
+
+    centroids = ivf_centroids(embs, id_col, vec_col, n_cells)
+    assigned = ivf_assign(embs, centroids, id_col, vec_col)
+    x = assigned.select(
+        F.col("id").alias("a_id"), F.col("vec").alias("a_v"), "cell"
+    )
+    y = assigned.select(
+        F.col("id").alias("b_id"), F.col("vec").alias("b_v"), "cell"
+    )
+    pairs = (
+        x.join(y, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos", F.round(cosine_col(F.col("a_v"), F.col("b_v")), 4)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id")
+    )
+    canon = canonical_docs(
+        embs.select(F.col(id_col).alias("doc_id")), pairs, "doc_id"
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(canon, "id")
+        .select("id", F.col("cell").cast("long").alias("cell"), "canonical_id")
+    )

@@ -890,6 +890,67 @@ pairs AS (
 )
 SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.45 ORDER BY a_id, b_id"""
 
+    # SemDeDup (dedup_docs.semantic_dedup): hash-picked IVF centroids →
+    # nearest-centroid cells (identical math to ann_ivf_embeddings) →
+    # within-cell cosine >= τ pairs (rounded 4 dp first) → min-prop CC
+    # closure (12 generated rounds; cells bound component size, replica
+    # groups are near-cliques). Same MATERIALIZED discipline as
+    # docs_canonical — inlined chains expand exponentially.
+    _sd_closure, _sd_prev = [], "sd_r0"
+    for _i in range(1, 13):
+        _sd_cur = f"sd_r{_i}"
+        _sd_closure.append(f"""{_sd_cur} AS MATERIALIZED (
+  SELECT v.id, least(v.m, coalesce(n.m, v.m)) AS m
+  FROM {_sd_prev} v
+  LEFT JOIN (
+    SELECT s.a AS id, min(r.m) AS m
+    FROM sd_sym s JOIN {_sd_prev} r ON r.id = s.b
+    GROUP BY s.a
+  ) n USING (id)
+)""")
+        _sd_prev = _sd_cur
+    q["embeddings_semantic_dedup"] = f"""WITH
+sd_cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+sd_assign AS (
+  SELECT e.vec_id, c.cid,
+         CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) = 0
+                OR list_inner_product(c.cvec, c.cvec) = 0
+              THEN 0.0
+              ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(c.cvec, c.cvec)))
+         END + 0.0 AS s
+  FROM embeddings e CROSS JOIN sd_cent c
+),
+sd_cells AS MATERIALIZED (
+  SELECT vec_id AS id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sd_assign) WHERE rn = 1
+),
+sd_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sd_pairs AS MATERIALIZED (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM sd_cells a JOIN sd_cells b ON a.cell = b.cell AND a.id < b.id
+  JOIN sd_v av ON av.vec_id = a.id JOIN sd_v bv ON bv.vec_id = b.id
+  WHERE round(list_inner_product(av.v, bv.v)
+              / (sqrt(list_inner_product(av.v, av.v))
+                 * sqrt(list_inner_product(bv.v, bv.v))), 4) >= 0.4
+),
+sd_sym AS MATERIALIZED (
+  SELECT a_id AS a, b_id AS b FROM sd_pairs
+  UNION SELECT b_id, a_id FROM sd_pairs
+),
+sd_r0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS m FROM embeddings),
+{','.join(_sd_closure)}
+SELECT c.id, CAST(c.cell AS BIGINT) AS cell, r.m AS canonical_id
+FROM sd_cells c JOIN sd_r12 r USING (id) ORDER BY c.id"""
+
     # Language ID: per-language marker counts, argmax (ties → low code).
     _markers = {
         "de": "('der','die','das','und','ist','ein','eine','nicht','mit','zu')",

@@ -308,3 +308,30 @@ def test_dup_spans_short_and_empty_docs(spark):
     assert dup_spans(docs, k=8).count() == 0
     out = {r.id: r for r in drop_dup_spans(docs, k=8).collect()}
     assert out[1].n_dropped == 0 and out[4].n_dropped == 0
+
+
+def test_semantic_dedup_groups_within_cells(spark):
+    """Two orthogonal directions => two cells; near-parallel vectors in
+    the same direction dedup together, cross-direction never pairs.
+    The hash-picked centroids for ids 1..5 at n_cells=2 are ids 4 and 3
+    (sha256 order) — the fixture anchors one direction on each so the
+    near-dup groups land inside single cells (pairs straddling a cell
+    boundary are invisible by SemDeDup's own design)."""
+    from graphiti_spark.operators.dedup_docs import semantic_dedup
+
+    rows = [
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near 3
+        (2, [0.998, 0.02, 0.0, 0.0]),   # near 3
+        (3, [1.0, 0.0, 0.0, 0.0]),      # centroid A
+        (4, [0.0, 1.0, 0.0, 0.0]),      # centroid B
+        (5, [0.01, 0.999, 0.0, 0.0]),   # near 4
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.id: r for r in
+           semantic_dedup(embs, n_cells=2, threshold=0.99).collect()}
+    assert len(out) == 5
+    assert out[1].cell == out[2].cell == out[3].cell == 3
+    assert out[4].cell == out[5].cell == 4
+    got = {i: r.canonical_id for i, r in out.items()}
+    assert got[1] == got[2] == got[3] == 1   # direction-A group
+    assert got[4] == got[5] == 4             # direction-B group
