@@ -512,6 +512,18 @@ def _q_docs_near_dup(spark, sf_dir):
     return minhash_near_dup(_docs(spark, sf_dir), threshold=0.95, mode="word")
 
 
+def _q_docs_packed(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): the id-ordered corpus token
+    stream cut into 128-token training sequences, one row per
+    (sequence, doc) overlap segment. Spark computes the running offset
+    with a two-pass bucket prefix sum (no global single-partition
+    window over the corpus); DuckDB's global cumsum is the independent
+    twin."""
+    from graphiti_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=128)
+
+
 def _q_docs_dup_spans(spark, sf_dir):
     """Exact-substring duplicate spans (Lee et al. 2021 suffix-array
     dedup, k-gram relaxation, k=8 tokens): maximal token runs occurring
@@ -1507,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_lines": _q_docs_dedup_lines,
         # exact-substring (suffix-array-equivalent) span dedup (r4)
         "docs_dup_spans": _q_docs_dup_spans,
+        # concat-and-chunk sequence packing (r4)
+        "docs_packed": _q_docs_packed,
         "docs_despanned": _q_docs_despanned,
         "events_asof_clicks": _q_events_asof_clicks,
         "events_asof_next_error": _q_events_asof_next_error,

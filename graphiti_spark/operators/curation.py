@@ -265,3 +265,104 @@ def chunk_tokens(
             " ", F.slice(F.col("toks"), F.col("start_token"), F.lit(size))
         ).alias("chunk_text"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for pretraining loaders: the
+    corpus's token streams, concatenated in ascending id order, are cut
+    into fixed ``seq_len``-token training sequences; a document may
+    straddle a boundary, so the output is one row per (sequence,
+    document) overlap segment.
+
+    The global running token offset is the scale trap here: a bare
+    ``Window.orderBy(id)`` funnels the corpus through ONE partition. The
+    distributed form is the classic two-pass prefix sum — a
+    hash-partitioned within-bucket cumsum (bucket = id // bucket_size)
+    plus a bucket-level prefix over the AGGREGATED frame (|buckets|
+    rows — the only single-partition window, bounded by corpus /
+    bucket_size, ~25 M rows at 100 TB-scale doc counts, itself
+    bucketable again if ever needed) broadcast back. Everything else is
+    codegen arithmetic + one explode over the sequences each doc covers.
+
+    Tokens = non-empty whitespace tokens of lower(trim(text)) — the
+    n_ws_tokens convention (textstats.token_stats). Empty docs occupy no
+    positions and emit no rows. The final sequence may be partial;
+    ``seq_n_tokens`` lets loaders drop or pad it.
+
+    Output: (seq_id, id, doc_token_start, seq_token_start, n_tokens,
+    seq_n_tokens) — doc ``id`` contributes tokens [doc_token_start,
+    doc_token_start + n_tokens) at offset seq_token_start of sequence
+    seq_id.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(_tokens(F.col(text_col)), lambda x: x != ""))
+        .cast("long")
+        .alias("n_toks"),
+        (F.col(id_col).cast("long") / F.lit(bucket_size))
+        .cast("long")
+        .alias("bucket"),
+    ).filter(F.col("n_toks") > 0)
+
+    wb = Window.partitionBy("bucket").orderBy("id")
+    in_bucket = counts.withColumn(
+        "cum_in_bucket", F.sum("n_toks").over(wb)
+    )
+    totals = counts.groupBy("bucket").agg(F.sum("n_toks").alias("btot"))
+    wt = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("btot").over(wt), F.lit(0)).alias("boff")
+    )
+    placed = in_bucket.join(F.broadcast(offsets), "bucket").select(
+        "id",
+        "n_toks",
+        (F.col("boff") + F.col("cum_in_bucket") - F.col("n_toks")).alias(
+            "start"
+        ),
+        (F.col("boff") + F.col("cum_in_bucket")).alias("end"),
+    )
+
+    L = F.lit(int(seq_len)).cast("long")
+    total = placed.agg(F.max("end").alias("t"))
+    segs = placed.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                (F.col("start") / L).cast("long"),
+                ((F.col("end") - 1) / L).cast("long"),
+            )
+        ),
+    ).select(
+        "seq_id",
+        "id",
+        F.greatest(F.col("start"), F.col("seq_id") * L).alias("g0"),
+        F.least(F.col("end"), (F.col("seq_id") + 1) * L).alias("g1"),
+        "start",
+    )
+    return (
+        segs.crossJoin(F.broadcast(total))
+        .select(
+            F.col("seq_id").cast("long").alias("seq_id"),
+            "id",
+            (F.col("g0") - F.col("start")).cast("long").alias(
+                "doc_token_start"
+            ),
+            (F.col("g0") - F.col("seq_id") * L).cast("long").alias(
+                "seq_token_start"
+            ),
+            (F.col("g1") - F.col("g0")).cast("long").alias("n_tokens"),
+            F.least(
+                L, F.col("t") - F.col("seq_id") * L
+            ).cast("long").alias("seq_n_tokens"),
+        )
+    )

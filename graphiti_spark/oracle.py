@@ -1271,6 +1271,38 @@ SELECT d.id, COALESCE(a.text_dedup, '') AS text_dedup,
 FROM dl_docs d LEFT JOIN dl_agg a ON d.id = a.id
 ORDER BY d.id"""
 
+    # Sequence packing (curation.pack_sequences): concat-and-chunk the
+    # id-ordered corpus token stream into 128-token training sequences;
+    # one row per (sequence, doc) overlap segment. DuckDB's global
+    # cumsum is the independent twin of the Spark two-pass bucket
+    # prefix sum. SUM() OVER returns HUGEINT — cast before range().
+    q["docs_packed"] = """WITH
+pk_counts AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+),
+pk_placed AS MATERIALIZED (
+  SELECT id, n,
+         CAST(SUM(n) OVER (ORDER BY id) - n AS BIGINT) AS s,
+         CAST(SUM(n) OVER (ORDER BY id) AS BIGINT) AS e
+  FROM pk_counts WHERE n > 0
+),
+pk_total AS (SELECT MAX(e) AS t FROM pk_placed),
+pk_seg AS (
+  SELECT id, s, e, unnest(range(s // 128, (e - 1) // 128 + 1)) AS seq_id
+  FROM pk_placed
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, id,
+  CAST(greatest(s, seq_id * 128) - s AS BIGINT) AS doc_token_start,
+  CAST(greatest(s, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_token_start,
+  CAST(least(e, (seq_id + 1) * 128) - greatest(s, seq_id * 128) AS BIGINT)
+    AS n_tokens,
+  CAST(least(128, (SELECT t FROM pk_total) - seq_id * 128) AS BIGINT)
+    AS seq_n_tokens
+FROM pk_seg ORDER BY seq_id, seq_token_start"""
+
     # Exact-substring duplicate spans (Lee et al. 2021 suffix-array
     # dedup, k-gram relaxation; operators/dedup_docs.py dup_spans,
     # k=8 tokens): every k-token gram hashed, grams occurring > once

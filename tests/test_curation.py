@@ -158,3 +158,59 @@ def test_chunk_tokens_truncated_tail_and_tiny_doc(spark):
     assert [(r.start_token, r.n_tokens, r.chunk_text) for r in by_doc[2]] == [
         (1, 1, "solo")
     ]
+
+
+def test_pack_sequences_segments_and_straddle(spark):
+    from graphiti_spark.operators.curation import pack_sequences
+
+    rows = [
+        (1, "a b c d e"),            # 5 toks
+        (2, "f g h i j k l"),        # 7: straddles seq0/seq1
+        (3, ""),                     # empty: emits nothing
+        (4, "m n"),                  # 2
+        (5, "o p q r s t u v w x"),  # 10: straddles seq1/seq2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in pack_sequences(docs, seq_len=8)
+        .orderBy("seq_id", "seq_token_start")
+        .collect()
+    ]
+    # (seq_id, id, doc_token_start, seq_token_start, n_tokens, seq_n_tokens)
+    assert got == [
+        (0, 1, 0, 0, 5, 8),
+        (0, 2, 0, 5, 3, 8),
+        (1, 2, 3, 0, 4, 8),
+        (1, 4, 0, 4, 2, 8),
+        (1, 5, 0, 6, 2, 8),
+        (2, 5, 2, 0, 8, 8),
+    ]
+
+
+def test_pack_sequences_partial_tail_and_buckets(spark):
+    """Cross-bucket offsets must be globally consistent (ids straddle
+    bucket_size=4) and the trailing partial sequence reports its true
+    length."""
+    from graphiti_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "t " * 3) for i in range(1, 8)],  # 7 docs x 3 toks = 21
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, seq_len=8, bucket_size=4).collect()
+    assert sum(r.n_tokens for r in out) == 21
+    tail = [r for r in out if r.seq_id == 2]
+    assert all(r.seq_n_tokens == 5 for r in tail)  # 21 - 16
+    # contiguity: every sequence's segments tile [0, seq_n_tokens)
+    for sid in {r.seq_id for r in out}:
+        segs = sorted(
+            (r.seq_token_start, r.n_tokens, r.seq_n_tokens)
+            for r in out
+            if r.seq_id == sid
+        )
+        pos = 0
+        for s, n, total in segs:
+            assert s == pos
+            pos += n
+        assert pos == segs[0][2]

@@ -420,3 +420,20 @@ def test_dup_spans_no_cartesian_and_codegen_grams(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_pack_sequences_no_global_window_over_corpus(spark):
+    """The packing cumsum must be the two-pass bucket prefix sum: the
+    corpus-sized window partitions by bucket (hash exchange); the only
+    single-partition window is over the AGGREGATED bucket-totals frame
+    (|corpus| / bucket_size rows)."""
+    from graphiti_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = pack_sequences(docs, seq_len=128)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "hashpartitioning(bucket" in plan
+    # the per-doc cumsum window itself must be bucket-partitioned
+    assert "partitionBy=[bucket" in plan.replace(" ", "") or \
+        "hashpartitioning(bucket" in plan
+    assert "CartesianProduct" not in plan
