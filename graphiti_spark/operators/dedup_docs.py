@@ -626,6 +626,15 @@ def _norm_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _gram_key(gram_str):
+    """128-bit content key for a gram string: two xxhash64 halves with
+    distinct seed columns (still pure codegen)."""
+    return F.struct(
+        F.xxhash64(gram_str).alias("h1"),
+        F.xxhash64(gram_str, F.lit(0x9E3779B9)).alias("h2"),
+    )
+
+
 def dup_spans(
     docs: DataFrame,
     k: int = 8,
@@ -647,8 +656,9 @@ def dup_spans(
     relaxation of the suffix-array criterion).
 
     Gram generation is pure codegen (transform over a sequence of start
-    offsets + sha2 slice hash — no Python); the only wide ops are the
-    gram-key aggregate/semi-join and the per-doc window.
+    offsets + a 128-bit xxhash64-pair slice key — no Python); the only
+    wide ops are the gram-key aggregate/semi-join and the per-doc
+    window.
 
     Tokens are the whitespace split of the NORMALIZED text (lowered,
     whitespace collapsed — same normalization as exact_dedup). With
@@ -663,15 +673,21 @@ def dup_spans(
 
     toks_df = _norm_tokens(docs, id_col, text_col)
     n = F.size("toks")
+    # The gram key is INTERNAL (never compared against the oracle's),
+    # so it can be as small as collision-safety allows: two
+    # independently-seeded xxhash64 halves = a 16-byte struct key —
+    # 4x lighter per shuffled position than a sha256 hex string, and
+    # 128 bits keeps corpus-wide collisions negligible at 10^13+ grams
+    # (64 bits would birthday-collide and mint false spans).
     gram_hashes = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.sha2(
-                F.concat_ws(" ", F.slice("toks", i, k)).cast("binary"), 256
-            ),
+            lambda i: _gram_key(F.concat_ws(" ", F.slice("toks", i, k))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(
+        F.array().cast("array<struct<h1:bigint,h2:bigint>>")
+    )
     occ = toks_df.select(
         "id", F.posexplode(gram_hashes).alias("pos", "gram")
     )
