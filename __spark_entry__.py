@@ -535,6 +535,24 @@ def _q_docs_dup_spans(spark, sf_dir):
     return dup_spans(_docs(spark, sf_dir), k=8)
 
 
+def _q_docs_dup_spans_incremental(spark, sf_dir):
+    """Incremental span dedup: the doc_id % 5 == 0 batch against the
+    prior corpus's standing gram index — output is the recomputed spans
+    for new ∪ touched prior docs only (touched = docs holding a gram
+    the batch flipped from unique to duplicated). The oracle recomputes
+    the touched set independently from the full corpus, so a hash match
+    proves the repair-set bound, not just the span math."""
+    from graphiti_spark.operators.dedup_docs import (
+        build_gram_index,
+        dup_spans_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prior = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dup_spans_incremental(new, build_gram_index(prior))
+
+
 def _q_docs_despanned(spark, sf_dir):
     """Rewrite twin of docs_dup_spans: every duplicated span's tokens
     dropped (all copies — ExactSubstr semantics); output is the
@@ -1519,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_lines": _q_docs_dedup_lines,
         # exact-substring (suffix-array-equivalent) span dedup (r4)
         "docs_dup_spans": _q_docs_dup_spans,
+        "docs_dup_spans_incremental": _q_docs_dup_spans_incremental,
         # concat-and-chunk sequence packing (r4)
         "docs_packed": _q_docs_packed,
         "docs_despanned": _q_docs_despanned,

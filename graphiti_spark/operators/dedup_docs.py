@@ -669,16 +669,31 @@ def dup_spans(
     (id, span_start, span_end, span_len) in 0-based inclusive token
     coordinates.
     """
-    from pyspark.sql import Window
+    occ = _gram_occ(docs, k, id_col, text_col)
+    counts = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct("id").alias("n_docs"),
+    )
+    dup = counts.filter(
+        F.col("n_docs") > 1 if cross_doc_only else F.col("n_occ") > 1
+    ).select("gram")
+    marked = occ.join(dup, "gram", "left_semi")
+    return _spans_from_marked(marked, k)
 
+
+def _gram_occ(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(gram{h1,h2}, id, pos) postings of every k-token gram — the
+    shared kernel of batch and incremental span dedup. The gram key is
+    INTERNAL (never compared against the oracle's), so it can be as
+    small as collision-safety allows: two independently-seeded xxhash64
+    halves = a 16-byte struct key — 4x lighter per shuffled position
+    than a sha256 hex string, and 128 bits keeps corpus-wide collisions
+    negligible at 10^13+ grams (64 bits would birthday-collide and mint
+    false spans)."""
     toks_df = _norm_tokens(docs, id_col, text_col)
     n = F.size("toks")
-    # The gram key is INTERNAL (never compared against the oracle's),
-    # so it can be as small as collision-safety allows: two
-    # independently-seeded xxhash64 halves = a 16-byte struct key —
-    # 4x lighter per shuffled position than a sha256 hex string, and
-    # 128 bits keeps corpus-wide collisions negligible at 10^13+ grams
-    # (64 bits would birthday-collide and mint false spans).
     gram_hashes = F.when(
         n >= k,
         F.transform(
@@ -688,22 +703,20 @@ def dup_spans(
     ).otherwise(
         F.array().cast("array<struct<h1:bigint,h2:bigint>>")
     )
-    occ = toks_df.select(
+    return toks_df.select(
         "id", F.posexplode(gram_hashes).alias("pos", "gram")
     )
-    counts = occ.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.count_distinct("id").alias("n_docs"),
-    )
-    dup = counts.filter(
-        F.col("n_docs") > 1 if cross_doc_only else F.col("n_occ") > 1
-    ).select("gram")
-    marked = occ.join(dup, "gram", "left_semi")
+
+
+def _spans_from_marked(marked: DataFrame, k: int) -> DataFrame:
+    """Merge marked gram-start positions (id, pos) into maximal spans —
+    gaps-and-islands over a running max of span ends."""
+    from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy("pos")
     prev = w.rowsBetween(Window.unboundedPreceding, -1)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
-    spans = (
+    return (
         marked.select("id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end"))
         .withColumn("prev_end", F.max("end").over(prev))
         .withColumn(
@@ -724,7 +737,86 @@ def dup_spans(
             (F.col("e") - F.col("s") + 1).cast("long").alias("span_len"),
         )
     )
-    return spans
+
+
+def build_gram_index(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The standing gram-postings index incremental span dedup probes:
+    (gram{h1,h2}, id, pos) for the prior corpus. At scale this is a
+    build-once table partitioned/bucketed by gram (the suffix-array
+    equivalent the batch operator recomputes in-flight)."""
+    return _gram_occ(docs, k, id_col, text_col)
+
+
+def dup_spans_incremental(
+    new_docs: DataFrame,
+    prior_index: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact-substring span dedup: a new batch against the
+    standing gram index — never prior x prior. Counts only GROW, so a
+    gram's duplicated status can flip exactly one way (unique →
+    duplicated), which bounds the repair set: the only prior docs whose
+    spans can change are those holding a gram that the batch just
+    flipped (prior count 1, combined count > 1). Output = the full
+    recomputed spans for (new docs ∪ touched prior docs); every other
+    prior doc's spans pass through unchanged by construction — the law
+    `incremental ∪ prior_spans(untouched) == batch(all)` is
+    fixture-tested and the driver oracle recomputes the touched set
+    independently.
+
+    Per-batch wide work: the batch's gram aggregate, one probe of the
+    index by the batch's gram keys, one id-keyed semi-join pulling the
+    touched docs' postings, and the touched-sized island window. The
+    prior-count aggregate is written as a groupBy over the index here;
+    a production deployment maintains (gram, n_occ) as a second
+    standing table updated by the same commit (the dedup_state
+    pattern)."""
+    new_occ = _gram_occ(new_docs, k, id_col, text_col)
+    new_cnt = new_occ.groupBy("gram").agg(F.count(F.lit(1)).alias("b_occ"))
+    prior_cnt = prior_index.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("p_occ")
+    )
+    # grams present in the batch, with combined corpus counts
+    batch_cnt = new_cnt.join(prior_cnt, "gram", "left").select(
+        "gram",
+        "b_occ",
+        F.coalesce("p_occ", F.lit(0)).alias("p_occ"),
+    )
+    dup_in_batch = batch_cnt.filter(
+        F.col("b_occ") + F.col("p_occ") > 1
+    ).select("gram")
+    marked_new = new_occ.join(dup_in_batch, "gram", "left_semi")
+
+    # prior docs touched: they hold a gram the batch flipped to duplicated
+    flipped = batch_cnt.filter(
+        (F.col("p_occ") == 1) & (F.col("b_occ") + F.col("p_occ") > 1)
+    ).select("gram")
+    touched_ids = (
+        prior_index.join(flipped, "gram", "left_semi").select("id").distinct()
+    )
+    touched_occ = prior_index.join(touched_ids, "id", "left_semi")
+    # duplicated predicate for ALL grams of touched docs (old marks too):
+    # combined count = prior + batch occurrences
+    touched_cnt = (
+        touched_occ.select("gram")
+        .distinct()
+        .join(prior_cnt, "gram")
+        .join(new_cnt, "gram", "left")
+        .filter(F.col("p_occ") + F.coalesce(F.col("b_occ"), F.lit(0)) > 1)
+        .select("gram")
+    )
+    marked_prior = touched_occ.join(touched_cnt, "gram", "left_semi")
+
+    return _spans_from_marked(
+        marked_new.unionByName(marked_prior), k
+    )
 
 
 def drop_dup_spans(

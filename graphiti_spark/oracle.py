@@ -1347,6 +1347,65 @@ SELECT id, CAST(s AS BIGINT) AS span_start, CAST(e2 AS BIGINT) AS span_end,
        CAST(e2 - s + 1 AS BIGINT) AS span_len
 FROM dsp_spans ORDER BY id, span_start"""
 
+    # Incremental span dedup (dedup_docs.dup_spans_incremental): the
+    # batch (doc_id % 5 == 0) against the prior gram index. The oracle
+    # recomputes the TOUCHED set independently (prior docs holding a
+    # gram the batch flipped from unique to duplicated) and restricts
+    # the full-corpus span rebuild to new ∪ touched — a hash match
+    # proves the incremental repair set is exactly right.
+    q["docs_dup_spans_incremental"] = """WITH
+dsi_docs AS MATERIALIZED (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+dsi_pos AS (
+  SELECT id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i FROM dsi_docs
+),
+dsi_grams AS MATERIALIZED (
+  SELECT id, i - 1 AS pos,
+         sha256(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gram
+  FROM dsi_pos
+),
+dsi_dup AS (SELECT gram FROM dsi_grams GROUP BY gram HAVING COUNT(*) > 1),
+dsi_flipped AS (
+  SELECT gram FROM (
+    SELECT gram,
+      SUM(CASE WHEN id % 5 <> 0 THEN 1 ELSE 0 END) AS p_occ,
+      SUM(CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END) AS b_occ
+    FROM dsi_grams GROUP BY gram)
+  WHERE p_occ = 1 AND b_occ >= 1
+),
+dsi_touched AS (
+  SELECT DISTINCT id FROM dsi_grams JOIN dsi_flipped USING (gram)
+  WHERE id % 5 <> 0
+),
+dsi_target AS MATERIALIZED (
+  SELECT id FROM dsi_docs WHERE id % 5 = 0
+  UNION SELECT id FROM dsi_touched
+),
+dsi_marked AS (
+  SELECT g.id, g.pos FROM dsi_grams g
+  JOIN dsi_dup USING (gram) JOIN dsi_target t ON g.id = t.id
+),
+dsi_isl AS (
+  SELECT id, pos, pos + 7 AS e,
+         MAX(pos + 7) OVER (PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dsi_marked
+),
+dsi_isl2 AS (
+  SELECT id, pos, e,
+    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id ORDER BY pos) AS island
+  FROM dsi_isl
+)
+SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_len
+FROM dsi_isl2 GROUP BY id, island ORDER BY id, span_start"""
+
     # Rewrite twin (drop_dup_spans): every span token removed — spans
     # are maximal and disjoint, so the coverage join is 1:at-most-1.
     q["docs_despanned"] = f"""WITH {_dsp_chain},

@@ -335,3 +335,40 @@ def test_semantic_dedup_groups_within_cells(spark):
     got = {i: r.canonical_id for i, r in out.items()}
     assert got[1] == got[2] == got[3] == 1   # direction-A group
     assert got[4] == got[5] == 4             # direction-B group
+
+
+def test_dup_spans_incremental_law(spark):
+    """Incremental span law: spans(new vs prior-index) covers exactly
+    the new docs plus the prior docs whose grams flipped to duplicated,
+    and union with the untouched prior spans equals the full rebuild."""
+    from graphiti_spark.operators.dedup_docs import (
+        build_gram_index,
+        dup_spans,
+        dup_spans_incremental,
+    )
+
+    rows = [
+        # prior: doc 10 holds run G once (unique in prior)
+        (10, "gee one two three four five six seven tail here"),
+        # prior: docs 11/12 already share a duplicated run
+        (11, "aa bb cc dd ee ff gg hh end marker"),
+        (12, "lead in aa bb cc dd ee ff gg hh"),
+        (13, "completely unrelated prior content with nothing repeated anywhere at all"),
+        # new: doc 20 re-uses run G -> flips it, touching doc 10
+        (20, "intro gee one two three four five six seven outro"),
+        # new: doc 21 adds nothing duplicated
+        (21, "fresh novel words that appear nowhere else in this corpus"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prior = docs.filter(F.col("doc_id") < 20)
+    new = docs.filter(F.col("doc_id") >= 20)
+
+    inc = dup_spans_incremental(new, build_gram_index(prior))
+    inc_rows = {tuple(r) for r in inc.collect()}
+    inc_ids = {r[0] for r in inc_rows}
+    assert inc_ids == {10, 20}  # touched prior + spanning new; 11/12/13/21 absent
+
+    prior_rows = {tuple(r) for r in dup_spans(prior).collect()}
+    untouched = {r for r in prior_rows if r[0] not in inc_ids}
+    full_rows = {tuple(r) for r in dup_spans(docs).collect()}
+    assert inc_rows | untouched == full_rows
