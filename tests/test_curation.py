@@ -214,3 +214,47 @@ def test_pack_sequences_partial_tail_and_buckets(spark):
             assert s == pos
             pos += n
         assert pos == segs[0][2]
+
+
+def test_pack_sequences_matches_bruteforce_on_random_corpora(spark):
+    """Randomized hardening (fixed seeds): pack_sequences must equal the
+    driver-side concat-and-chunk reference for arbitrary doc lengths,
+    including empty docs and odd bucket boundaries."""
+    import random
+
+    from graphiti_spark.operators.curation import pack_sequences
+
+    L = 7
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        corpus = {
+            did: rng.randint(0, 15) for did in range(1, 12)
+        }  # token counts
+        expected, cursor, total = set(), 0, sum(corpus.values())
+        for did in sorted(corpus):
+            n = corpus[did]
+            if n == 0:
+                continue
+            start, end = cursor, cursor + n
+            cursor = end
+            for sid in range(start // L, (end - 1) // L + 1):
+                g0, g1 = max(start, sid * L), min(end, (sid + 1) * L)
+                expected.add(
+                    (
+                        sid,
+                        did,
+                        g0 - start,
+                        g0 - sid * L,
+                        g1 - g0,
+                        min(L, total - sid * L),
+                    )
+                )
+        docs = spark.createDataFrame(
+            [(did, " ".join(["t"] * n)) for did, n in corpus.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            tuple(r)
+            for r in pack_sequences(docs, seq_len=L, bucket_size=3).collect()
+        }
+        assert got == expected, f"seed {seed}: {got ^ expected}"

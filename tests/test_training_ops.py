@@ -372,3 +372,50 @@ def test_dup_spans_incremental_law(spark):
     untouched = {r for r in prior_rows if r[0] not in inc_ids}
     full_rows = {tuple(r) for r in dup_spans(docs).collect()}
     assert inc_rows | untouched == full_rows
+
+
+def test_dup_spans_matches_bruteforce_on_random_corpora(spark):
+    """Randomized hardening (fixed seeds): dup_spans must equal a
+    driver-side brute-force reference — k-gram occurrence counting over
+    a tiny alphabet (forcing heavy collisions, overlaps, and within-doc
+    repeats) followed by interval merging."""
+    import random
+
+    from graphiti_spark.operators.dedup_docs import dup_spans
+
+    k = 3
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        corpus = {
+            did: [rng.choice("abcd") for _ in range(rng.randint(0, 12))]
+            for did in range(1, 9)
+        }
+        # brute force: count every k-gram, mark dup starts, merge islands
+        from collections import Counter
+
+        cnt = Counter()
+        for toks in corpus.values():
+            for i in range(len(toks) - k + 1):
+                cnt[tuple(toks[i : i + k])] += 1
+        expected = set()
+        for did, toks in corpus.items():
+            marks = [
+                i
+                for i in range(len(toks) - k + 1)
+                if cnt[tuple(toks[i : i + k])] > 1
+            ]
+            spans = []
+            for p in marks:
+                if spans and p <= spans[-1][1] + 1:
+                    spans[-1][1] = max(spans[-1][1], p + k - 1)
+                else:
+                    spans.append([p, p + k - 1])
+            for s, e in spans:
+                expected.add((did, s, e, e - s + 1))
+
+        docs = spark.createDataFrame(
+            [(did, " ".join(toks)) for did, toks in corpus.items()],
+            "doc_id long, text string",
+        )
+        got = {tuple(r) for r in dup_spans(docs, k=k).collect()}
+        assert got == expected, f"seed {seed}: {got ^ expected}"
