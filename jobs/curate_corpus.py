@@ -1,8 +1,9 @@
 """Cluster entry point for CORPUS CURATION: the training-data pipeline
 composed end-to-end from the operator library — exact dedup, MinHash
 near-dup with connected-component canonicals, C4 corpus line dedup,
-quality/language/repetition gates, optional benchmark decontamination,
-PII redaction, deterministic sampling, and token-window chunking.
+optional exact-substring span dedup (--span-k), quality/language/
+repetition gates, optional benchmark decontamination, PII redaction,
+deterministic sampling, and token-window chunking.
 
   spark-submit --py-files /tmp/graphiti_spark.zip \
     jobs/curate_corpus.py --input /data/sf0.1 --output /data/corpus \
@@ -44,6 +45,13 @@ def main() -> None:
     ap.add_argument("--langs", default="en,und", help="comma-separated pred_lang allowlist")
     ap.add_argument("--min-quality", type=float, default=0.25)
     ap.add_argument("--max-dup-line-frac", type=float, default=0.5)
+    ap.add_argument(
+        "--span-k",
+        type=int,
+        default=0,
+        help="drop exact-substring duplicate spans of >= K tokens "
+        "(Lee et al. ExactSubstr; 0 = off)",
+    )
     ap.add_argument("--max-top2-frac", type=float, default=0.5)
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--sample-seed", default="curate")
@@ -57,6 +65,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     builder = SparkSession.builder.appName("graphiti-curate-corpus")
+    # cap plan STRING rendering: the composed funnel's nested plans can
+    # OOM the driver on toString alone (same trap as session.py /
+    # operators/incremental.py lineage notes)
+    builder = builder.config("spark.sql.maxPlanStringLength", "100000")
     if args.shuffle_partitions:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
@@ -71,6 +83,7 @@ def main() -> None:
     )
     from graphiti_spark.operators.dedup_docs import (
         canonical_docs,
+        drop_dup_spans,
         exact_dedup,
         minhash_near_dup,
     )
@@ -145,6 +158,24 @@ def main() -> None:
         "doc_id",
     ).filter(F.length("text") > 0)
     docs = funnel("after_line_dedup", docs)
+
+    # 3b. optional exact-substring span dedup (Lee et al. ExactSubstr):
+    # every corpus-duplicated run of >= span_k tokens is dropped (all
+    # copies), operating on the line-deduped text
+    if args.span_k:
+        ds = drop_dup_spans(docs, k=args.span_k)
+        docs = (
+            docs.drop("text")
+            .join(
+                ds.select(
+                    F.col("id").alias("doc_id"),
+                    F.col("text_dedup").alias("text"),
+                ),
+                "doc_id",
+            )
+            .filter(F.length("text") > 0)
+        )
+        docs = funnel("after_span_dedup", docs)
 
     # 4. language + quality + repetition gates
     allow = [s for s in args.langs.split(",") if s]
