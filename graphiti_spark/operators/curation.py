@@ -293,7 +293,9 @@ def pack_sequences(
     Tokens = non-empty whitespace tokens of lower(trim(text)) — the
     n_ws_tokens convention (textstats.token_stats). Empty docs occupy no
     positions and emit no rows. The final sequence may be partial;
-    ``seq_n_tokens`` lets loaders drop or pad it.
+    ``seq_n_tokens`` lets loaders drop or pad it. Ids must be numeric
+    (the bucket arithmetic and the packing order both use them); hash a
+    string id into a dense long upstream if needed.
 
     Output: (seq_id, id, doc_token_start, seq_token_start, n_tokens,
     seq_n_tokens) — doc ``id`` contributes tokens [doc_token_start,
