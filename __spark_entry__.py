@@ -704,6 +704,70 @@ def _q_embeddings_semantic_dedup(spark, sf_dir):
     return semantic_dedup(embs, n_cells=16, threshold=0.4)
 
 
+def _q_span_state_stream(spark, sf_dir):
+    """Streaming span dedup ≡ one-shot rebuild, proven in the driver
+    gate: the documents table split into two feed commits, each drained
+    as a micro-batch (foreachBatch → incremental spans vs the standing
+    gram index → versioned delta commit); the final state's spans table
+    equals ``dup_spans`` over the whole corpus, so the oracle IS the
+    full-rebuild SQL (same DuckDB closure as docs_dup_spans)."""
+    import os
+    import shutil
+    import tempfile
+
+    from graphiti_spark.operators.span_state import (
+        load_span_state,
+        run_streaming_spans,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q_span_state_")
+    try:
+        feed = os.path.join(tmp, "feed")
+        state = os.path.join(tmp, "state")
+        ckpt = os.path.join(tmp, "ckpt")
+        docs = _docs(spark, sf_dir)
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(
+            os.path.join(feed, "part=a")
+        )
+        run_streaming_spans(spark, feed + "/part=a", state, ckpt + "1")
+        docs.filter(F.col("doc_id") % 2 == 1).write.parquet(
+            os.path.join(feed, "part=b")
+        )
+        run_streaming_spans(spark, feed + "/part=b", state, ckpt + "2")
+
+        got = load_span_state(spark, state)
+        out = got["spans"].select(
+            "id", "span_start", "span_end", "span_len"
+        )
+        # detach from the state parquet before the finally-rmtree
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_span_state_takedown(spark, sf_dir):
+    """Takedown law, hash-proved in the driver gate: build the standing
+    span state over the whole corpus, ``remove_doc_spans`` the
+    ``doc_id % 10 == 7`` slice, return the repaired spans. The oracle is
+    the docs_dup_spans closure over the REMAINING corpus, so a hash
+    match proves remove ≡ rebuild — including span SHRINKS/erasures,
+    which only the flip-down repair (remaining gram count == 1) can
+    decide."""
+    from graphiti_spark.operators.span_state import (
+        init_span_state,
+        remove_doc_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    state = init_span_state(docs)
+    doomed = docs.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("id")
+    )
+    return remove_doc_spans(doomed, state)["spans"].select(
+        "id", "span_start", "span_end", "span_len"
+    )
+
+
 def _q_embeddings_near_dup(spark, sf_dir):
     from graphiti_spark.operators.dedup_docs import embedding_near_dup
 
@@ -1538,6 +1602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-substring (suffix-array-equivalent) span dedup (r4)
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_dup_spans_incremental": _q_docs_dup_spans_incremental,
+        # streamed versioned span state == one-shot rebuild (r4)
+        "span_state_stream": _q_span_state_stream,
+        # span takedown repair == rebuild over the remaining corpus (r4)
+        "span_state_takedown": _q_span_state_takedown,
         # concat-and-chunk sequence packing (r4)
         "docs_packed": _q_docs_packed,
         "docs_despanned": _q_docs_despanned,

@@ -1347,6 +1347,19 @@ SELECT id, CAST(s AS BIGINT) AS span_start, CAST(e2 AS BIGINT) AS span_end,
        CAST(e2 - s + 1 AS BIGINT) AS span_len
 FROM dsp_spans ORDER BY id, span_start"""
 
+    # Streamed versioned span state (operators/span_state.py): folding
+    # per-batch updates over the feed must land on the same spans table
+    # as one full rebuild — the identical gram+island closure again.
+    q["span_state_stream"] = q["docs_dup_spans"]
+
+    # Span takedown (span_state.remove_doc_spans): repairing the
+    # standing state after deleting the doc_id % 10 == 7 slice must
+    # equal a rebuild over the remaining corpus — the identical closure
+    # with the documents scan filtered to the survivors.
+    q["span_state_takedown"] = q["docs_dup_spans"].replace(
+        "FROM documents", "FROM documents WHERE doc_id % 10 <> 7"
+    )
+
     # Incremental span dedup (dedup_docs.dup_spans_incremental): the
     # batch (doc_id % 5 == 0) against the prior gram index. The oracle
     # recomputes the TOUCHED set independently (prior docs holding a
