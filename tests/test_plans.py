@@ -437,3 +437,32 @@ def test_pack_sequences_no_global_window_over_corpus(spark):
     assert "partitionBy=[bucket" in plan.replace(" ", "") or \
         "hashpartitioning(bucket" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """SemDeDup's pair generation must be the cell-keyed self-join (the
+    quadratic is bounded by cell size) — a CartesianProduct means the
+    clustering stopped pruning anything."""
+    from graphiti_spark.operators.dedup_docs import semantic_dedup
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(semantic_dedup(embs, n_cells=8, threshold=0.4))
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_incremental_no_cartesian(spark):
+    """Incremental span dedup: every prior-index access must be a keyed
+    join/semi-join (gram keys or touched ids) — no nested-loop fallback."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.dedup_docs import (
+        build_gram_index,
+        dup_spans_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prior = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    plan = _plan(dup_spans_incremental(new, build_gram_index(prior)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
