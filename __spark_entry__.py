@@ -692,6 +692,16 @@ def _q_dedup_state_takedown(spark, sf_dir):
     return remove_docs(doomed, state)["canon"].select("id", "canonical_id")
 
 
+def _q_docs_despanned_raw(spark, sf_dir):
+    """Case-preserving ExactSubstr rewrite: duplicate spans are decided
+    on the normalized stream but cut from the RAW token stream (1:1
+    position alignment — normalization never merges or splits tokens),
+    so surviving case/punctuation bytes reach the output."""
+    from graphiti_spark.operators.dedup_docs import drop_dup_spans
+
+    return drop_dup_spans(_docs(spark, sf_dir), k=8, keep_case=True)
+
+
 def _q_embeddings_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): IVF-cell clustering bounds the
     quadratic, exact within-cell cosine >= 0.4 pairs close over CC into
@@ -1606,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_state_stream": _q_span_state_stream,
         # span takedown repair == rebuild over the remaining corpus (r4)
         "span_state_takedown": _q_span_state_takedown,
+        "docs_despanned_raw": _q_docs_despanned_raw,
         # concat-and-chunk sequence packing (r4)
         "docs_packed": _q_docs_packed,
         "docs_despanned": _q_docs_despanned,

@@ -825,22 +825,34 @@ def drop_dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     cross_doc_only: bool = False,
+    keep_case: bool = False,
 ) -> DataFrame:
     """Rewrite each doc with every duplicated span's tokens removed
     (ALL copies — Lee et al.'s ExactSubstr drop). Spans are disjoint and
     maximal by construction, so token coverage is a single left join +
     higher-order filter over the token array (no explode of the corpus).
 
-    Output: (id, text_dedup, n_kept, n_dropped) over the NORMALIZED
-    token stream (the dedup decision and the rewrite share one
-    tokenization; callers wanting original bytes keep the span
-    coordinates from dup_spans instead).
+    Output: (id, text_dedup, n_kept, n_dropped). By default the
+    surviving text is the NORMALIZED token stream (the dedup decision's
+    tokenization). ``keep_case=True`` rewrites from the RAW token stream
+    instead — sound because normalization (lower + whitespace collapse +
+    trim) never merges or splits tokens, so positions align 1:1; case
+    and punctuation survive, inter-token whitespace collapses to single
+    spaces.
     """
     spans = dup_spans(docs, k, id_col, text_col, cross_doc_only)
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
-    toks_df = _norm_tokens(docs, id_col, text_col)
+    if keep_case:
+        toks_df = docs.select(
+            F.col(id_col).alias("id"),
+            F.split(
+                F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+            ).alias("toks"),
+        )
+    else:
+        toks_df = _norm_tokens(docs, id_col, text_col)
     empty_spans = F.array().cast(
         "array<struct<span_start:long,span_end:long>>"
     )

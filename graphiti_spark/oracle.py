@@ -1443,6 +1443,37 @@ SELECT d.id, COALESCE(a.text_dedup, '') AS text_dedup,
 FROM dsp_docs d LEFT JOIN dsp_keptagg a USING (id)
 ORDER BY d.id"""
 
+    # Case-preserving rewrite (drop_dup_spans keep_case=True): spans
+    # still come from the normalized stream, surviving tokens from the
+    # RAW stream at the same positions (normalization is 1:1 on tokens).
+    q["docs_despanned_raw"] = f"""WITH {_dsp_chain},
+dsr_rawdocs AS (
+  SELECT doc_id AS id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+           AS rtoks
+  FROM documents
+),
+dsr_tok AS (
+  SELECT id, unnest(rtoks) AS tok, unnest(range(0, len(rtoks))) AS j
+  FROM dsr_rawdocs
+),
+dsr_kept AS (
+  SELECT t.id, t.j, t.tok
+  FROM dsr_tok t LEFT JOIN dsp_spans s
+    ON t.id = s.id AND t.j BETWEEN s.s AND s.e2
+  WHERE s.id IS NULL
+),
+dsr_keptagg AS (
+  SELECT id, array_to_string(list(tok ORDER BY j), ' ') AS text_dedup,
+         COUNT(*) AS n_kept
+  FROM dsr_kept GROUP BY id
+)
+SELECT d.id, COALESCE(a.text_dedup, '') AS text_dedup,
+  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(len(d.rtoks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM dsr_rawdocs d LEFT JOIN dsr_keptagg a USING (id)
+ORDER BY d.id"""
+
     # Keyed backward as-of join: DuckDB's native ASOF LEFT JOIN is the
     # independent twin of the Spark union-sort-backfill plan
     # (operators/events.py asof_join) — inclusive on ts equality in

@@ -419,3 +419,19 @@ def test_dup_spans_matches_bruteforce_on_random_corpora(spark):
         )
         got = {tuple(r) for r in dup_spans(docs, k=k).collect()}
         assert got == expected, f"seed {seed}: {got ^ expected}"
+
+
+def test_drop_dup_spans_keep_case(spark):
+    """keep_case=True cuts the same span positions but from the RAW
+    token stream — case and punctuation survive in the remainder."""
+    from graphiti_spark.operators.dedup_docs import drop_dup_spans
+
+    rows = [
+        (1, "Alpha Beta gamma delta epsilon zeta eta theta UNIQUE One!"),
+        (2, "alpha beta GAMMA delta epsilon zeta eta theta other tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in drop_dup_spans(docs, k=8, keep_case=True).collect()}
+    assert got[1].text_dedup == "UNIQUE One!"
+    assert got[2].text_dedup == "other tail"
+    assert got[1].n_dropped == got[2].n_dropped == 8
