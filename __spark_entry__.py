@@ -1539,6 +1539,79 @@ def _q_cross_encoder_docs(spark, sf_dir):
     )
 
 
+# Registered-domain blocklist used by the urls_domain_filter entry (the
+# oracle SQL hardcodes the same two literals).
+_BLOCKED_DOMAINS = ["site4.net", "site5.ac.uk"]
+
+
+def _q_urls_canonical(spark, sf_dir):
+    """URL canonicalization over the messy links table. The DuckDB twin
+    asserts the CLOSED-FORM expected canonical (sources/links
+    SQL_CANON_CTE), so the hash proves canonicalize_url collapses every
+    surface variant (case, www., default ports, tracking params, param
+    order, fragments) to the intended URL — stronger than re-running
+    the same regex chain on both sides."""
+    from graphiti_spark.operators.weblinks import canonicalize_url
+    from graphiti_spark.sources.links import load_links
+
+    links = load_links(spark, sf_dir)
+    return links.select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("url_canon")
+    )
+
+
+def _q_urls_dedup(spark, sf_dir):
+    """URL-level dedup: one row per canonical URL, first fetch wins
+    (min struct(ts, id) — map-side combinable)."""
+    from graphiti_spark.operators.weblinks import url_dedup
+    from graphiti_spark.sources.links import load_links
+
+    dd = url_dedup(load_links(spark, sf_dir))
+    return _fmt_ts(dd, "first_ts")
+
+
+def _q_domains_stats(spark, sf_dir):
+    """Per-registered-domain crawl stats (fetches, distinct canonical
+    URLs, mean doc length). The DuckDB twin recomputes the public-
+    suffix rule independently from the label lists."""
+    from graphiti_spark.operators.weblinks import domain_stats
+    from graphiti_spark.sources.links import load_links
+
+    return domain_stats(load_links(spark, sf_dir), chars_col="n_chars")
+
+
+def _q_urls_domain_filter(spark, sf_dir):
+    """Registered-domain blocklist filter (broadcast anti-join bounded
+    by the curated list)."""
+    from graphiti_spark.operators.weblinks import domain_filter
+    from graphiti_spark.sources.links import load_links
+
+    kept = domain_filter(load_links(spark, sf_dir), _BLOCKED_DOMAINS)
+    return kept.select("doc_id", "domain", "url_canon")
+
+
+def _q_docs_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity: model trained on the lang='en'
+    slice (the 'clean reference corpus' role Wikipedia plays in CCNet),
+    every doc scored under it. DuckDB rebuilds the smoothed model and
+    re-scores from scratch."""
+    from graphiti_spark.operators.lm import perplexity, train_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    model = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return perplexity(docs, model)
+
+
+def _q_docs_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights of every raw doc toward the lang='en'
+    target distribution (hashed unigram+bigram buckets, sha256-derived
+    so DuckDB recomputes them bit-identically)."""
+    from graphiti_spark.operators.lm import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -1656,6 +1729,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_temporal_t4": _q_edges_temporal_t4,
         # EpisodeType variants (message speaker rule / json traversal)
         "episodes_typed_mentions": _q_episodes_typed_mentions,
+        # crawl front door: URL canonicalization / dedup / domain ops (r4)
+        "urls_canonical": _q_urls_canonical,
+        "urls_dedup": _q_urls_dedup,
+        "domains_stats": _q_domains_stats,
+        "urls_domain_filter": _q_urls_domain_filter,
+        # corpus LM quality: CCNet perplexity + DSIR importance (r4)
+        "docs_perplexity": _q_docs_perplexity,
+        "docs_dsir_weights": _q_docs_dsir_weights,
     }
 
 

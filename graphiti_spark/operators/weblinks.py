@@ -1,0 +1,183 @@
+"""URL canonicalization, registered-domain extraction, URL-level dedup
+and per-domain corpus stats — the front door of every Common-Crawl-style
+pipeline (the BASELINE input is a table of web pages keyed by ``url``).
+
+The reference (peabodyAdmin/graphiti) ingests episodes whose names are
+already unique; a 10^12-page crawl is not so lucky: the same document is
+fetched under scheme/case variants, tracking-parameter decorations,
+default ports, ``www.`` aliases and fragment anchors. CC pipelines
+(CCNet, RefinedWeb, FineWeb) therefore (1) canonicalize URLs, (2) dedup
+by canonical URL keeping one fetch, and (3) aggregate/filter at the
+registered-domain level. This module adds those three operators
+Spark-first.
+
+Scale notes:
+  - ``canonicalize_url`` / ``registered_domain`` are pure per-row
+    column expressions (regexp + array ops) — whole-stage codegen, no
+    shuffle, no UDFs; they run inside the page scan.
+  - ``url_dedup`` is ONE map-side-combinable aggregation keyed by the
+    canonical url: the winner is ``min(struct(ts, id))``, so hot URLs
+    (fetched millions of times) combine before the shuffle — the same
+    hub-safety argument as curation.dedup_lines.
+  - ``domain_stats`` is one groupBy on the registered domain; domains
+    are heavy-tailed but the aggregates are all combinable (count /
+    sum / distinct-count via approx or exact count of pre-deduped
+    urls), so skew costs only a fat reduce task, not a cross join.
+  - ``domain_filter`` broadcasts the blocklist — bounded by the
+    blocklist (KB-scale curated list), never the corpus.
+
+Every regex is restricted to the Java-regex ∩ RE2 subset (character
+classes, anchors, bounded alternation — no lookaround) so the DuckDB
+oracles reproduce matches exactly (same contract as curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scheme://authority/path?query#fragment (RFC-3986-lite: enough for the
+# crawl URL shapes this engine ingests; bad rows fall through with
+# url_canon = lower(trimmed input) so nothing is silently dropped).
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+# Query parameters that never change page content (click-tracking).
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
+
+# Multi-label public suffixes this engine recognizes (closed list — a
+# production deployment swaps in the full Mozilla PSL as a broadcast
+# lookup; the algorithm is the same: longest known suffix wins).
+MULTI_SUFFIXES = sorted(
+    ["co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "co.jp", "com.br"]
+)
+
+
+def _parts(url):
+    return {
+        "scheme": F.lower(F.regexp_extract(url, _URL_RE, 1)),
+        "auth": F.lower(F.regexp_extract(url, _URL_RE, 2)),
+        "path": F.regexp_extract(url, _URL_RE, 3),
+        "query": F.regexp_extract(url, _URL_RE, 4),
+    }
+
+
+def canonicalize_url(url) -> F.Column:
+    """Canonical form of a crawl URL, as one codegen expression:
+    lower-cased scheme and host, ``www.`` stripped, default ports
+    (:80 http / :443 https) stripped, trailing path slashes stripped
+    (bare host → '/'), tracking query params removed, surviving params
+    sorted, fragment dropped. Non-URL rows pass through as
+    ``lower(trim(url))`` so corrupt rows stay observable.
+    """
+    url = F.trim(url)
+    p = _parts(url)
+    host0 = F.regexp_replace(p["auth"], r"^www\.", "")
+    host = (
+        F.when(p["scheme"] == "http", F.regexp_replace(host0, r":80$", ""))
+        .when(p["scheme"] == "https", F.regexp_replace(host0, r":443$", ""))
+        .otherwise(host0)
+    )
+    path = F.regexp_replace(p["path"], r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    kept = F.array_sort(
+        F.filter(
+            F.split(p["query"], "&"),
+            lambda kv: (kv != "") & ~kv.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    canon = F.concat(
+        p["scheme"],
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(url.rlike(_URL_RE), canon).otherwise(F.lower(url))
+
+
+def registered_domain(host) -> F.Column:
+    """Registered (pay-level) domain of a host: last two labels, or
+    last three when the trailing two are a known multi-label public
+    suffix (MULTI_SUFFIXES). Single-label hosts pass through."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    in_multi = last2.isin(*MULTI_SUFFIXES)
+    return F.when(n <= 2, host).when(in_multi & (n >= 3), last3).otherwise(last2)
+
+
+def host_of(url_canon) -> F.Column:
+    """Host component of an (already canonical) URL."""
+    return F.regexp_extract(url_canon, _URL_RE, 2)
+
+
+def url_dedup(
+    links: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per canonical URL: the first fetch wins (min fetch_ts,
+    id as tiebreak — the CC 'keep earliest capture' rule), plus the
+    fetch count. min(struct) is map-side combinable, so a URL fetched
+    a million times combines inside its input partitions before the
+    single key shuffle."""
+    canon = links.withColumn("url_canon", canonicalize_url(F.col(url_col)))
+    return canon.groupBy("url_canon").agg(
+        F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("w"),
+        F.count(F.lit(1)).alias("n_fetches"),
+    ).select(
+        "url_canon",
+        F.col("w")[ts_col].alias("first_ts"),
+        F.col("w")[id_col].alias("winner_id"),
+        "n_fetches",
+    )
+
+
+def domain_stats(
+    links: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    chars_col: str | None = None,
+) -> DataFrame:
+    """Per registered domain: fetch count, distinct canonical URLs,
+    (optional) mean doc length. One groupBy; count_distinct(url_canon)
+    is exact — at crawl scale swap for approx_count_distinct or feed
+    this the output of url_dedup (then every count is combinable)."""
+    canon = links.withColumn("url_canon", canonicalize_url(F.col(url_col)))
+    canon = canon.withColumn(
+        "domain", registered_domain(host_of(F.col("url_canon")))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.countDistinct("url_canon").alias("n_urls"),
+    ]
+    if chars_col is not None:
+        aggs.append(
+            (F.round(F.avg(F.col(chars_col)), 4) + F.lit(0.0)).alias(
+                "avg_chars"
+            )
+        )
+    return canon.groupBy("domain").agg(*aggs)
+
+
+def domain_filter(
+    links: DataFrame, blocked_domains: list[str], url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose registered domain is on the blocklist. The
+    blocklist join is a broadcast anti-join bounded by the curated
+    list, never the corpus."""
+    from graphiti_spark.functions.smalldf import literal_df
+
+    block = literal_df(
+        links.sparkSession,
+        [(d,) for d in sorted(set(blocked_domains))],
+        [("domain", "string")],
+    )
+    canon = links.withColumn("url_canon", canonicalize_url(F.col(url_col)))
+    canon = canon.withColumn(
+        "domain", registered_domain(host_of(F.col("url_canon")))
+    )
+    return canon.join(F.broadcast(block), "domain", "left_anti")

@@ -2807,4 +2807,137 @@ SELECT id, score,
        CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
 FROM topk ORDER BY rank"""
 
+    # ---- crawl front door: URL canonicalization / dedup / domains ----
+    from graphiti_spark.operators.weblinks import MULTI_SUFFIXES
+    from graphiti_spark.sources.links import SQL_CANON_CTE, SQL_LINKS_CTE
+
+    # The Spark side canonicalizes the messy surface forms; the twin
+    # asserts the closed-form EXPECTED canonical, so a hash match proves
+    # the canonicalizer, not that two copies of the same regex agree.
+    q["urls_canonical"] = f"""WITH {SQL_LINKS_CTE}, {SQL_CANON_CTE}
+SELECT l.doc_id, l.url, c.url_canon
+FROM links l JOIN canon_links c USING (doc_id)
+ORDER BY l.doc_id"""
+
+    # fetch_ts is strictly monotone in doc_id by construction, so the
+    # min-struct(ts, id) winner is exactly (min ts, min id) per URL.
+    q["urls_dedup"] = f"""WITH {SQL_CANON_CTE}
+SELECT url_canon,
+       strftime(min(fetch_ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       min(doc_id) AS winner_id,
+       CAST(count(*) AS BIGINT) AS n_fetches
+FROM canon_links GROUP BY url_canon ORDER BY url_canon"""
+
+    _multi_sql = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    # Independent recomputation of the registered-domain rule from the
+    # label list (last 2 labels, or last 3 over a known multi suffix).
+    _rd_sql = f"""CASE
+  WHEN len(string_split(host, '.')) <= 2 THEN host
+  WHEN array_to_string(string_split(host, '.')[-2:], '.') IN ({_multi_sql})
+       AND len(string_split(host, '.')) >= 3
+    THEN array_to_string(string_split(host, '.')[-3:], '.')
+  ELSE array_to_string(string_split(host, '.')[-2:], '.')
+END"""
+    _dom_links = f"""{SQL_CANON_CTE},
+dom_hosts AS (
+  SELECT doc_id, url_canon,
+         regexp_extract(url_canon, '^[a-z0-9+.-]+://([^/]+)', 1) AS host
+  FROM canon_links
+),
+dom_links AS (
+  SELECT doc_id, url_canon, {_rd_sql} AS domain
+  FROM dom_hosts
+)"""
+
+    q["domains_stats"] = f"""WITH {_dom_links}
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) + 0.0 AS avg_chars
+FROM dom_links JOIN documents USING (doc_id)
+GROUP BY domain ORDER BY domain"""
+
+    q["urls_domain_filter"] = f"""WITH {_dom_links}
+SELECT doc_id, domain, url_canon
+FROM dom_links
+WHERE domain NOT IN ('site4.net', 'site5.ac.uk')
+ORDER BY doc_id"""
+
+    # ---- CCNet-style bigram-LM perplexity (model: lang='en' slice) ----
+    q["docs_perplexity"] = """WITH ppl_toks AS (
+  SELECT doc_id AS id, lang,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+),
+ppl_pos AS (
+  SELECT id, lang, t, unnest(range(1, len(t))) AS i FROM ppl_toks
+),
+ppl_doc_big AS MATERIALIZED (
+  SELECT id, lang, t[i] AS w1, t[i + 1] AS w2 FROM ppl_pos
+),
+ppl_bigc AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c12 FROM ppl_doc_big WHERE lang = 'en'
+  GROUP BY 1, 2
+),
+ppl_pref AS MATERIALIZED (
+  SELECT w1, sum(c12) AS c1 FROM ppl_bigc GROUP BY 1
+),
+ppl_voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM ppl_toks WHERE lang = 'en')
+),
+ppl_scored AS (
+  SELECT d.id, count(*) AS n,
+         sum(ln((coalesce(b.c12, 0) + 0.1)
+                / (coalesce(p.c1, 0) + 0.1 * v.v))) AS lps
+  FROM ppl_doc_big d
+  LEFT JOIN ppl_bigc b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN ppl_pref p ON d.w1 = p.w1
+  CROSS JOIN ppl_voc v
+  GROUP BY d.id
+)
+SELECT t.id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
+       round(exp(-s.lps / s.n), 4) + 0.0 AS ppl
+FROM ppl_toks t LEFT JOIN ppl_scored s USING (id)
+ORDER BY t.id"""
+
+    # ---- DSIR hashed-n-gram importance weights (target: lang='en') ----
+    q["docs_dsir_weights"] = """WITH ds_toks AS (
+  SELECT doc_id AS id, lang,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+),
+ds_uni AS (SELECT id, lang, unnest(t) AS f FROM ds_toks),
+ds_pos AS (
+  SELECT id, lang, t, unnest(range(1, len(t))) AS i FROM ds_toks
+),
+ds_big AS (SELECT id, lang, t[i] || ' ' || t[i + 1] AS f FROM ds_pos),
+ds_feat AS MATERIALIZED (
+  SELECT id, lang,
+         CAST(('0x' || substr(sha256('dsir:' || f), 1, 13))::UBIGINT % 64
+              AS BIGINT) AS bucket
+  FROM (SELECT * FROM ds_uni UNION ALL SELECT * FROM ds_big)
+),
+ds_tc AS (SELECT bucket, count(*) AS c FROM ds_feat WHERE lang = 'en' GROUP BY 1),
+ds_rc AS (SELECT bucket, count(*) AS c FROM ds_feat GROUP BY 1),
+ds_buckets AS (SELECT unnest(range(0, 64)) AS bucket),
+ds_ratio AS MATERIALIZED (
+  SELECT b.bucket,
+         ln((coalesce(t.c, 0) + 1.0)
+            / ((SELECT count(*) FROM ds_feat WHERE lang = 'en') + 64.0))
+       - ln((coalesce(r.c, 0) + 1.0)
+            / ((SELECT count(*) FROM ds_feat) + 64.0)) AS lr
+  FROM ds_buckets b
+  LEFT JOIN ds_tc t USING (bucket)
+  LEFT JOIN ds_rc r USING (bucket)
+),
+ds_scored AS (
+  SELECT f.id, count(*) AS n, sum(r.lr) AS lw
+  FROM ds_feat f JOIN ds_ratio r USING (bucket) GROUP BY f.id
+)
+SELECT t.id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_feats,
+       round(coalesce(s.lw, 0.0), 4) + 0.0 AS logw
+FROM ds_toks t LEFT JOIN ds_scored s USING (id)
+ORDER BY t.id"""
+
     return q

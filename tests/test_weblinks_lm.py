@@ -1,0 +1,215 @@
+"""URL canonicalization / domain ops (operators/weblinks.py) and
+corpus-LM operators (operators/lm.py): unit semantics vs hand-computed
+references, plan shape (codegen / single-shuffle claims), and the
+blocklist anti-join."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions.smalldf import literal_df
+from graphiti_spark.operators import lm as L
+from graphiti_spark.operators import weblinks as W
+
+
+def _canon(spark, url: str) -> str:
+    df = literal_df(spark, [(url,)], [("url", "string")])
+    return df.select(W.canonicalize_url(F.col("url")).alias("c")).first()["c"]
+
+
+CANON_CASES = [
+    # case + fragment + tracking + param order + www + default port
+    ("https://site.com/a?b=2&a=1", "https://site.com/a?a=1&b=2"),
+    ("HTTPS://WWW.Site.COM/a?b=2&a=1#frag", "https://site.com/a?a=1&b=2"),
+    ("https://site.com:443/a/?utm_source=x&a=1&b=2", "https://site.com/a?a=1&b=2"),
+    ("http://site.com:80/a?gclid=z&fbclid=y&a=1", "http://site.com/a?a=1"),
+    # :80 is NOT default for https (and vice versa) — kept
+    ("https://site.com:80/a", "https://site.com:80/a"),
+    ("http://site.com:443/a", "http://site.com:443/a"),
+    # bare host → '/', trailing slash runs collapse
+    ("https://site.com", "https://site.com/"),
+    ("https://site.com///", "https://site.com/"),
+    # all params tracking → no '?'
+    ("https://site.com/a?utm_campaign=c&ref=r", "https://site.com/a"),
+    # non-URL rows pass through lowercased (observable, not dropped)
+    ("Not A Url", "not a url"),
+]
+
+
+@pytest.mark.parametrize("url,expected", CANON_CASES)
+def test_canonicalize_url_cases(spark, url, expected):
+    assert _canon(spark, url) == expected
+
+
+REG_CASES = [
+    ("news.site2.co.uk", "site2.co.uk"),
+    ("a.b.site.ac.uk", "site.ac.uk"),
+    ("x.y.site.com", "site.com"),
+    ("site.io", "site.io"),
+    ("localhost", "localhost"),
+    ("co.uk", "co.uk"),  # 2 labels: the host itself, never out-of-range
+]
+
+
+@pytest.mark.parametrize("host,expected", REG_CASES)
+def test_registered_domain_cases(spark, host, expected):
+    df = literal_df(spark, [(host,)], [("host", "string")])
+    got = df.select(W.registered_domain(F.col("host")).alias("d")).first()["d"]
+    assert got == expected
+
+
+def test_canonicalize_is_shuffle_free(spark):
+    """The canonicalizer must run inside the scan stage: pure codegen,
+    no Exchange, no Python workers."""
+    df = literal_df(spark, [("https://a.com/x?b=1",)], [("url", "string")])
+    plan = df.select(
+        W.canonicalize_url(F.col("url")).alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def _links(spark, rows):
+    return literal_df(
+        spark,
+        rows,
+        [("doc_id", "bigint"), ("url", "string"), ("fetch_ts", "timestamp")],
+    )
+
+
+def test_url_dedup_winner_and_counts(spark):
+    links = _links(
+        spark,
+        [
+            # three surface variants of one canonical; the ts tie between
+            # 7 and 9 must break on min doc_id
+            (9, "https://a.com/x?b=1", "2024-01-01 00:00:05"),
+            (7, "HTTPS://WWW.A.com/x?b=1#f", "2024-01-01 00:00:05"),
+            (8, "https://a.com:443/x/?utm_source=s&b=1", "2024-01-01 00:00:09"),
+            (3, "https://b.org/y", "2024-01-02 00:00:00"),
+        ],
+    )
+    out = {r["url_canon"]: r for r in W.url_dedup(links).collect()}
+    a = out["https://a.com/x?b=1"]
+    assert a["n_fetches"] == 3
+    assert a["winner_id"] == 7
+    assert str(a["first_ts"]).startswith("2024-01-01 00:00:05")
+    assert out["https://b.org/y"]["n_fetches"] == 1
+
+
+def test_url_dedup_single_exchange_with_partial_agg(spark):
+    """One key shuffle; the min(struct)/count combine map-side."""
+    links = _links(spark, [(1, "https://a.com/x", "2024-01-01 00:00:00")])
+    plan = (
+        W.url_dedup(links)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_domain_filter_blocks_exact_domains(spark):
+    links = _links(
+        spark,
+        [
+            (1, "https://news.bad.co.uk/x", "2024-01-01 00:00:00"),
+            (2, "https://good.com/x", "2024-01-01 00:00:00"),
+            (3, "https://sub.good.com/y", "2024-01-01 00:00:00"),
+            (4, "https://bad.co.uk/z", "2024-01-01 00:00:00"),
+        ],
+    )
+    kept = W.domain_filter(links, ["bad.co.uk"]).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [2, 3]
+
+
+# ---------------------------------------------------------------- lm --
+
+
+def _docs(spark, rows):
+    return literal_df(spark, rows, [("doc_id", "bigint"), ("text", "string")])
+
+
+def _ref_perplexity(ref_texts, texts, alpha=L.ALPHA):
+    """Pure-python twin of train_bigram_lm + perplexity."""
+    big: dict[tuple, int] = {}
+    pref: dict[str, int] = {}
+    vocab = set()
+    for t in ref_texts:
+        toks = t.lower().strip().split()
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            pref[a] = pref.get(a, 0) + 1
+    v = len(vocab)
+    out = []
+    for t in texts:
+        toks = t.lower().strip().split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            out.append((0, None))
+            continue
+        lp = sum(
+            math.log(
+                (big.get(p, 0) + alpha) / (pref.get(p[0], 0) + alpha * v)
+            )
+            for p in pairs
+        )
+        out.append((len(pairs), round(math.exp(-lp / len(pairs)), 4)))
+    return out
+
+
+def test_perplexity_matches_reference_model(spark):
+    ref = ["the cat sat on the mat", "the dog sat on the rug"]
+    score = [
+        "the cat sat on the rug",  # in-distribution
+        "quantum flux harmonics resonate",  # fully unseen
+        "single",  # <2 tokens → n_bigrams 0, ppl NULL
+    ]
+    ref_df = _docs(spark, [(i, t) for i, t in enumerate(ref)])
+    score_df = _docs(spark, [(i, t) for i, t in enumerate(score)])
+    model = L.train_bigram_lm(ref_df)
+    got = {
+        r["id"]: (r["n_bigrams"], r["ppl"])
+        for r in L.perplexity(score_df, model).collect()
+    }
+    expected = _ref_perplexity(ref, score)
+    for i, (n, ppl) in enumerate(expected):
+        assert got[i][0] == n
+        if ppl is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == pytest.approx(ppl, abs=1e-4)
+    # unseen prefix+continuation degrades to uniform 1/V ⇒ ppl == V
+    v = len(set(" ".join(ref).split()))
+    assert got[1][1] == pytest.approx(v, abs=1e-3)
+    # in-distribution text scores far below the uniform ceiling
+    assert got[0][1] < v / 2
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    target_rows = [(i, "alpha beta gamma delta") for i in range(8)]
+    raw_rows = target_rows[:4] + [
+        (10 + i, "zeta eta theta iota") for i in range(4)
+    ]
+    raw = _docs(spark, raw_rows)
+    target = _docs(spark, target_rows)
+    got = {r["id"]: r["logw"] for r in L.dsir_weights(raw, target).collect()}
+    # docs sharing the target's features must outweigh the off-target docs
+    assert min(got[i] for i in range(4)) > max(got[10 + i] for i in range(4))
+
+
+def test_dsir_zero_feature_doc_gets_zero_weight(spark):
+    raw = _docs(spark, [(1, "a b"), (2, "")])
+    target = _docs(spark, [(1, "a b")])
+    got = {r["id"]: r for r in L.dsir_weights(raw, target).collect()}
+    assert got[2]["logw"] == pytest.approx(0.0)
+
+
+def test_dsir_model_tables_are_bucket_bounded(spark):
+    """The DSIR model is exactly n_buckets rows regardless of corpus
+    size — the broadcastability claim."""
+    docs = _docs(spark, [(i, f"tok{i} tok{i + 1}") for i in range(20)])
+    probs = L.dsir_bucket_probs(docs, n_buckets=16)
+    assert probs.count() == 16
