@@ -2,8 +2,10 @@
 composed end-to-end from the operator library — exact dedup, MinHash
 near-dup with connected-component canonicals, C4 corpus line dedup,
 optional exact-substring span dedup (--span-k), quality/language/
-repetition gates, optional benchmark decontamination, PII redaction,
-deterministic sampling, and token-window chunking.
+repetition gates, an optional CCNet-style bigram-LM perplexity gate
+(--ppl-keep, LM trained on --ppl-ref or the surviving corpus itself),
+optional benchmark decontamination, PII redaction, deterministic
+sampling, and token-window chunking.
 
   spark-submit --py-files /tmp/graphiti_spark.zip \
     jobs/curate_corpus.py --input /data/sf0.1 --output /data/corpus \
@@ -53,6 +55,21 @@ def main() -> None:
         "(Lee et al. ExactSubstr; 0 = off)",
     )
     ap.add_argument("--max-top2-frac", type=float, default=0.5)
+    ap.add_argument(
+        "--ppl-keep",
+        type=float,
+        default=1.0,
+        help="keep this fraction of docs with the LOWEST bigram-LM "
+        "perplexity (CCNet-style gate; 1.0 = off). Unscorable docs "
+        "(<2 tokens) always pass — never drop on a missing signal.",
+    )
+    ap.add_argument(
+        "--ppl-ref",
+        default=None,
+        help="parquet of reference text to train the LM on (CCNet's "
+        "clean-corpus role); default: the surviving corpus itself "
+        "(self-perplexity drops atypical outlier docs)",
+    )
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--sample-seed", default="curate")
     ap.add_argument("--chunk-size", type=int, default=128)
@@ -198,6 +215,46 @@ def main() -> None:
         .filter(F.col("top2_char_frac") <= args.max_top2_frac)
     )
     docs = funnel("after_quality_gates", docs)
+
+    # 4c. optional CCNet-style perplexity gate: train a bigram LM on
+    # the reference corpus (or the surviving corpus itself), keep the
+    # lowest-perplexity fraction. Tied/rounded scores gate as a block
+    # (filter_by_quantile), so the cut is order-deterministic.
+    if args.ppl_keep < 1.0:
+        from graphiti_spark.operators.lm import perplexity, train_bigram_lm
+        from graphiti_spark.operators.sampling import filter_by_quantile
+
+        # the LM stage references `docs` several times (model bigrams /
+        # prefixes / vocab, the scoring stream, and the join back); each
+        # reference would nest the ENTIRE funnel plan above it (~3^k
+        # growth — a 542 MB plan string measured at sf0.001 before this
+        # line). Truncate lineage first: the frame is already persisted,
+        # so the checkpoint reads from cache.
+        docs = docs.localCheckpoint()
+        if args.ppl_ref:
+            ref = (
+                spark.read.parquet(args.ppl_ref)
+                .select("text")
+                .withColumn("doc_id", F.monotonically_increasing_id())
+            )
+        else:
+            ref = docs
+        ppl = perplexity(docs, train_bigram_lm(ref))
+        scored = docs.join(
+            ppl.select(F.col("id").alias("doc_id"), "ppl"), "doc_id"
+        )
+        gated = filter_by_quantile(
+            scored.filter(F.col("ppl").isNotNull()).withColumn(
+                "neg_ppl", -F.col("ppl")
+            ),
+            q=1.0 - args.ppl_keep,
+            score_col="neg_ppl",
+            id_col="doc_id",
+        ).drop("pr", "neg_ppl")
+        docs = gated.unionByName(
+            scored.filter(F.col("ppl").isNull())
+        ).drop("ppl")
+        docs = funnel("after_perplexity_gate", docs)
 
     # 5. optional benchmark decontamination
     if args.benchmark:
