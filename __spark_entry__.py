@@ -1612,6 +1612,14 @@ def _q_docs_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
 
 
+def _q_docs_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (tf · ln(N/df), ties broken
+    (score desc, term asc) after 4 dp rounding on both engines)."""
+    from graphiti_spark.operators.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -1737,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus LM quality: CCNet perplexity + DSIR importance (r4)
         "docs_perplexity": _q_docs_perplexity,
         "docs_dsir_weights": _q_docs_dsir_weights,
+        "docs_tfidf_keywords": _q_docs_tfidf_keywords,
     }
 
 

@@ -294,3 +294,59 @@ def doc_fingerprint(
         .otherwise(F.sha2(F.concat_ws(" ", toks).cast("binary"), 256))
         .alias("min_gram_sha"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document: score = tf · ln(N/df)
+    with raw term frequency, document frequency over distinct
+    (doc, term), and N the corpus size. Output (id, term, score, rank);
+    ties break (score desc, term asc) after 4 dp rounding so the cut is
+    engine-deterministic.
+
+    Scale shape: one (id, term) count shuffle, one term-keyed df
+    aggregation joined back on term (combinable both sides; hot terms
+    combine map-side), the 1-row N as a broadcast cross join, and a
+    per-doc window for the top-k — partitioned by doc id, so no global
+    sort and no skew beyond a single document's vocabulary.
+
+    No reference analogue (SURVEY §2 "beyond the reference" text
+    family); standard corpus keyword extraction for dataset exploration
+    and per-domain topic profiling.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (
+                F.round(
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

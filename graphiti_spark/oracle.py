@@ -2940,4 +2940,28 @@ SELECT t.id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_feats,
 FROM ds_toks t LEFT JOIN ds_scored s USING (id)
 ORDER BY t.id"""
 
+    # ---- top-k TF-IDF keywords per document ----
+    q["docs_tfidf_keywords"] = """WITH tk_terms AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(lower(trim(text)), ' '),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tk_tf AS (SELECT id, term, count(*) AS tf FROM tk_terms GROUP BY 1, 2),
+tk_df AS (SELECT term, count(*) AS df FROM tk_tf GROUP BY 1),
+tk_n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tk_scored AS (
+  SELECT id, term,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) + 0.0 AS score
+  FROM tk_tf JOIN tk_df USING (term) CROSS JOIN tk_n
+),
+tk_ranked AS (
+  SELECT id, term, score,
+         CAST(row_number() OVER (
+           PARTITION BY id ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM tk_scored
+)
+SELECT id, term, score, rank FROM tk_ranked WHERE rank <= 5
+ORDER BY id, rank"""
+
     return q

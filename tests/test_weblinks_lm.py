@@ -213,3 +213,26 @@ def test_dsir_model_tables_are_bucket_bounded(spark):
     docs = _docs(spark, [(i, f"tok{i} tok{i + 1}") for i in range(20)])
     probs = L.dsir_bucket_probs(docs, n_buckets=16)
     assert probs.count() == 16
+
+
+def test_tfidf_keywords_hand_check(spark):
+    from graphiti_spark.operators.textstats import tfidf_keywords
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    got = {(r["id"], r["rank"]): (r["term"], r["score"]) for r in out}
+    # doc 1: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5)
+    assert got[(1, 1)][0] == "apple"
+    assert got[(1, 1)][1] == pytest.approx(round(2 * math.log(3.0), 4))
+    assert got[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=3 df=2 → 3·ln(1.5); durian tf=1 df=1 → ln(3)
+    assert got[(3, 1)][0] == "cherry"
+    # every doc yields at most k rows
+    assert max(r["rank"] for r in out) <= 2
