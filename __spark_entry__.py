@@ -1612,6 +1612,31 @@ def _q_docs_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
 
 
+def _q_parts_walks(spark, sf_dir):
+    """DeepWalk-style truncated random walks over the bidirected
+    supplier↔part supply graph: 2 walks × 3 steps per node, neighbor
+    choice = floor(u52 · deg) over dst-ranked distinct adjacency — a
+    pure function of (graph, seed), so DuckDB re-derives every step of
+    every walk (full-corpus hash, not a sample)."""
+    from graphiti_spark.operators.walks import random_walks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    edges = li.unionByName(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    w = random_walks(edges, walk_len=3, walks_per_node=2, seed="walk")
+    return w.select(
+        "start",
+        "widx",
+        F.concat_ws(
+            "-", F.transform("path", lambda x: x.cast("string"))
+        ).alias("path_str"),
+    )
+
+
 def _q_docs_tfidf_keywords(spark, sf_dir):
     """Top-5 TF-IDF keywords per document (tf · ln(N/df), ties broken
     (score desc, term asc) after 4 dp rounding on both engines)."""
@@ -1746,6 +1771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_perplexity": _q_docs_perplexity,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_tfidf_keywords": _q_docs_tfidf_keywords,
+        # DeepWalk-style walk corpus for graph-embedding training (r4)
+        "parts_walks": _q_parts_walks,
     }
 
 

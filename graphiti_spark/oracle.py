@@ -2964,4 +2964,48 @@ tk_ranked AS (
 SELECT id, term, score, rank FROM tk_ranked WHERE rank <= 5
 ORDER BY id, rank"""
 
+    # ---- DeepWalk-style random walks (unrolled step chain) ----
+    _wk_u = (
+        "(('0x' || substr(sha256('walk:' || CAST(w.start AS VARCHAR) "
+        "|| ':' || w.widx || ':' || {s}), 1, 13))::UBIGINT "
+        "/ 4503599627370496.0)"
+    )
+    _wk_step = """wk_w{s} AS MATERIALIZED (
+  SELECT w.start, w.widx, a.dst AS cur,
+         CASE WHEN a.dst IS NULL THEN w.path
+              ELSE list_append(w.path, a.dst) END AS path
+  FROM wk_w{prev} w
+  LEFT JOIN wk_deg d ON d.src = w.cur
+  LEFT JOIN wk_adj a ON a.src = w.cur
+    AND a.rank = CAST(floor({u} * d.deg) AS BIGINT)
+)"""
+    _wk_steps = ",\n".join(
+        _wk_step.format(s=s, prev=s - 1, u=_wk_u.format(s=s))
+        for s in (1, 2, 3)
+    )
+    q["parts_walks"] = f"""WITH wk_edges AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT l_partkey + 1000000 AS src, l_suppkey AS dst
+  FROM lineitem
+),
+wk_adj AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+              AS BIGINT) AS rank
+  FROM wk_edges
+),
+wk_deg AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM wk_edges GROUP BY 1
+),
+wk_w0 AS (
+  SELECT src AS start, CAST(widx AS INT) AS widx, src AS cur,
+         [src] AS path
+  FROM wk_deg, (SELECT unnest(range(0, 2)) AS widx)
+),
+{_wk_steps}
+SELECT start, widx, array_to_string(path, '-') AS path_str
+FROM wk_w3 ORDER BY start, widx"""
+
     return q

@@ -236,3 +236,45 @@ def test_tfidf_keywords_hand_check(spark):
     assert got[(3, 1)][0] == "cherry"
     # every doc yields at most k rows
     assert max(r["rank"] for r in out) <= 2
+
+
+# ------------------------------------------------------------- walks --
+
+
+def _edges(spark, pairs):
+    return literal_df(
+        spark, pairs, [("src", "bigint"), ("dst", "bigint")]
+    )
+
+
+def test_random_walks_follow_edges_and_truncate(spark):
+    from graphiti_spark.operators.walks import random_walks
+
+    # 1→{2,3}, 2→3; 3 is a dead end (walks through it truncate)
+    edges = _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 2)])  # multi-edge
+    out = random_walks(edges, walk_len=3, walks_per_node=2).collect()
+    eset = {(1, 2), (1, 3), (2, 3)}
+    # walks start at every node WITH out-edges (1 and 2), 2 each
+    assert sorted((r["start"], r["widx"]) for r in out) == [
+        (1, 0), (1, 1), (2, 0), (2, 1),
+    ]
+    for r in out:
+        path = r["path"]
+        assert path[0] == r["start"]
+        assert len(path) <= 4
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in eset  # every hop is a real (distinct) edge
+        assert path[-1] == 3  # all roads end at the only sink
+
+
+def test_random_walks_deterministic_and_seed_sensitive(spark):
+    from graphiti_spark.operators.walks import random_walks
+
+    edges = _edges(
+        spark, [(i, j) for i in range(6) for j in range(6) if i != j]
+    )
+    a = sorted(map(str, random_walks(edges, 4, 2, seed="s1").collect()))
+    b = sorted(map(str, random_walks(edges, 4, 2, seed="s1").collect()))
+    c = sorted(map(str, random_walks(edges, 4, 2, seed="s2").collect()))
+    assert a == b  # pure function of (graph, seed)
+    assert a != c  # the seed actually enters the choice
