@@ -1637,6 +1637,24 @@ def _q_parts_walks(spark, sf_dir):
     )
 
 
+def _q_parts_skipgrams(spark, sf_dir):
+    """Skip-gram (center, context) pairs (window 2) from the walk
+    corpus — the training-sequence export DeepWalk feeds to word2vec.
+    Shuffle-free slice extraction on the Spark side; DuckDB re-derives
+    the walks and applies the same slice algebra."""
+    from graphiti_spark.operators.walks import random_walks, skipgram_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    edges = li.unionByName(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    w = random_walks(edges, walk_len=3, walks_per_node=2, seed="walk")
+    return skipgram_pairs(w, window=2)
+
+
 def _q_docs_tfidf_keywords(spark, sf_dir):
     """Top-5 TF-IDF keywords per document (tf · ln(N/df), ties broken
     (score desc, term asc) after 4 dp rounding on both engines)."""
@@ -1773,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_keywords": _q_docs_tfidf_keywords,
         # DeepWalk-style walk corpus for graph-embedding training (r4)
         "parts_walks": _q_parts_walks,
+        "parts_skipgrams": _q_parts_skipgrams,
     }
 
 

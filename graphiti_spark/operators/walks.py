@@ -121,3 +121,42 @@ def random_walks(
         )
         walkers = stepped
     return walkers.select("start", "widx", "path")
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2, path_col: str = "path"
+) -> DataFrame:
+    """(center, context) training pairs from a walk corpus: every
+    ordered pair of walk positions within ``window`` of each other
+    (DeepWalk's skip-gram extraction). Output
+    (start, widx, pos, center, context) — one row per pair.
+
+    Shuffle-free: the context set of position i is sliced out of the
+    path array itself (left and right window slices, self excluded),
+    so the whole extraction is two nested explodes in one codegen
+    stage — a self-join keyed by walk id would compute the same pairs
+    at the cost of a shuffle. Work is O(walks · len · window)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    pos = walks.select(
+        "start",
+        "widx",
+        F.col(path_col).alias("_p"),
+        F.posexplode(F.col(path_col)).alias("pos", "center"),
+    )
+    i = F.col("pos")
+    n = F.size("_p")
+    lo = F.greatest(F.lit(0), i - window)  # 0-based window floor
+    left_len = i - lo
+    right_len = F.least(n - 1, i + window) - i
+    ctxs = F.concat(
+        F.slice("_p", lo + 1, left_len),  # slice() is 1-based
+        F.slice("_p", i + 2, right_len),
+    )
+    return pos.select(
+        "start",
+        "widx",
+        "pos",
+        "center",
+        F.explode(ctxs).alias("context"),
+    )

@@ -2983,7 +2983,7 @@ ORDER BY id, rank"""
         _wk_step.format(s=s, prev=s - 1, u=_wk_u.format(s=s))
         for s in (1, 2, 3)
     )
-    q["parts_walks"] = f"""WITH wk_edges AS (
+    _wk_chain = f"""wk_edges AS (
   SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
   FROM lineitem
   UNION
@@ -3004,8 +3004,20 @@ wk_w0 AS (
          [src] AS path
   FROM wk_deg, (SELECT unnest(range(0, 2)) AS widx)
 ),
-{_wk_steps}
+{_wk_steps}"""
+
+    q["parts_walks"] = f"""WITH {_wk_chain}
 SELECT start, widx, array_to_string(path, '-') AS path_str
 FROM wk_w3 ORDER BY start, widx"""
+
+    # skip-gram pairs: per position, the ±window slice minus self
+    # (identical slice algebra to walks.skipgram_pairs, 1-based here).
+    q["parts_skipgrams"] = f"""WITH {_wk_chain}
+SELECT start, widx, CAST(i - 1 AS INT) AS pos, path[i] AS center,
+       unnest(list_concat(
+         path[greatest(1, i - 2):i - 1],
+         path[i + 1:least(len(path), i + 2)])) AS context
+FROM wk_w3, unnest(range(1, len(path) + 1)) AS r(i)
+ORDER BY start, widx, pos, context"""
 
     return q

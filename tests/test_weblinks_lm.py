@@ -278,3 +278,25 @@ def test_random_walks_deterministic_and_seed_sensitive(spark):
     c = sorted(map(str, random_walks(edges, 4, 2, seed="s2").collect()))
     assert a == b  # pure function of (graph, seed)
     assert a != c  # the seed actually enters the choice
+
+
+def test_skipgram_pairs_hand_check_and_plan(spark):
+    from graphiti_spark.operators.walks import skipgram_pairs
+
+    walks = literal_df(
+        spark,
+        [(1, 0, [10, 20, 30, 40])],
+        [("start", "bigint"), ("widx", "int"), ("path", "array<bigint>")],
+    )
+    out = skipgram_pairs(walks, window=2)
+    got = sorted((r["pos"], r["center"], r["context"]) for r in out.collect())
+    expected = sorted(
+        (i, p[i], p[j])
+        for p in [[10, 20, 30, 40]]
+        for i in range(4)
+        for j in range(4)
+        if i != j and abs(i - j) <= 2
+    )
+    assert got == expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure explode+slice, no self-join
