@@ -300,3 +300,27 @@ def test_skipgram_pairs_hand_check_and_plan(spark):
     assert got == expected
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure explode+slice, no self-join
+
+
+def test_canonicalize_idempotent_combinatorial(spark):
+    """canon(canon(u)) == canon(u) over the cross product of surface
+    variations — the replay/resume identity contract (a second pass
+    over already-canonical URLs must be a no-op)."""
+    import itertools
+
+    schemes = ["https://", "HTTP://"]
+    hosts = ["www.A.com", "b.co.uk:443", "c.io:80", "d.net"]
+    paths = ["", "/", "/x/y/", "/x"]
+    queries = ["", "?b=2&a=1", "?utm_source=s&a=1", "?ref=r"]
+    frags = ["", "#f"]
+    urls = [
+        ("".join(parts),)
+        for parts in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    df = literal_df(spark, urls, [("url", "string")])
+    once = df.select(W.canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", W.canonicalize_url(F.col("c1")).alias("c2")
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad
