@@ -1655,6 +1655,32 @@ def _q_parts_skipgrams(spark, sf_dir):
     return skipgram_pairs(w, window=2)
 
 
+def _q_parts_skipgram_negatives(spark, sf_dir):
+    """k=2 deterministic negative samples per skip-gram pair from the
+    unigram noise distribution (exact integer inverse-CDF; Spark uses
+    the bucketed equi-join form, DuckDB the direct interval join — two
+    formulations, same draws)."""
+    from graphiti_spark.operators.walks import (
+        negative_samples,
+        node_frequencies,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    edges = li.unionByName(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pairs = skipgram_pairs(
+        random_walks(edges, walk_len=3, walks_per_node=2, seed="walk"),
+        window=2,
+    )
+    return negative_samples(pairs, node_frequencies(pairs), k=2)
+
+
 def _q_docs_tfidf_keywords(spark, sf_dir):
     """Top-5 TF-IDF keywords per document (tf · ln(N/df), ties broken
     (score desc, term asc) after 4 dp rounding on both engines)."""
@@ -1792,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DeepWalk-style walk corpus for graph-embedding training (r4)
         "parts_walks": _q_parts_walks,
         "parts_skipgrams": _q_parts_skipgrams,
+        "parts_skipgram_negatives": _q_parts_skipgram_negatives,
     }
 
 

@@ -160,3 +160,113 @@ def skipgram_pairs(
         "center",
         F.explode(ctxs).alias("context"),
     )
+
+
+def node_frequencies(pairs: DataFrame, col: str = "center") -> DataFrame:
+    """Unigram node frequencies of a skip-gram corpus: (node, cnt).
+    One combinable count shuffle."""
+    return pairs.groupBy(F.col(col).alias("node")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    freqs: DataFrame,
+    k: int = 2,
+    seed: str = "neg",
+    buckets_per_node: int = 1,
+) -> DataFrame:
+    """``k`` deterministic negative samples per skip-gram pair, drawn
+    from the unigram noise distribution P(node) ∝ cnt (word2vec's
+    exponent-0.75 smoothing is deliberately NOT applied: integer
+    weights keep the inverse-CDF arithmetic EXACT, so both engines pick
+    the same node even at interval boundaries — pass any integer
+    weight column to change the distribution). Output: the pair columns
+    + (neg_idx, negative).
+
+    Inverse-CDF sampling without a range join: the cumulative weight
+    axis [0, total) is cut into fixed-width integer buckets
+    (width = avg interval width / buckets_per_node); each node's
+    interval is exploded onto the buckets it overlaps (≈1–2 rows per
+    node), and a draw equi-joins on its target's bucket, then filters
+    the handful of candidate intervals. A plain ``lo <= t < hi`` join
+    would be a broadcast-nested-loop scan of the whole vocab per draw.
+
+    The cumulative offsets use the two-pass prefix sum (hash-
+    partitioned within-bucket window + a |buckets|-row bucket prefix
+    broadcast back — the pack_sequences pattern), never a corpus-sized
+    single-partition window. All boundary arithmetic is exact integer
+    ``div`` on a deterministic 52-bit sha target, so the DuckDB twin
+    re-derives every draw bit-identically.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    group = 4096  # prefix-sum grouping (NOT the weight-axis buckets)
+    counts = freqs.select(
+        "node",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.expr(f"CAST(node AS BIGINT) div {group}").alias("grp"),
+    )
+    wg = Window.partitionBy("grp").orderBy("node")
+    in_grp = counts.withColumn("cum_in_grp", F.sum("cnt").over(wg))
+    gtot = counts.groupBy("grp").agg(F.sum("cnt").alias("gtot"))
+    wt = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    goff = gtot.select(
+        "grp", F.coalesce(F.sum("gtot").over(wt), F.lit(0)).alias("goff")
+    )
+    cum = in_grp.join(F.broadcast(goff), "grp").select(
+        "node",
+        "cnt",
+        (F.col("goff") + F.col("cum_in_grp") - F.col("cnt")).alias("lo"),
+        (F.col("goff") + F.col("cum_in_grp")).alias("hi"),
+    )
+    totals = cum.agg(
+        F.max("hi").alias("total"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    # fixed bucket width over the weight axis (≥1); a node's interval
+    # overlaps buckets lo div W .. (hi-1) div W — ≈1–2 for the default
+    width = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"total div (n_vocab * {buckets_per_node})"),
+    )
+    intervals = (
+        cum.crossJoin(F.broadcast(totals))
+        .withColumn("w", width)
+        .select(
+            "node",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.expr("lo div w"), F.expr("(hi - 1) div w")
+                )
+            ).alias("bucket"),
+        )
+    )
+    draws = pairs.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"),
+    ).crossJoin(F.broadcast(totals))
+    u = uniform_hash_col(
+        F.concat_ws(
+            ":",
+            F.col("start"),
+            F.col("widx"),
+            F.col("pos"),
+            F.col("context"),
+            F.col("neg_idx"),
+        ),
+        seed=seed,
+    )
+    draws = (
+        draws.withColumn("t", F.floor(u * F.col("total")).cast("bigint"))
+        .withColumn("w", width)
+        .withColumn("bucket", F.expr("t div w"))
+    )
+    out_cols = list(pairs.columns) + ["neg_idx"]
+    return (
+        draws.join(intervals, "bucket")
+        .filter((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        .select(*out_cols, F.col("node").alias("negative"))
+    )

@@ -3020,4 +3020,37 @@ SELECT start, widx, CAST(i - 1 AS INT) AS pos, path[i] AS center,
 FROM wk_w3, unnest(range(1, len(path) + 1)) AS r(i)
 ORDER BY start, widx, pos, context"""
 
+    # negative sampling: same integer inverse-CDF arithmetic, but via
+    # the DIRECT interval join (the Spark side uses the bucketed
+    # equi-join) — two formulations must produce identical draws.
+    q["parts_skipgram_negatives"] = f"""WITH {_wk_chain},
+sg_pairs AS MATERIALIZED (
+  SELECT start, widx, CAST(i - 1 AS INT) AS pos, path[i] AS center,
+         unnest(list_concat(
+           path[greatest(1, i - 2):i - 1],
+           path[i + 1:least(len(path), i + 2)])) AS context
+  FROM wk_w3, unnest(range(1, len(path) + 1)) AS r(i)
+),
+ng_freq AS (SELECT center AS node, count(*) AS cnt FROM sg_pairs GROUP BY 1),
+ng_cum AS MATERIALIZED (
+  SELECT node, cnt,
+         CAST(sum(cnt) OVER (ORDER BY node) - cnt AS BIGINT) AS lo,
+         CAST(sum(cnt) OVER (ORDER BY node) AS BIGINT) AS hi
+  FROM ng_freq
+),
+ng_tot AS (SELECT max(hi) AS total, count(*) AS n_vocab FROM ng_cum),
+ng_draws AS MATERIALIZED (
+  SELECT p.*, CAST(nidx.neg_idx AS INT) AS neg_idx,
+         CAST(floor(
+           (('0x' || substr(sha256('neg:' || CAST(p.start AS VARCHAR)
+              || ':' || p.widx || ':' || p.pos || ':' || p.context
+              || ':' || nidx.neg_idx), 1, 13))::UBIGINT
+            / 4503599627370496.0) * t.total) AS BIGINT) AS t
+  FROM sg_pairs p, (SELECT unnest(range(0, 2)) AS neg_idx) nidx, ng_tot t
+)
+SELECT d.start, d.widx, d.pos, d.center, d.context, d.neg_idx,
+       c.node AS negative
+FROM ng_draws d JOIN ng_cum c ON d.t >= c.lo AND d.t < c.hi
+ORDER BY d.start, d.widx, d.pos, d.context, d.neg_idx"""
+
     return q

@@ -324,3 +324,50 @@ def test_canonicalize_idempotent_combinatorial(spark):
     )
     bad = twice.filter(F.col("c1") != F.col("c2")).collect()
     assert bad == [], bad
+
+
+def test_negative_samples_exact_python_twin(spark):
+    """Every draw must equal the pure-python inverse-CDF twin (same
+    sha-uniform, same integer arithmetic) — and each pair gets exactly
+    k negatives (every target lands in exactly one interval)."""
+    import hashlib
+
+    from graphiti_spark.operators.walks import negative_samples
+
+    pairs = literal_df(
+        spark,
+        [(1, 0, 0, 10, 20), (1, 0, 1, 20, 10), (2, 1, 0, 30, 10)],
+        [
+            ("start", "bigint"),
+            ("widx", "int"),
+            ("pos", "int"),
+            ("center", "bigint"),
+            ("context", "bigint"),
+        ],
+    )
+    freqs = literal_df(
+        spark,
+        [(10, 1), (20, 3), (30, 6)],
+        [("node", "bigint"), ("cnt", "bigint")],
+    )
+    k = 3
+    out = negative_samples(pairs, freqs, k=k).collect()
+    assert len(out) == 3 * k
+
+    # python twin
+    cum, acc = {}, 0
+    for node, cnt in [(10, 1), (20, 3), (30, 6)]:
+        cum[node] = (acc, acc + cnt)
+        acc += cnt
+
+    def expected(start, widx, pos, context, j):
+        s = f"neg:{start}:{widx}:{pos}:{context}:{j}"
+        u = int(hashlib.sha256(s.encode()).hexdigest()[:13], 16) / 2**52
+        t = int(u * acc)
+        return next(n for n, (lo, hi) in cum.items() if lo <= t < hi)
+
+    for r in out:
+        want = expected(
+            r["start"], r["widx"], r["pos"], r["context"], r["neg_idx"]
+        )
+        assert r["negative"] == want, (dict(r.asDict()), want)
