@@ -1681,6 +1681,33 @@ def _q_parts_skipgram_negatives(spark, sf_dir):
     return negative_samples(pairs, node_frequencies(pairs), k=2)
 
 
+def _q_parts_biased_walks(spark, sf_dir):
+    """node2vec second-order biased walks (p=0.5, q=2 as integer
+    weights ret/near/far = 4/2/1): every neighbor of cur is scored
+    against prev and picked by exact weighted inverse-CDF — DuckDB
+    re-derives every candidate weight and cumsum of all walks."""
+    from graphiti_spark.operators.walks import biased_walks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    edges = li.unionByName(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    w = biased_walks(
+        edges, walk_len=3, walks_per_node=2, ret_w=4, near_w=2, far_w=1,
+        seed="n2v",
+    )
+    return w.select(
+        "start",
+        "widx",
+        F.concat_ws(
+            "-", F.transform("path", lambda x: x.cast("string"))
+        ).alias("path_str"),
+    )
+
+
 def _q_docs_tfidf_keywords(spark, sf_dir):
     """Top-5 TF-IDF keywords per document (tf · ln(N/df), ties broken
     (score desc, term asc) after 4 dp rounding on both engines)."""
@@ -1819,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_walks": _q_parts_walks,
         "parts_skipgrams": _q_parts_skipgrams,
         "parts_skipgram_negatives": _q_parts_skipgram_negatives,
+        "parts_biased_walks": _q_parts_biased_walks,
     }
 
 

@@ -123,6 +123,154 @@ def random_walks(
     return walkers.select("start", "widx", "path")
 
 
+def biased_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    ret_w: int = 1,
+    near_w: int = 1,
+    far_w: int = 1,
+    seed: str = "n2v",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_neighbors: int | None = None,
+) -> DataFrame:
+    """node2vec second-order biased walks (Grover & Leskovec 2016).
+    The step from ``cur`` (having arrived from ``prev``) weights each
+    candidate neighbor: ``ret_w`` if candidate == prev (node2vec 1/p),
+    ``near_w`` if candidate is also a neighbor of prev (distance 1),
+    ``far_w`` otherwise (1/q). INTEGER weights keep the inverse-CDF
+    cumsum exact, so both engines pick the same neighbor even at
+    interval boundaries; express p=0.5, q=2 as (ret_w, near_w, far_w)
+    = (4, 2, 1). ret_w == near_w == far_w degenerates to
+    ``random_walks`` semantics (but not draw-identical: the hash
+    stream differs). The first step has no prev and is uniform.
+    Output (start, widx, path).
+
+    Scale notes — second-order bias changes the cost model vs
+    ``random_walks``:
+      - Each step must score EVERY neighbor of cur conditioned on
+        prev, so candidate expansion is O(Σ deg(cur)) rows per step —
+        inherent to node2vec (its alias-table precompute is strictly
+        worse at O(Σ_{(u,v)∈E} deg(v))). A walker on a hub explodes
+        deg(hub) rows; ``max_neighbors`` caps the ranked adjacency
+        (keeps the deg lowest-dst neighbors, deterministic) when hub
+        degrees are unbounded.
+      - Per step: adjacency hash join on cur, a (prev, cand) hash
+        join against the distinct edge set for the distance-1 flag,
+        and one (start, widx) window shuffle for the weighted cumsum
+        — 3 shuffles/step, each referencing the walker frame once
+        (linear plan growth).
+      - Dead ends freeze the path (cur goes null, the single null
+        candidate row wins its one-row window), matching
+        ``random_walks``.
+    """
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if min(ret_w, near_w, far_w) < 1:
+        raise ValueError("weights must be integers >= 1")
+    adj, deg = build_adjacency(edges, src_col, dst_col)
+    if max_neighbors is not None:
+        adj = adj.filter(F.col("rank") < max_neighbors)
+        deg = deg.select(
+            "src", F.least(F.col("deg"), F.lit(max_neighbors)).alias("deg")
+        )
+    eset = adj.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+
+    # step 1: uniform (no prev yet) — the random_walks pick-then-probe
+    starts = deg.select(F.col("src").alias("start"))
+    walkers = starts.select(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias(
+            "widx"
+        ),
+        F.col("start").alias("cur"),
+        F.array(F.col("start")).alias("path"),
+    )
+    u1 = uniform_hash_col(
+        F.concat_ws(":", F.col("start"), F.col("widx"), F.lit(1)), seed=seed
+    )
+    picked = (
+        walkers.join(deg, walkers["cur"] == deg["src"], "left")
+        .drop(deg["src"])
+        .withColumn("pick", F.floor(u1 * F.col("deg")).cast("bigint"))
+    )
+    walkers = (
+        picked.join(
+            adj,
+            (picked["cur"] == adj["src"]) & (picked["pick"] == adj["rank"]),
+            "left",
+        )
+        .select(
+            "start",
+            "widx",
+            F.col("cur").alias("prev"),
+            F.col("dst").alias("cur"),
+            F.when(
+                F.col("dst").isNotNull(),
+                F.concat(F.col("path"), F.array(F.col("dst"))),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+    )
+
+    for step in range(2, walk_len + 1):
+        cand = (
+            walkers.join(adj, walkers["cur"] == adj["src"], "left")
+            .drop(adj["src"])
+            .withColumnRenamed("dst", "cand")
+        )
+        near = cand.join(
+            eset,
+            (cand["prev"] == eset["e_src"]) & (cand["cand"] == eset["e_dst"]),
+            "left",
+        ).select(
+            "start",
+            "widx",
+            "prev",
+            "cur",
+            "path",
+            "cand",
+            "rank",
+            F.when(F.col("cand").isNull(), F.lit(1))
+            .when(F.col("cand") == F.col("prev"), F.lit(ret_w))
+            .when(F.col("e_src").isNotNull(), F.lit(near_w))
+            .otherwise(F.lit(far_w))
+            .cast("bigint")
+            .alias("w"),
+        )
+        wk = Window.partitionBy("start", "widx")
+        cum = near.select(
+            "*",
+            F.sum("w").over(wk.orderBy("rank")).alias("cum"),
+            F.sum("w").over(wk).alias("tot"),
+        )
+        u = uniform_hash_col(
+            F.concat_ws(":", F.col("start"), F.col("widx"), F.lit(step)),
+            seed=seed,
+        )
+        t = F.floor(u * F.col("tot")).cast("bigint")
+        walkers = (
+            cum.filter((t >= F.col("cum") - F.col("w")) & (t < F.col("cum")))
+            .select(
+                "start",
+                "widx",
+                F.col("cur").alias("prev"),
+                F.col("cand").alias("cur"),
+                F.when(
+                    F.col("cand").isNotNull(),
+                    F.concat(F.col("path"), F.array(F.col("cand"))),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+        )
+    return walkers.select("start", "widx", "path")
+
+
 def skipgram_pairs(
     walks: DataFrame, window: int = 2, path_col: str = "path"
 ) -> DataFrame:

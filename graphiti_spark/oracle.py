@@ -2983,7 +2983,7 @@ ORDER BY id, rank"""
         _wk_step.format(s=s, prev=s - 1, u=_wk_u.format(s=s))
         for s in (1, 2, 3)
     )
-    _wk_chain = f"""wk_edges AS (
+    _wk_base = """wk_edges AS (
   SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
   FROM lineitem
   UNION
@@ -2998,7 +2998,8 @@ wk_adj AS MATERIALIZED (
 ),
 wk_deg AS MATERIALIZED (
   SELECT src, count(*) AS deg FROM wk_edges GROUP BY 1
-),
+)"""
+    _wk_chain = f"""{_wk_base},
 wk_w0 AS (
   SELECT src AS start, CAST(widx AS INT) AS widx, src AS cur,
          [src] AS path
@@ -3052,5 +3053,62 @@ SELECT d.start, d.widx, d.pos, d.center, d.context, d.neg_idx,
        c.node AS negative
 FROM ng_draws d JOIN ng_cum c ON d.t >= c.lo AND d.t < c.hi
 ORDER BY d.start, d.widx, d.pos, d.context, d.neg_idx"""
+
+    # ---- node2vec second-order biased walks (unrolled step chain) ----
+    # same base graph; step >= 2 scores every neighbor of cur against
+    # prev with INTEGER weights (ret/near/far = 4/2/1 i.e. p=0.5, q=2)
+    # and picks by exact weighted inverse-CDF over the rank-ordered
+    # cumsum — bit-identical to walks.biased_walks.
+    _n2v_u = (
+        "(('0x' || substr(sha256('n2v:' || CAST({a}.start AS VARCHAR) "
+        "|| ':' || {a}.widx || ':' || {s}), 1, 13))::UBIGINT "
+        "/ 4503599627370496.0)"
+    )
+    _n2v_step = """n2v_c{s} AS MATERIALIZED (
+  SELECT w.start, w.widx, w.prev, w.cur, w.path, a.dst AS cand, a.rank,
+         CASE WHEN a.dst IS NULL THEN 1
+              WHEN a.dst = w.prev THEN 4
+              WHEN e.src IS NOT NULL THEN 2
+              ELSE 1 END AS wt
+  FROM n2v_w{prev} w
+  LEFT JOIN wk_adj a ON a.src = w.cur
+  LEFT JOIN wk_adj e ON e.src = w.prev AND e.dst = a.dst
+),
+n2v_w{s} AS MATERIALIZED (
+  SELECT start, widx, cur AS prev, cand AS cur,
+         CASE WHEN cand IS NULL THEN path
+              ELSE list_append(path, cand) END AS path
+  FROM (
+    SELECT c.*,
+           sum(wt) OVER (PARTITION BY c.start, c.widx
+                         ORDER BY c.rank) AS cum,
+           sum(wt) OVER (PARTITION BY c.start, c.widx) AS tot
+    FROM n2v_c{s} c
+  ) c
+  WHERE CAST(floor({u} * tot) AS BIGINT) >= cum - wt
+    AND CAST(floor({u} * tot) AS BIGINT) < cum
+)"""
+    _n2v_steps = ",\n".join(
+        _n2v_step.format(s=s, prev=s - 1, u=_n2v_u.format(s=s, a="c"))
+        for s in (2, 3)
+    )
+    q["parts_biased_walks"] = f"""WITH {_wk_base},
+n2v_w0 AS (
+  SELECT src AS start, CAST(widx AS INT) AS widx, src AS cur,
+         [src] AS path
+  FROM wk_deg, (SELECT unnest(range(0, 2)) AS widx)
+),
+n2v_w1 AS MATERIALIZED (
+  SELECT w.start, w.widx, w.cur AS prev, a.dst AS cur,
+         CASE WHEN a.dst IS NULL THEN w.path
+              ELSE list_append(w.path, a.dst) END AS path
+  FROM n2v_w0 w
+  LEFT JOIN wk_deg d ON d.src = w.cur
+  LEFT JOIN wk_adj a ON a.src = w.cur
+    AND a.rank = CAST(floor({_n2v_u.format(s=1, a="w")} * d.deg) AS BIGINT)
+),
+{_n2v_steps}
+SELECT start, widx, array_to_string(path, '-') AS path_str
+FROM n2v_w3 ORDER BY start, widx"""
 
     return q

@@ -326,6 +326,111 @@ def test_canonicalize_idempotent_combinatorial(spark):
     assert bad == [], bad
 
 
+def _biased_walks_python_twin(
+    pairs, walk_len, walks_per_node, ret_w, near_w, far_w, seed
+):
+    """Pure-python re-derivation of walks.biased_walks: same sha
+    uniform, same rank order, same integer weighted inverse-CDF."""
+    import hashlib
+
+    eset = sorted(set(pairs))
+    adj = {}
+    for s, d in eset:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+
+    def u(start, widx, step):
+        h = hashlib.sha256(f"{seed}:{start}:{widx}:{step}".encode())
+        return int(h.hexdigest()[:13], 16) / 2**52
+
+    out = []
+    for start in sorted(adj):
+        for widx in range(walks_per_node):
+            path, prev, cur = [start], None, start
+            # step 1: uniform
+            nbrs = adj.get(cur, [])
+            if nbrs:
+                prev, cur = cur, nbrs[int(u(start, widx, 1) * len(nbrs))]
+                path.append(cur)
+            else:
+                prev, cur = cur, None
+            for step in range(2, walk_len + 1):
+                nbrs = adj.get(cur, []) if cur is not None else []
+                if not nbrs:
+                    prev, cur = cur, None
+                    continue
+                ws = [
+                    ret_w
+                    if c == prev
+                    else (near_w if (prev, c) in set(eset) else far_w)
+                    for c in nbrs
+                ]
+                t = int(u(start, widx, step) * sum(ws))
+                acc = 0
+                for c, w in zip(nbrs, ws):
+                    acc += w
+                    if t < acc:
+                        prev, cur = cur, c
+                        path.append(c)
+                        break
+            out.append((start, widx, tuple(path)))
+    return sorted(out)
+
+
+def test_biased_walks_exact_python_twin(spark):
+    """Every biased walk must equal the pure-python node2vec twin —
+    including dead-end truncation and the distance-1 (near) weighting."""
+    from graphiti_spark.operators.walks import biased_walks
+
+    # mixed graph: a triangle (1,2,3 bidirected), a spur 3→4 (dead
+    # end), and a hub 5 connected into the triangle one-way
+    pairs = [
+        (1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3),
+        (3, 4), (5, 1), (5, 2), (5, 3),
+    ]
+    got = sorted(
+        (r["start"], r["widx"], tuple(r["path"]))
+        for r in biased_walks(
+            _edges(spark, pairs),
+            walk_len=4,
+            walks_per_node=3,
+            ret_w=4,
+            near_w=2,
+            far_w=1,
+            seed="tw",
+        ).collect()
+    )
+    want = _biased_walks_python_twin(pairs, 4, 3, 4, 2, 1, "tw")
+    assert got == want
+
+
+def test_biased_walks_return_bias_dominates(spark):
+    """With ret_w >> others on a bidirected path graph, step 2 must
+    return to the start whenever the uniform first step moved (the
+    return interval covers ~all of the weight axis)."""
+    from graphiti_spark.operators.walks import biased_walks
+
+    # bidirected 3-path: 1-2-3 (deg(2)=2, deg(1)=deg(3)=1)
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    out = biased_walks(
+        _edges(spark, pairs),
+        walk_len=2,
+        walks_per_node=4,
+        ret_w=10**6,
+        near_w=1,
+        far_w=1,
+        seed="rb",
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        p = r["path"]
+        assert len(p) == 3
+        # u < 1 - 1/1e6 for every draw here, so the pick always lands
+        # in the return interval: path[2] == path[0]
+        assert p[2] == p[0], p
+
+
 def test_negative_samples_exact_python_twin(spark):
     """Every draw must equal the pure-python inverse-CDF twin (same
     sha-uniform, same integer arithmetic) — and each pair gets exactly
