@@ -1107,6 +1107,24 @@ def _q_parts_pagerank(spark, sf_dir):
     return pagerank(li, iters=5)
 
 
+def _q_parts_ppr(spark, sf_dir):
+    """Personalized PageRank restarted on suppliers divisible by 7 —
+    proximity-weighted reachability from the restart set, exact
+    integer fixpoint (DuckDB reproduces it bit-identically)."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.centrality import personalized_pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    sources = li.select(F.col("src").alias("id")).filter(
+        F.col("id") % 7 == 0
+    )
+    return personalized_pagerank(li, sources, iters=5)
+
+
 def _q_parts_degree(spark, sf_dir):
     """Out/in degree stats over the same supplier→part supply
     multigraph as parts_pagerank (disjoint node spaces via the 1e6
@@ -1801,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_next_error": _q_events_asof_next_error,
         "events_sessions": _q_events_sessions,
         "parts_pagerank": _q_parts_pagerank,
+        "parts_ppr": _q_parts_ppr,
         "parts_degree": _q_parts_degree,
         "docs_sample_fraction": _q_docs_sample_fraction,
         "parts_cooccur_lift": _q_parts_cooccur_lift,

@@ -116,6 +116,90 @@ def pagerank(
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Personalized PageRank: the restart mass is confined to the
+    ``sources`` set S (one ``id`` column) instead of spread uniformly,
+    so rank measures proximity-weighted reachability FROM S — the
+    query-anchored salience signal (reference reranks retrieved nodes
+    by graph distance from a center node,
+    graphiti_core/search/search_utils.py node_distance rerank; PPR is
+    that idea with mass instead of hop count, usable at corpus scale).
+
+    Same exact-integer contract as ``pagerank``: rank units of 1e-12,
+    floor division everywhere, bit-identical across engines and
+    partitionings. rank_u starts at SCALE div |S| on S and 0 elsewhere;
+
+        rank_u(v) = [v in S] * ((den-num)*SCALE) div (den*|S|)
+                  + (num * sum_{u->v} (rank_u(u) div out_deg(u))) div den
+
+    Per iteration: one equi-join + one combinable sum (same shuffle key
+    every round); the S-flag join is a plain equi-join (S can be large;
+    Catalyst/AQE broadcasts it when it is small). Output (id, rank_u,
+    rank) over ALL vertices — zero rows stay zero so consumers can
+    distinguish "unreachable from S" from "absent".
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("id"), F.col(dst_col).alias("dst")
+    )
+    verts = (
+        e.select("id")
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = sources.select("id").distinct().withColumn(
+        "is_src", F.lit(1)
+    )
+    nsf = F.broadcast(srcs.agg(F.count(F.lit(1)).alias("ns")))
+    deg = e.groupBy("id").agg(F.count(F.lit(1)).alias("out_deg"))
+    links = e.join(deg, "id")
+    ranks = (
+        verts.join(srcs, "id", "left")
+        .crossJoin(nsf)
+        .select(
+            "id",
+            F.expr(
+                f"coalesce(is_src, 0L) * ({SCALE} div ns)"
+            ).alias("rank_u"),
+        )
+    )
+    for _ in range(iters):
+        contrib = links.join(ranks, "id").select(
+            F.col("dst").alias("id"),
+            F.expr("rank_u div out_deg").alias("c"),
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (
+            verts.join(sums, "id", "left")
+            .join(srcs, "id", "left")
+            .crossJoin(nsf)
+            .select(
+                "id",
+                F.expr(
+                    f"coalesce(is_src, 0L) * "
+                    f"(({(damping_den - damping_num) * SCALE})"
+                    f" div ({damping_den} * ns))"
+                    f" + (({damping_num} * coalesce(s, 0L))"
+                    f" div {damping_den})"
+                ).alias("rank_u"),
+            )
+        )
+    return ranks.select(
+        "id",
+        F.col("rank_u").cast("long").alias("rank_u"),
+        (F.col("rank_u").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -1597,6 +1597,55 @@ SELECT id, CAST(rank_u AS BIGINT) AS rank_u,
 FROM pr_r{_pr_iters} ORDER BY id"""
     )
 
+    # Personalized PageRank: restart mass confined to suppliers
+    # divisible by 7 — same exact-integer fixpoint, unrolled. Node ids
+    # stay in the pr_ graph; ppr_ prefixes keep CTE names globally
+    # unique (composition rule).
+    _ppr_cte = [
+        """ppr_e AS MATERIALIZED (
+  SELECT l_suppkey AS id, l_partkey + 1000000 AS dst FROM lineitem
+)""",
+        """ppr_v AS MATERIALIZED (
+  SELECT DISTINCT id
+  FROM (SELECT id FROM ppr_e UNION ALL SELECT dst AS id FROM ppr_e)
+)""",
+        """ppr_s AS MATERIALIZED (
+  SELECT DISTINCT id FROM ppr_e WHERE id % 7 = 0
+)""",
+        "ppr_n AS MATERIALIZED (SELECT COUNT(*) AS ns FROM ppr_s)",
+        """ppr_l AS MATERIALIZED (
+  SELECT e.id, e.dst, d.out_deg
+  FROM ppr_e e
+  JOIN (SELECT id, COUNT(*) AS out_deg FROM ppr_e GROUP BY id) d USING (id)
+)""",
+        f"""ppr_r0 AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN s.id IS NOT NULL THEN {_pr_scale} // n.ns ELSE 0 END
+           AS rank_u
+  FROM ppr_v v CROSS JOIN ppr_n n LEFT JOIN ppr_s s ON v.id = s.id
+)""",
+    ]
+    for _k in range(1, _pr_iters + 1):
+        _ppr_cte.append(f"""ppr_c{_k} AS MATERIALIZED (
+  SELECT l.dst AS id, SUM(r.rank_u // l.out_deg) AS s
+  FROM ppr_l l JOIN ppr_r{_k - 1} r ON l.id = r.id GROUP BY l.dst
+)""")
+        _ppr_cte.append(f"""ppr_r{_k} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN s.id IS NOT NULL
+              THEN {15 * _pr_scale} // (100 * n.ns) ELSE 0 END
+         + (85 * COALESCE(c.s, 0)) // 100 AS rank_u
+  FROM ppr_v v CROSS JOIN ppr_n n
+  LEFT JOIN ppr_c{_k} c ON v.id = c.id
+  LEFT JOIN ppr_s s ON v.id = s.id
+)""")
+    q["parts_ppr"] = (
+        "WITH\n" + ",\n".join(_ppr_cte) + f"""
+SELECT id, CAST(rank_u AS BIGINT) AS rank_u,
+       CAST(rank_u AS DOUBLE) / {float(_pr_scale)} AS rank
+FROM ppr_r{_pr_iters} ORDER BY id"""
+    )
+
     # Degree stats over the same supplier->part multigraph (multigraph
     # counts, full outer join of the two directions).
     q["parts_degree"] = """WITH

@@ -49,6 +49,45 @@ def test_pagerank_total_mass_bounded_and_multigraph_weighting(spark):
         pagerank(ed, iters=0)
 
 
+def test_ppr_one_iteration_hand_computed(spark):
+    """S = {1} on 1->2, 2->3: after one iteration node 1 keeps only
+    the base 0.15/|S|, node 2 gets 0.85 * r0(1), node 3 gets zero
+    (r0(2) = 0 contributed nothing) — all floor-divided."""
+    from graphiti_spark.operators.centrality import personalized_pagerank
+
+    ed = _edges(spark, [(1, 2), (2, 3)])
+    srcs = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r.id: r.rank_u
+        for r in personalized_pagerank(ed, srcs, iters=1).collect()
+    }
+    base = (15 * SCALE) // 100  # |S| = 1
+    assert got == {
+        1: base,
+        2: (85 * SCALE) // 100,
+        3: 0,
+    }
+
+
+def test_ppr_mass_confined_to_reachable_set(spark):
+    """Two disconnected components; restart on component A only —
+    component B must stay at exactly zero every iteration, and A's
+    total mass stays <= SCALE."""
+    from graphiti_spark.operators.centrality import personalized_pagerank
+
+    ed = _edges(spark, [(1, 2), (2, 1), (10, 11), (11, 10)])
+    srcs = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {
+        r.id: r.rank_u
+        for r in personalized_pagerank(ed, srcs, iters=4).collect()
+    }
+    assert got[10] == 0 and got[11] == 0
+    assert got[1] > 0 and got[2] > 0
+    assert sum(got.values()) <= SCALE
+    with pytest.raises(ValueError):
+        personalized_pagerank(ed, srcs, iters=0)
+
+
 def test_degree_stats_full_outer(spark):
     ed = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 3)])
     got = {r.id: (r.out_deg, r.in_deg) for r in degree_stats(ed).collect()}
