@@ -38,6 +38,7 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.maxPlanStringLength", "100000")
     )
     if args.shuffle_partitions:
         builder = builder.config(
