@@ -1107,6 +1107,21 @@ def _q_parts_pagerank(spark, sf_dir):
     return pagerank(li, iters=5)
 
 
+def _q_parts_hits(spark, sf_dir):
+    """HITS hubs & authorities over the directed supplier→part graph
+    (3 exact-integer L1-normalized iterations; decimal(38,0) sums so
+    DuckDB's HUGEINT arithmetic reproduces the fixpoint bit-identically)."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.centrality import hits
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    return hits(li, iters=3)
+
+
 def _q_parts_ppr(spark, sf_dir):
     """Personalized PageRank restarted on suppliers divisible by 7 —
     proximity-weighted reachability from the restart set, exact
@@ -1820,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "parts_pagerank": _q_parts_pagerank,
         "parts_ppr": _q_parts_ppr,
+        "parts_hits": _q_parts_hits,
         "parts_degree": _q_parts_degree,
         "docs_sample_fraction": _q_docs_sample_fraction,
         "parts_cooccur_lift": _q_parts_cooccur_lift,

@@ -200,6 +200,90 @@ def personalized_pagerank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a (multi)edge
+    list — the web-graph companion to ``pagerank``: authorities are
+    pointed at by good hubs, hubs point at good authorities. On a
+    crawl's host/link graph this separates directories/indexes (hubs)
+    from canonical content (authorities).
+
+    Exact-integer contract: scores live in units of 1e-12 and each
+    half-iteration L1-normalizes ``score = (SCALE * raw) div total``
+    with the raw sums accumulated in decimal(38,0) (a hub summing 1e6
+    SCALE-sized terms overflows a long — the xxhash64-sum gotcha), so
+    the fixpoint is bit-identical across engines and partitionings
+    (DuckDB's 128-bit HUGEINT sums reproduce it). Per iteration: two
+    equi-joins + two combinable sums on the same keys every round, and
+    two broadcast 1-row totals. Output (id, hub_u, auth_u, hub, auth)
+    over all vertices; nodes without out-edges have hub 0, without
+    in-edges auth 0.
+
+    The normalization references each raw-score frame twice (total
+    aggregate + join back), which would DOUBLE the logical plan per
+    half-iteration (the k_core / incremental.py 3^rounds trap) — so
+    each normalized vertex-sized frame is localCheckpointed, keeping
+    the composed plan constant per round.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nf = F.broadcast(verts.agg(F.count(F.lit(1)).alias("n")))
+    hub = verts.crossJoin(nf).select(
+        "id", F.expr(f"CAST({SCALE} div n AS DECIMAL(38,0))").alias("h")
+    )
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        tot = F.broadcast(raw.agg(F.sum(col).alias("tot")))
+        return (
+            verts.join(raw, "id", "left")
+            .crossJoin(tot)
+            .select(
+                "id",
+                F.expr(
+                    f"CAST((CAST({SCALE} AS DECIMAL(38,0))"
+                    f" * coalesce({col}, CAST(0 AS DECIMAL(38,0))))"
+                    f" div tot AS DECIMAL(38,0))"
+                ).alias(col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = _norm(a_raw, "a")
+        h_raw = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _norm(h_raw, "h")
+    out = hub.join(auth, "id", "full")
+    return out.select(
+        "id",
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_u"),
+        F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_u"),
+        (F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.lit(float(SCALE))).alias("hub"),
+        (F.coalesce(F.col("a"), F.lit(0)).cast("double") / F.lit(float(SCALE))).alias("auth"),
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,

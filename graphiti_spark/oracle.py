@@ -1646,6 +1646,58 @@ SELECT id, CAST(rank_u AS BIGINT) AS rank_u,
 FROM ppr_r{_pr_iters} ORDER BY id"""
     )
 
+    # HITS hubs & authorities, unrolled: DuckDB's SUM over BIGINT
+    # returns HUGEINT (128-bit), so the L1-normalization products are
+    # exact — matching Spark's decimal(38,0) accumulate + long div.
+    _ht_iters = 3
+    _ht_cte = [
+        """ht_e AS MATERIALIZED (
+  SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+)""",
+        """ht_v AS MATERIALIZED (
+  SELECT DISTINCT id
+  FROM (SELECT src AS id FROM ht_e UNION ALL SELECT dst AS id FROM ht_e)
+)""",
+        "ht_n AS (SELECT COUNT(*) AS n FROM ht_v)",
+        f"""ht_h0 AS MATERIALIZED (
+  SELECT v.id, CAST({_pr_scale} // n.n AS HUGEINT) AS h
+  FROM ht_v v CROSS JOIN ht_n n
+)""",
+    ]
+    for _k in range(1, _ht_iters + 1):
+        _ht_cte.append(f"""ht_ar{_k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(h.h) AS a
+  FROM ht_e e JOIN ht_h{_k - 1} h ON e.src = h.id GROUP BY e.dst
+)""")
+        _ht_cte.append(
+            f"ht_at{_k} AS (SELECT SUM(a) AS tot FROM ht_ar{_k})"
+        )
+        _ht_cte.append(f"""ht_a{_k} AS MATERIALIZED (
+  SELECT v.id,
+         ({_pr_scale}::HUGEINT * COALESCE(r.a, 0)) // t.tot AS a
+  FROM ht_v v LEFT JOIN ht_ar{_k} r ON v.id = r.id CROSS JOIN ht_at{_k} t
+)""")
+        _ht_cte.append(f"""ht_hr{_k} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(a.a) AS h
+  FROM ht_e e JOIN ht_a{_k} a ON e.dst = a.id GROUP BY e.src
+)""")
+        _ht_cte.append(
+            f"ht_ht{_k} AS (SELECT SUM(h) AS tot FROM ht_hr{_k})"
+        )
+        _ht_cte.append(f"""ht_h{_k} AS MATERIALIZED (
+  SELECT v.id,
+         ({_pr_scale}::HUGEINT * COALESCE(r.h, 0)) // t.tot AS h
+  FROM ht_v v LEFT JOIN ht_hr{_k} r ON v.id = r.id CROSS JOIN ht_ht{_k} t
+)""")
+    q["parts_hits"] = (
+        "WITH\n" + ",\n".join(_ht_cte) + f"""
+SELECT h.id, CAST(h.h AS BIGINT) AS hub_u, CAST(a.a AS BIGINT) AS auth_u,
+       CAST(h.h AS DOUBLE) / {float(_pr_scale)} AS hub,
+       CAST(a.a AS DOUBLE) / {float(_pr_scale)} AS auth
+FROM ht_h{_ht_iters} h JOIN ht_a{_ht_iters} a ON h.id = a.id
+ORDER BY h.id"""
+    )
+
     # Degree stats over the same supplier->part multigraph (multigraph
     # counts, full outer join of the two directions).
     q["parts_degree"] = """WITH

@@ -88,6 +88,38 @@ def test_ppr_mass_confined_to_reachable_set(spark):
         personalized_pagerank(ed, srcs, iters=0)
 
 
+def test_hits_star_hand_computed(spark):
+    """Star 1->3, 2->3, 3->4: after any full iteration the L1-normalized
+    fixpoint is reached on this graph — authorities split SCALE between
+    3 and 4 as 2:1, hubs as 1:1:... hand-derive one iteration exactly."""
+    from graphiti_spark.operators.centrality import hits
+
+    ed = _edges(spark, [(1, 3), (2, 3), (3, 4)])
+    got = {
+        r.id: (r.hub_u, r.auth_u) for r in hits(ed, iters=1).collect()
+    }
+    # h0 = SCALE//4 each. a_raw(3) = h0(1)+h0(2) = 2u, a_raw(4) = u
+    # -> a(3) = (S*2u)//(3u), a(4) = (S*u)//(3u)
+    u = SCALE // 4
+    a3 = (SCALE * 2 * u) // (3 * u)
+    a4 = (SCALE * u) // (3 * u)
+    # h_raw(1) = h_raw(2) = a(3), h_raw(3) = a(4)
+    tot_h = 2 * a3 + a4
+    h1 = (SCALE * a3) // tot_h
+    h3 = (SCALE * a4) // tot_h
+    assert got == {
+        1: (h1, 0),
+        2: (h1, 0),
+        3: (h3, a3),
+        4: (0, a4),
+    }
+    # L1 mass of each score family stays ~SCALE (floor leakage only)
+    assert SCALE - 4 <= sum(h for h, _ in got.values()) <= SCALE
+    assert SCALE - 4 <= sum(a for _, a in got.values()) <= SCALE
+    with pytest.raises(ValueError):
+        hits(ed, iters=0)
+
+
 def test_degree_stats_full_outer(spark):
     ed = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 3)])
     got = {r.id: (r.out_deg, r.in_deg) for r in degree_stats(ed).collect()}
