@@ -1749,6 +1749,60 @@ def _q_docs_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_docs(spark, sf_dir), k=5)
 
 
+def _doc_ws_tokens(spark, sf_dir):
+    """(lang, tok) whitespace-token stream over documents — shared input
+    for the sketch entries."""
+    from pyspark.sql import functions as F
+
+    return _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("tok"),
+    )
+
+
+def _q_docs_distinct_kmv(spark, sf_dir):
+    """Per-language distinct-bigram estimate via a k=64 KMV sketch
+    (k-minimum-values over 52-bit sha hashes — the mergeable
+    distinct-count sketch; the DuckDB twin recomputes the exact k
+    smallest distinct hashes and the (k-1)/u_(k) estimator)."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.sketch import kmv_distinct
+
+    t = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    bg = _docs(spark, sf_dir).select(
+        "lang", F.explode(bigrams).alias("bg")
+    )
+    return kmv_distinct(bg, ["lang"], "bg", k=64).orderBy("lang")
+
+
+def _q_docs_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (token share >= 1%) through the
+    Misra-Gries candidate pass + exact recount — the final answer is
+    partitioning-independent, so DuckDB verifies it with the plain
+    exact threshold query."""
+    from graphiti_spark.operators.sketch import heavy_hitters
+
+    toks = _doc_ws_tokens(spark, sf_dir).select("tok")
+    return heavy_hitters(toks, "tok", share_num=1, share_den=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -1882,6 +1936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_skipgrams": _q_parts_skipgrams,
         "parts_skipgram_negatives": _q_parts_skipgram_negatives,
         "parts_biased_walks": _q_parts_biased_walks,
+        # mergeable corpus sketches: KMV distinct + MG heavy hitters (r4)
+        "docs_distinct_kmv": _q_docs_distinct_kmv,
+        "docs_heavy_hitters": _q_docs_heavy_hitters,
     }
 
 

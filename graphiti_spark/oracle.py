@@ -3212,4 +3212,55 @@ n2v_w1 AS MATERIALIZED (
 SELECT start, widx, array_to_string(path, '-') AS path_str
 FROM n2v_w3 ORDER BY start, widx"""
 
+    # ---- KMV distinct sketch (k=64 over token bigrams per lang) ----
+    # The sketch result is a pure function of the distinct value set:
+    # DuckDB recomputes the k smallest DISTINCT 52-bit hashes directly
+    # (no bucketing needed — the Spark two-level build is provably
+    # invariant to it) and applies the same (k-1)/u_(k) estimator.
+    q["docs_distinct_kmv"] = """WITH kv_toks AS (
+  SELECT lang,
+         list_filter(string_split(lower(trim(text)), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+kv_bg AS (
+  SELECT lang, t[i] || ' ' || t[i + 1] AS bg
+  FROM kv_toks, unnest(range(1, len(t))) AS r(i)
+),
+kv_u AS (
+  SELECT DISTINCT lang,
+         (('0x' || substr(sha256('kmv:' || bg), 1, 13))::UBIGINT
+          / 4503599627370496.0) AS u
+  FROM kv_bg
+),
+kv_rk AS (
+  SELECT lang, u,
+         row_number() OVER (PARTITION BY lang ORDER BY u) AS rk
+  FROM kv_u
+),
+kv_agg AS (
+  SELECT lang, count(*) AS n_kept, max(u) AS kth
+  FROM kv_rk WHERE rk <= 64 GROUP BY lang
+)
+SELECT lang, CAST(n_kept AS BIGINT) AS n_kept,
+       round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 63.0 / kth END, 4) + 0.0 AS est_distinct
+FROM kv_agg ORDER BY lang"""
+
+    # ---- heavy hitters (exact, threshold share >= 1/100) ----
+    # The MG candidate pass is a bounded-shuffle implementation detail;
+    # the final answer is the exact threshold query, which DuckDB runs
+    # with no sketch at all. Integer threshold arithmetic on both sides.
+    q["docs_heavy_hitters"] = """WITH hh_toks AS (
+  SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+hh_n AS (SELECT count(*) AS n FROM hh_toks),
+hh_c AS (SELECT tok, count(*) AS cnt FROM hh_toks GROUP BY 1)
+SELECT tok AS value, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(cnt AS DOUBLE) / n, 4) + 0.0 AS share
+FROM hh_c CROSS JOIN hh_n
+WHERE cnt * 100 >= n ORDER BY value"""
+
     return q

@@ -1,0 +1,99 @@
+"""Mergeable-sketch laws: KMV mergeability/partition-invariance and
+the Misra-Gries superset guarantee behind exact heavy hitters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.sketch import (
+    _mg_fold,
+    heavy_hitters,
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 400 skewed values over 3 groups: v = i % (17 + 29*g) gives each
+    # group a different true cardinality.
+    rows = [
+        (g, f"v{i % (17 + 29 * g)}") for g in range(3) for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "g int, v string")
+
+
+def test_kmv_merge_equals_whole(values):
+    """Mergeability: sketch(A) ⊕ sketch(B) == sketch(A ∪ B) for any
+    split — the law that makes the sketch shippable across shards."""
+    k = 8
+    h1 = values.filter(F.col("v") < "v3")
+    h2 = values.filter(F.col("v") >= "v3")
+    merged = kmv_estimate(
+        kmv_merge(
+            [kmv_sketch(h1, ["g"], "v", k), kmv_sketch(h2, ["g"], "v", k)],
+            ["g"],
+            k,
+        ),
+        ["g"],
+        k,
+    )
+    whole = kmv_distinct(values, ["g"], "v", k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_kmv_partition_and_fanout_invariant(values):
+    a = kmv_distinct(values.repartition(1), ["g"], "v", k=8, fanout=4)
+    b = kmv_distinct(values.repartition(13), ["g"], "v", k=8, fanout=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmv_exact_below_k(values):
+    """Fewer distinct values than k ⇒ the sketch degrades to the exact
+    count (group 0 has 17 distinct values < k=32)."""
+    est = {
+        r["g"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(values, ["g"], "v", k=32).collect()
+    }
+    assert est[0] == (17, 17.0)
+
+
+def test_mg_fold_guarantee():
+    """Batched MG undercounts any item by at most N/(m+1): an item with
+    frequency above that threshold always survives."""
+    # 1000 items: 'hot' appears 300x, 99 distinct cold fillers.
+    seq = ["hot"] * 300 + [f"c{i % 99}" for i in range(700)]
+    counts: dict = {}
+    for i in range(0, len(seq), 50):  # fold in 20 batches
+        batch = seq[i : i + 50]
+        vals = {v: batch.count(v) for v in set(batch)}
+        counts = _mg_fold(counts, list(vals), list(vals.values()), m=9)
+    assert "hot" in counts
+    assert counts["hot"] >= 300 - 1000 // 10  # undercount <= N/(m+1)
+    assert len(counts) <= 9
+
+
+def test_heavy_hitters_exact_and_partition_invariant(values):
+    toks = values.select(F.col("v").alias("tok"))
+    n = toks.count()
+    exact = {
+        (r["tok"], r["count"])
+        for r in toks.groupBy("tok").count().collect()
+        if r["count"] * 40 >= n
+    }
+    for parts in (1, 7):
+        got = {
+            (r["value"], r["cnt"])
+            for r in heavy_hitters(
+                toks.repartition(parts), "tok", 1, 40
+            ).collect()
+        }
+        assert got == exact and len(got) > 0
+
+
+def test_heavy_hitters_capacity_guard(values):
+    with pytest.raises(ValueError):
+        heavy_hitters(values, "v", 1, 100, capacity=10)
