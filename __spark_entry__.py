@@ -1803,6 +1803,46 @@ def _q_docs_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "tok", share_num=1, share_den=100)
 
 
+def _page_link_edges(spark, sf_dir):
+    from graphiti_spark.operators.weblinks import extract_links
+    from graphiti_spark.sources.links import load_page_anchors
+
+    return extract_links(load_page_anchors(spark, sf_dir))
+
+
+def _q_page_links(spark, sf_dir):
+    """Out-link edges extracted from page html: href regex + relative-
+    URL resolution (absolute / protocol-relative / root-relative;
+    mailto:/fragment/single-quoted dropped) + canonicalization. The
+    DuckDB twin asserts the CLOSED-FORM expected canonical edges from
+    the anchor arithmetic — it never runs the extraction regexes."""
+    return _page_link_edges(spark, sf_dir).orderBy("id", "dst")
+
+
+def _q_hosts_graph(spark, sf_dir):
+    """Weighted host-level link graph (one combinable groupBy over the
+    extracted edges; self-loops kept — same-host navigation signal)."""
+    from graphiti_spark.operators.weblinks import host_graph
+
+    return host_graph(_page_link_edges(spark, sf_dir))
+
+
+def _q_hosts_pagerank(spark, sf_dir):
+    """Crawl-frontier prioritization: exact-integer PageRank over the
+    host multigraph extracted from page html (string node ids — the
+    same fixpoint arithmetic as parts_pagerank, re-derived by DuckDB
+    over the closed-form edge list)."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.centrality import pagerank
+    from graphiti_spark.operators.weblinks import host_of
+
+    e = _page_link_edges(spark, sf_dir).select(
+        host_of(F.col("src")).alias("src"), host_of(F.col("dst")).alias("dst")
+    )
+    return pagerank(e, iters=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -1939,6 +1979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable corpus sketches: KMV distinct + MG heavy hitters (r4)
         "docs_distinct_kmv": _q_docs_distinct_kmv,
         "docs_heavy_hitters": _q_docs_heavy_hitters,
+        # crawl link graph: href extraction → host graph → PageRank (r4)
+        "page_links": _q_page_links,
+        "hosts_graph": _q_hosts_graph,
+        "hosts_pagerank": _q_hosts_pagerank,
     }
 
 

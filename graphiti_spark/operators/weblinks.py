@@ -163,6 +163,79 @@ def domain_stats(
     return canon.groupBy("domain").agg(*aggs)
 
 
+# href="..." attribute values (double-quoted only — the documented
+# extraction contract; single-quoted/unquoted hrefs are rare in modern
+# markup and a production build widens the regex, not the algorithm).
+_HREF_RE = r'href="([^"]*)"'
+_ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def extract_links(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Out-link edges of a crawl page: href extraction + relative-URL
+    resolution + canonicalization, all in one codegen stage (regexp +
+    array ops — no shuffle, no Python; runs inside the page scan).
+
+    Resolution handles the closed deterministic subset that covers the
+    overwhelming majority of crawl anchors: absolute (``scheme://``),
+    protocol-relative (``//host/…`` — inherits the base scheme), and
+    root-relative (``/path`` — base scheme + host). Everything else
+    (mailto:/javascript:/fragment-only/path-relative) is dropped —
+    scheme-only hrefs like ``mailto:`` do NOT match the absolute branch
+    because it requires ``://``. The base URL is canonicalized FIRST,
+    so resolution survives case/port/www./tracking noise in the page's
+    own crawl URL. Output (id, src, dst) canonical URL edges."""
+    src = canonicalize_url(F.col(url_col))
+    base_scheme = F.regexp_extract(src, _URL_RE, 1)
+    base_host = F.regexp_extract(src, _URL_RE, 2)
+    h = F.explode(
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1)
+    ).alias("href")
+    exploded = pages.select(
+        F.col(id_col).alias("id"), src.alias("src"),
+        base_scheme.alias("bs"), base_host.alias("bh"), h
+    )
+    href = F.col("href")
+    resolved = (
+        F.when(href.rlike(_ABS_RE), href)
+        .when(
+            href.startswith("//"),
+            F.concat(F.col("bs"), F.lit(":"), href),
+        )
+        .when(
+            href.startswith("/"),
+            F.concat(F.col("bs"), F.lit("://"), F.col("bh"), href),
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        exploded.withColumn("dst", canonicalize_url(resolved))
+        .filter(F.col("dst").isNotNull())
+        .select("id", "src", "dst")
+    )
+
+
+def host_graph(
+    link_edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Collapse URL-level link edges to the weighted host graph:
+    (src_host, dst_host, n_links). One map-side-combinable groupBy —
+    hot host pairs combine before the shuffle. Self-loops are kept
+    (same-host navigation is real crawl-prioritization signal; drop
+    them at the consumer if unwanted)."""
+    return (
+        link_edges.groupBy(
+            host_of(F.col(src_col)).alias("src_host"),
+            host_of(F.col(dst_col)).alias("dst_host"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 def domain_filter(
     links: DataFrame, blocked_domains: list[str], url_col: str = "url"
 ) -> DataFrame:

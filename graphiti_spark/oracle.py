@@ -3263,4 +3263,60 @@ SELECT tok AS value, CAST(cnt AS BIGINT) AS cnt,
 FROM hh_c CROSS JOIN hh_n
 WHERE cnt * 100 >= n ORDER BY value"""
 
+    # ---- crawl link graph (closed-form expected edges, urls_canonical
+    # adjudication style: DuckDB asserts what extraction + resolution +
+    # canonicalization MUST produce, it never runs the regexes) ----
+    from graphiti_spark.sources.links import (
+        SQL_ANCHOR_EDGES_CTE,
+        SQL_ANCHOR_HOSTS_CTE,
+    )
+
+    q["page_links"] = f"""WITH {SQL_ANCHOR_EDGES_CTE}
+SELECT doc_id AS id, src, dst FROM anchor_edges ORDER BY id, dst"""
+
+    q["hosts_graph"] = f"""WITH {SQL_ANCHOR_HOSTS_CTE}
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM anchor_host_edges GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # host PageRank: same unrolled exact-integer fixpoint as
+    # parts_pagerank, over VARCHAR host ids (hp_ prefix — global CTE
+    # namespace rule).
+    _hp_iters = 4
+    _hp_base = f"({15 * _pr_scale} // (100 * n.n))"
+    _hp_cte = [
+        SQL_ANCHOR_HOSTS_CTE.strip(),
+        """hp_e AS MATERIALIZED (
+  SELECT src_host AS id, dst_host AS dst FROM anchor_host_edges
+)""",
+        """hp_v AS MATERIALIZED (
+  SELECT DISTINCT id
+  FROM (SELECT id FROM hp_e UNION ALL SELECT dst AS id FROM hp_e)
+)""",
+        "hp_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM hp_v)",
+        """hp_l AS MATERIALIZED (
+  SELECT e.id, e.dst, d.out_deg
+  FROM hp_e e
+  JOIN (SELECT id, COUNT(*) AS out_deg FROM hp_e GROUP BY id) d USING (id)
+)""",
+        f"""hp_r0 AS MATERIALIZED (
+  SELECT v.id, {_pr_scale} // n.n AS rank_u FROM hp_v v CROSS JOIN hp_n n
+)""",
+    ]
+    for _k in range(1, _hp_iters + 1):
+        _hp_cte.append(f"""hp_c{_k} AS MATERIALIZED (
+  SELECT l.dst AS id, SUM(r.rank_u // l.out_deg) AS s
+  FROM hp_l l JOIN hp_r{_k - 1} r ON l.id = r.id GROUP BY l.dst
+)""")
+        _hp_cte.append(f"""hp_r{_k} AS MATERIALIZED (
+  SELECT v.id,
+         {_hp_base} + (85 * COALESCE(c.s, 0)) // 100 AS rank_u
+  FROM hp_v v CROSS JOIN hp_n n LEFT JOIN hp_c{_k} c ON v.id = c.id
+)""")
+    q["hosts_pagerank"] = (
+        "WITH\n" + ",\n".join(_hp_cte) + f"""
+SELECT id, CAST(rank_u AS BIGINT) AS rank_u,
+       CAST(rank_u AS DOUBLE) / {float(_pr_scale)} AS rank
+FROM hp_r{_hp_iters} ORDER BY id"""
+    )
+
     return q

@@ -72,6 +72,91 @@ canon_links AS (
 )"""
 
 
+# ---------------------------------------------------------------------------
+# Page-anchor table: (doc_id, url, html) where html embeds <a href> tags
+# in the four shapes a crawler must handle (absolute + tracking params,
+# protocol-relative, root-relative, and noise hrefs that MUST be
+# dropped: mailto:, fragment-only, single-quoted). Link targets derive
+# from doc_id with closed-form arithmetic, so the DuckDB twins assert
+# the EXPECTED resolved canonical edges rather than re-running the same
+# regexes (the urls_canonical adjudication style).
+
+_A_HOST2 = "(c * 3 + 1) % 7"  # SQL fragments kept in lockstep below
+_A_HOST3 = "(c * 5 + 2) % 7"
+_A_K2 = f"(c * 7 + 3) % {CANON_MOD}"
+_A_K3 = f"(c * 11 + 5) % {CANON_MOD}"
+_A_K4 = f"(c * 13 + 7) % {CANON_MOD}"
+
+# Closed-form canonical link targets per doc (DuckDB side). Column c
+# must be in scope (doc_id % CANON_MOD).
+SQL_ANCHOR_EDGES_CTE = f"""
+anchor_edges AS (
+  SELECT doc_id,
+         'https://' || ({_SQL_HOSTS})[CAST(c % 7 AS INT) + 1]
+           || '/art/' || CAST(c AS VARCHAR)
+           || '?a=1&b=' || CAST(c % 3 AS VARCHAR) AS src,
+         unnest([
+           'https://' || ({_SQL_HOSTS})[CAST({_A_HOST2} AS INT) + 1]
+             || '/art/' || CAST({_A_K2} AS VARCHAR) || '?z=9',
+           'https://' || ({_SQL_HOSTS})[CAST({_A_HOST3} AS INT) + 1]
+             || '/art/' || CAST({_A_K3} AS VARCHAR),
+           'https://' || ({_SQL_HOSTS})[CAST(c % 7 AS INT) + 1]
+             || '/art/' || CAST({_A_K4} AS VARCHAR)
+         ]) AS dst
+  FROM (SELECT doc_id, doc_id % {CANON_MOD} AS c FROM documents)
+)"""
+
+
+# Host-level closed form of the same anchors (src host, three dst
+# hosts per doc — the third is the self-host root-relative link).
+SQL_ANCHOR_HOSTS_CTE = f"""
+anchor_host_edges AS (
+  SELECT doc_id,
+         ({_SQL_HOSTS})[CAST(c % 7 AS INT) + 1] AS src_host,
+         unnest([
+           ({_SQL_HOSTS})[CAST({_A_HOST2} AS INT) + 1],
+           ({_SQL_HOSTS})[CAST({_A_HOST3} AS INT) + 1],
+           ({_SQL_HOSTS})[CAST(c % 7 AS INT) + 1]
+         ]) AS dst_host
+  FROM (SELECT doc_id, doc_id % {CANON_MOD} AS c FROM documents)
+)"""
+
+
+def load_page_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → (doc_id, url, html): the page's crawl URL
+    (the SAME messy surface variant load_links emits, so base-URL
+    resolution must survive case/port/www noise) plus an html body
+    carrying six anchors — three resolvable (absolute with a tracking
+    param, protocol-relative, root-relative/self-host) and three that
+    extract_links must drop (mailto:, fragment-only, single-quoted)."""
+    links = load_links(spark, sf_dir)
+    c = F.col("doc_id") % CANON_MOD
+    hosts = F.array(*[F.lit(h) for h in HOSTS])
+    host2 = F.element_at(hosts, ((c * 3 + 1) % 7).cast("int") + 1)
+    host3 = F.element_at(hosts, ((c * 5 + 2) % 7).cast("int") + 1)
+    k2 = ((c * 7 + 3) % CANON_MOD).cast("string")
+    k3 = ((c * 11 + 5) % CANON_MOD).cast("string")
+    k4 = ((c * 13 + 7) % CANON_MOD).cast("string")
+    html = F.concat(
+        F.lit("<html><body><p>article "),
+        c.cast("string"),
+        F.lit('</p><a href="https://'),
+        host2,
+        F.lit("/art/"),
+        k2,
+        F.lit('?utm_campaign=x&z=9">next</a> <a href="//'),
+        host3,
+        F.lit("/art/"),
+        k3,
+        F.lit('">mirror</a> <a href="/art/'),
+        k4,
+        F.lit('">related</a> <a href="mailto:ed@example.com">mail</a>'),
+        F.lit('<a href="#top">top</a>'),
+        F.lit("<a href='/art/ignored'>squote</a></body></html>"),
+    )
+    return links.select("doc_id", "url", html.alias("html"))
+
+
 def load_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → links(doc_id, url, fetch_ts)."""
     docs = load_documents(spark, sf_dir)

@@ -124,6 +124,68 @@ def test_domain_filter_blocks_exact_domains(spark):
     assert sorted(r["doc_id"] for r in kept) == [2, 3]
 
 
+def _pages(spark, rows):
+    return literal_df(
+        spark,
+        rows,
+        [("doc_id", "bigint"), ("url", "string"), ("html", "string")],
+    )
+
+
+def test_extract_links_resolution_rules(spark):
+    """Absolute kept as-is (canonicalized), protocol-relative inherits
+    the base scheme, root-relative inherits scheme+host (from the
+    CANONICAL base — messy crawl URLs resolve correctly), and
+    mailto:/javascript:/fragment/path-relative/single-quoted are
+    dropped."""
+    html = (
+        '<a href="https://Other.COM/x?utm_source=t&k=1">a</a>'
+        '<a href="//cdn.site.org/lib.js">b</a>'
+        '<a href="/art/9">c</a>'
+        '<a href="mailto:x@y.z">d</a>'
+        '<a href="javascript:void(0)">e</a>'
+        '<a href="#top">f</a>'
+        '<a href="rel/path.html">g</a>'
+        "<a href='/squoted'>h</a>"
+    )
+    pages = _pages(
+        spark, [(1, "HTTPS://WWW.Base.COM:443/dir/page?x=1#f", html)]
+    )
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in W.extract_links(pages).collect()
+    )
+    assert got == [
+        ("https://base.com/dir/page?x=1", "https://base.com/art/9"),
+        ("https://base.com/dir/page?x=1", "https://cdn.site.org/lib.js"),
+        ("https://base.com/dir/page?x=1", "https://other.com/x?k=1"),
+    ]
+
+
+def test_extract_links_is_shuffle_free(spark):
+    """Extraction + resolution + canonicalization compile into the scan
+    stage: no Exchange, no Python workers."""
+    pages = _pages(spark, [(1, "https://a.com/x", '<a href="/y">y</a>')])
+    plan = W.extract_links(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_host_graph_weights_and_self_loops(spark):
+    pages = _pages(
+        spark,
+        [
+            (1, "https://a.com/1", '<a href="/s">s</a><a href="//b.com/x">b</a>'),
+            (2, "https://a.com/2", '<a href="//b.com/y">b</a>'),
+        ],
+    )
+    hg = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in W.host_graph(W.extract_links(pages)).collect()
+    }
+    assert hg == {("a.com", "a.com"): 1, ("a.com", "b.com"): 2}
+
+
 # ---------------------------------------------------------------- lm --
 
 
