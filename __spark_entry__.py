@@ -1843,6 +1843,31 @@ def _q_hosts_pagerank(spark, sf_dir):
     return pagerank(e, iters=4)
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """BPE merge training: 12 greedy most-frequent-pair merges learned
+    from the top-512 word-frequency table (the corpus-scale stage is
+    the word count; the merge loop is bounded by the vocab cap). The
+    DuckDB twin unrolls the identical 12 rounds — pair counts, argmax
+    tie-break, and the left-to-right fold reproduced bit-for-bit."""
+    from graphiti_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(docs, num_merges=12, vocab_cap=512)
+
+
+def _q_docs_bpe_tokens(spark, sf_dir):
+    """Per-doc token counts under the trained BPE segmentation:
+    explode + broadcast(vocab) join + combinable sum; OOV words cost
+    length(word) chars."""
+    from graphiti_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, seg = bpe_train(
+        docs, num_merges=12, vocab_cap=512, return_segmentation=True
+    )
+    return bpe_token_counts(docs, seg)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -1983,6 +2008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_links": _q_page_links,
         "hosts_graph": _q_hosts_graph,
         "hosts_pagerank": _q_hosts_pagerank,
+        # BPE tokenizer merge training + corpus encoding (r4)
+        "bpe_merges": _q_bpe_merges,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
     }
 
 

@@ -1,0 +1,222 @@
+"""BPE tokenizer merge training over a distributed corpus.
+
+A tokenizer is trained on the same curated web corpus this engine
+produces (the reference — peabodyAdmin/graphiti — consumes tokenizers,
+it does not train them; this extends the engine for the 100 TB
+training-data case, SURVEY §2 "beyond the reference"). The algorithm is
+classic byte-pair encoding (Sennrich et al. 2016, public): start from
+character symbols, repeatedly merge the globally most frequent adjacent
+symbol pair.
+
+Spark-first decomposition — what is corpus-scale and what is bounded:
+
+  1. **Word counting is the 100 TB part.** One explode + one
+     map-side-combinable ``groupBy(word)`` over the whole corpus — the
+     only stage that touches every byte. The result is capped to the
+     top ``vocab_cap`` words (deterministic order: count DESC, word
+     ASC), exactly the word-frequency-table reduction every public BPE
+     trainer (subword-nmt, SentencePiece, HF tokenizers) performs: the
+     merge loop never re-reads the corpus.
+  2. **The merge loop runs over the CAPPED word table** (``vocab_cap``
+     rows, invariant of corpus size). Each round is one pair-explode +
+     combinable weighted count + global argmax (a 1-row collect — the
+     argmax is inherently global, same pattern as k_core's convergence
+     probe), then a pure-codegen ``F.aggregate`` left-fold applies the
+     merge to every word's symbol array. The per-round frame is
+     localCheckpoint'd — the iterative-plan-growth trap documented in
+     CLAUDE.md / centrality.k_core.
+
+Determinism contract (what the DuckDB oracle reproduces bit-for-bit):
+  - words = engine-wide token contract (lower, trim, split ``\\s+``),
+    restricted to ``^[a-z0-9]+$`` (keeps char indexing and the fold's
+    unit-separator trick engine-portable; real trainers normalize
+    similarly before counting).
+  - merge application is a greedy LEFT-TO-RIGHT fold: scanning the
+    symbol list once, a pair is merged when the accumulator's last
+    symbol is ``left`` and the current symbol is ``right`` ("aaa" +
+    (a,a) -> [aa, a]). Both engines implement this exact fold (Spark:
+    array-accumulator ``F.aggregate``; DuckDB: ``list_reduce`` over a
+    unit-separator-delimited string).
+  - argmax tie-break: pair_count DESC, left ASC, right ASC.
+
+Encoding (``bpe_token_counts``) is again corpus-scale-friendly: the
+trained segmentation table is ``vocab_cap`` rows — always
+broadcastable — so scoring a crawl is one explode + one broadcast join
++ one combinable per-doc sum; out-of-vocab words fall back to
+character-count (documented OOV semantic, deterministic on both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import _tokens
+
+WORD_RE = "^[a-z0-9]+$"
+
+
+def bpe_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_cap: int = 512,
+) -> DataFrame:
+    """Corpus word-frequency table, capped to the top ``vocab_cap``
+    words (count DESC, word ASC — deterministic at the boundary).
+    This is the single corpus-scale stage of BPE training: one
+    map-side-combinable shuffle; the cap bounds everything downstream.
+    Output (word, cnt)."""
+    return (
+        docs.select(
+            F.explode(_tokens(F.col(text_col))).alias("word")
+        )
+        .where(F.col("word").rlike(WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(vocab_cap)
+    )
+
+
+def _fold_merge(left: str, right: str):
+    """Factory for the greedy left-to-right merge fold (factory, not a
+    loop-side lambda — the CLAUDE.md closure-shadowing trap)."""
+
+    def fold(acc: Column, x: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return fold
+
+
+_EMPTY_SYMS = "cast(array() as array<string>)"
+
+
+def apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Apply ONE merge rule to a symbol array: greedy left-to-right
+    single pass (pure codegen — no UDF, no shuffle)."""
+    return F.aggregate(syms, F.expr(_EMPTY_SYMS), _fold_merge(left, right))
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 12,
+    vocab_cap: int = 512,
+    return_segmentation: bool = False,
+):
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns the merge table (merge_rank, left_sym, right_sym,
+    pair_count) as a DataFrame — or, with ``return_segmentation``,
+    a (merges, segmentation) pair where segmentation is the final
+    (word, cnt, syms) table (the vocab_cap-row broadcast side of
+    encoding).
+
+    Raises if the corpus exhausts before ``num_merges`` (every word
+    collapsed to a single symbol) — a silent short merge table would
+    desync any consumer that baked in the requested size.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    spark = docs.sparkSession
+    w = (
+        bpe_word_counts(docs, text_col=text_col, vocab_cap=vocab_cap)
+        .select("word", "cnt", F.split("word", "").alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pairs = (
+            w.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.expr("slice(syms, 1, size(syms) - 1)"),
+                        F.expr("slice(syms, 2, size(syms) - 1)"),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if not best:
+            raise ValueError(
+                f"corpus exhausted after {rank - 1} merges "
+                f"(requested {num_merges})"
+            )
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, left, right, cnt))
+        # localCheckpoint: the per-round frame is vocab_cap rows; without
+        # it the fold-in-fold lineage grows geometrically (CLAUDE.md).
+        w = w.select(
+            "word", "cnt", apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+
+    from ..functions.smalldf import literal_df
+
+    mdf = literal_df(
+        spark,
+        merges,
+        [
+            ("merge_rank", "int"),
+            ("left_sym", "string"),
+            ("right_sym", "string"),
+            ("pair_count", "bigint"),
+        ],
+    )
+    if return_segmentation:
+        return mdf, w
+    return mdf
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    segmentation: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token count under a trained BPE segmentation.
+
+    The segmentation table is vocab_cap rows — broadcast — so this is
+    explode + broadcast join + combinable per-doc sum: no corpus-keyed
+    shuffle beyond the final (id) aggregation. Out-of-vocab words cost
+    ``length(word)`` (character fallback). Output
+    (id, n_words, n_bpe_tokens)."""
+    seg = F.broadcast(
+        segmentation.select(
+            "word", F.size("syms").cast("long").alias("n_syms")
+        )
+    )
+    words = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(_tokens(F.col(text_col))).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        words.join(seg, "word", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.coalesce(
+                    F.col("n_syms"), F.length("word").cast("long")
+                )
+            ).alias("n_bpe_tokens"),
+        )
+    )

@@ -3319,4 +3319,68 @@ SELECT id, CAST(rank_u AS BIGINT) AS rank_u,
 FROM hp_r{_hp_iters} ORDER BY id"""
     )
 
+    # BPE merge training (bp_ prefix — global CTE namespace rule):
+    # unrolled 12 rounds over the top-512 word table. Merge application
+    # is the same greedy left-to-right fold as Spark's F.aggregate,
+    # realised here as list_reduce over a chr(31)-delimited string (the
+    # ^[a-z0-9]+$ word filter guarantees the separator never collides).
+    _bp_merges = 12
+    _bp_cap = 512
+    _bp_cte = [
+        """bp_tok AS MATERIALIZED (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+)""",
+        f"""bp_wc AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt FROM bp_tok
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {_bp_cap}
+)""",
+        """bp_w0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+  FROM bp_wc
+)""",
+    ]
+    for _k in range(1, _bp_merges + 1):
+        _bp_cte.append(f"""bp_p{_k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt) AS c
+  FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms)-1)) AS i
+        FROM bp_w{_k - 1})
+  GROUP BY 1, 2
+)""")
+        _bp_cte.append(f"""bp_b{_k} AS MATERIALIZED (
+  SELECT {_k} AS merge_rank, l, r, c FROM bp_p{_k} ORDER BY c DESC, l, r LIMIT 1
+)""")
+        _bp_cte.append(f"""bp_w{_k} AS MATERIALIZED (
+  SELECT word, cnt, string_split(list_reduce(syms, (acc, x) ->
+    CASE WHEN x = b.r AND ((length(acc) = length(b.l) AND acc = b.l)
+                           OR right(acc, length(b.l) + 1) = chr(31) || b.l)
+      THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+      ELSE acc || chr(31) || x END), chr(31)) AS syms
+  FROM bp_w{_k - 1} CROSS JOIN bp_b{_k} b
+)""")
+    _bp_union = " UNION ALL ".join(
+        f"SELECT * FROM bp_b{_k}" for _k in range(1, _bp_merges + 1)
+    )
+    q["bpe_merges"] = (
+        "WITH\n" + ",\n".join(_bp_cte) + f"""
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank, l AS left_sym,
+       r AS right_sym, CAST(c AS BIGINT) AS pair_count
+FROM ({_bp_union}) ORDER BY merge_rank"""
+    )
+    q["docs_bpe_tokens"] = (
+        "WITH\n" + ",\n".join(_bp_cte) + f""",
+bp_dw AS MATERIALIZED (
+  SELECT doc_id AS id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+)
+SELECT d.id, COUNT(*) AS n_words,
+       CAST(SUM(COALESCE(len(s.syms), length(d.word))) AS BIGINT) AS n_bpe_tokens
+FROM bp_dw d LEFT JOIN bp_w{_bp_merges} s USING (word)
+WHERE d.word <> ''
+GROUP BY d.id ORDER BY d.id"""
+    )
+
     return q

@@ -1,0 +1,118 @@
+"""BPE merge training: fold semantics, determinism, OOV encoding.
+
+Reference scope note: the reference (peabodyAdmin/graphiti) consumes
+tokenizers but never trains one; this family extends the engine for the
+training-data-pipeline case (SURVEY §2 "beyond the reference"). The
+semantics under test are the public Sennrich et al. 2016 algorithm with
+this module's documented determinism contract (greedy left-to-right
+fold, count-desc/lex-asc argmax).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions.smalldf import literal_df
+from graphiti_spark.operators.bpe import (
+    apply_merge,
+    bpe_token_counts,
+    bpe_train,
+    bpe_word_counts,
+)
+
+
+def _docs(spark, texts):
+    return literal_df(
+        spark,
+        [(i, t) for i, t in enumerate(texts)],
+        [("doc_id", "bigint"), ("text", "string")],
+    )
+
+
+@pytest.mark.parametrize(
+    "syms,left,right,expected",
+    [
+        # greedy left-to-right: "aaa" + (a,a) -> [aa, a], NOT [a, aa]
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        # merged symbol never re-matches within the same rule pass
+        (["x", "a", "a", "b", "a", "a", "a"], "a", "a",
+         ["x", "aa", "b", "aa", "a"]),
+        # multi-char symbols match whole symbols, not substrings
+        (["b", "a"], "a", "a", ["b", "a"]),
+        (["ab", "c"], "b", "c", ["ab", "c"]),
+        # single-symbol word is a no-op
+        (["z"], "a", "a", ["z"]),
+        # chained multi-char merge
+        (["th", "e"], "th", "e", ["the"]),
+    ],
+)
+def test_apply_merge_fold_semantics(spark, syms, left, right, expected):
+    df = literal_df(spark, [(0,)], [("i", "int")]).select(
+        apply_merge(F.array(*[F.lit(s) for s in syms]), left, right).alias(
+            "m"
+        )
+    )
+    assert df.collect()[0]["m"] == expected
+
+
+def test_train_learns_expected_merges(spark):
+    # "ab" occurs 6x as a pair (3 words x 2 docs); argmax is unambiguous,
+    # and round 2 must see POST-merge symbols ("ab"+"c", not "b"+"c").
+    docs = _docs(spark, ["abc abc abd", "abc abc abd"])
+    m = bpe_train(docs, num_merges=2, vocab_cap=10).collect()
+    assert [(r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in m] == [(1, "a", "b", 6), (2, "ab", "c", 4)]
+
+
+def test_train_tiebreak_is_lexicographic(spark):
+    # "xy" and "ab" both count 2 -> lexicographically smaller pair wins.
+    docs = _docs(spark, ["ab xy ab xy"])
+    m = bpe_train(docs, num_merges=1, vocab_cap=10).collect()
+    assert (m[0]["left_sym"], m[0]["right_sym"]) == ("a", "b")
+
+
+def test_train_raises_on_exhaustion(spark):
+    # single-char vocab: zero adjacent pairs exist.
+    docs = _docs(spark, ["a b c a b"])
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_train(docs, num_merges=1, vocab_cap=10)
+
+
+def test_train_partition_invariant(spark):
+    """The merge table is a pure function of the corpus: invariant
+    under input partitioning (the distributed-correctness contract —
+    a 1000-executor layout must learn the same tokenizer)."""
+    texts = ["the quick brown fox", "the lazy dog the end",
+             "quick quick brown"] * 3
+    a = bpe_train(_docs(spark, texts).repartition(1), num_merges=4,
+                  vocab_cap=16).collect()
+    b = bpe_train(_docs(spark, texts).repartition(7), num_merges=4,
+                  vocab_cap=16).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_word_counts_cap_is_deterministic(spark):
+    # tie at the cap boundary: count DESC then word ASC decides.
+    docs = _docs(spark, ["bb aa cc bb aa cc dd"])
+    w = bpe_word_counts(docs, vocab_cap=2).collect()
+    assert sorted((r["word"], r["cnt"]) for r in w) == [("aa", 2), ("bb", 2)]
+
+
+def test_token_counts_oov_falls_back_to_chars(spark):
+    docs = _docs(spark, ["aaaa aaaa zzz"])
+    m, seg = bpe_train(docs, num_merges=2, vocab_cap=1,
+                       return_segmentation=True)
+    # vocab_cap=1 keeps only "aaaa": merges (a,a) then (aa,aa) -> 1 sym.
+    tc = bpe_token_counts(docs, seg).collect()
+    assert len(tc) == 1
+    # aaaa=1 token x2 (in vocab), zzz OOV -> 3 chars
+    assert (tc[0]["n_words"], tc[0]["n_bpe_tokens"]) == (3, 5)
+
+
+def test_apply_merge_is_shuffle_free(spark):
+    df = _docs(spark, ["abc"]).select(
+        apply_merge(F.split(F.col("text"), ""), "a", "b").alias("m")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
