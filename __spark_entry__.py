@@ -604,6 +604,20 @@ def _q_docs_canonical(spark, sf_dir):
     return canonical_docs(docs, minhash_near_dup(docs, threshold=0.95, mode="word"))
 
 
+def _q_docs_split_clusters(spark, sf_dir):
+    """Leakage-safe corpus split (r4): train/val/test assigned by a
+    deterministic 52-bit sha-uniform on the near-dup CANONICAL id, so a
+    whole near-duplicate cluster lands in one split and eval never sees
+    a train twin. The oracle recomputes the identical canonical closure
+    and the identical draw/boundaries (IEEE running sum both sides)."""
+    from graphiti_spark.operators.dedup_docs import canonical_docs, minhash_near_dup
+    from graphiti_spark.operators.sampling import split_by_cluster
+
+    docs = _docs(spark, sf_dir)
+    canon = canonical_docs(docs, minhash_near_dup(docs, threshold=0.95, mode="word"))
+    return split_by_cluster(canon, {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
 def _q_docs_canonical_incremental(spark, sf_dir):
     """Incremental canonical maintenance (r4): the standing (id,
     canonical_id) table built from the PRIOR corpus (doc_id % 5 != 0) is
@@ -1916,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_near_dup_incremental": _q_docs_near_dup_incremental,
         "docs_simhash": _q_docs_simhash,  # oracle: brute-force hamming (r3)
         "docs_canonical": _q_docs_canonical,       # oracle: recursive-CTE closure
+        "docs_split_clusters": _q_docs_split_clusters,  # leakage-safe split (r4)
         # touched-components-only canon update == full rebuild (r4)
         "docs_canonical_incremental": _q_docs_canonical_incremental,
         # streamed versioned dedup state == one-shot rebuild (r4)

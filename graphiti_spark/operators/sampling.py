@@ -182,3 +182,57 @@ def filter_by_quantile(
         scored.withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") >= q)
     )
+
+
+def split_by_cluster(
+    assignments: DataFrame,
+    ratios: dict[str, float],
+    cluster_col: str = "canonical_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every row is assigned to a
+    split by a deterministic uniform draw on its CLUSTER id (the
+    near-dup canonical from ``canonical_docs``), never its own id — so
+    an entire near-duplicate cluster lands in exactly one split and no
+    test document has a near-duplicate twin in train (the classic
+    eval-contamination hazard; the reference has no corpus-splitting
+    layer, this extends the engine for the training-data use case like
+    the rest of this module).
+
+    ``ratios`` maps split name → fraction in iteration order; fractions
+    must be non-negative and sum to 1. Boundaries accumulate in IEEE
+    doubles, so an oracle that writes the same running sum (e.g.
+    ``u < 0.9 + 0.05``) lands on bit-identical literals.
+
+    Output: input columns + ``u`` (the cluster draw) + ``split``.
+    Pure per-row codegen — no shuffle beyond whatever produced the
+    cluster column; at 100 TB this runs inside the scan stage.
+    """
+    names = list(ratios)
+    fracs = [float(ratios[n]) for n in names]
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    if any(f < 0.0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("ratios must be non-negative and sum to 1")
+    u = uniform_hash_col(F.col(cluster_col), seed=seed)
+    w = None
+    acc = 0.0
+    for n, f in zip(names[:-1], fracs[:-1]):
+        acc += f
+        w = (F.when if w is None else w.when)(u < F.lit(acc), F.lit(n))
+    return assignments.withColumn("u", u).withColumn(
+        "split", w.otherwise(F.lit(names[-1]))
+    )
+
+
+def split_leakage(
+    split_df: DataFrame, cluster_col: str = "canonical_id"
+) -> DataFrame:
+    """Audit for ``split_by_cluster``: clusters whose members straddle
+    more than one split (must be empty — a row here is a leak). One
+    map-side-combinable groupBy over |clusters| keys."""
+    return (
+        split_df.groupBy(cluster_col)
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )

@@ -2674,6 +2674,23 @@ SELECT id, m AS canonical_id FROM r16 ORDER BY id"""
     # (including new docs bridging two prior components).
     q["docs_canonical_incremental"] = q["docs_canonical"]
 
+    # Leakage-safe split (operators/sampling.py split_by_cluster): the
+    # identical canonical closure, then the 52-bit sha-uniform drawn on
+    # the CLUSTER id and the same IEEE running-sum boundaries
+    # (0.9, 0.9 + 0.05) — bit-identical CASE arms both engines.
+    _sp_u = (
+        "(('0x' || substr(sha256('split:' || CAST(m AS VARCHAR)), 1, 13))"
+        "::UBIGINT / 4503599627370496.0)"
+    )
+    q["docs_split_clusters"] = q["docs_canonical"].replace(
+        "SELECT id, m AS canonical_id FROM r16 ORDER BY id",
+        f"""SELECT id, m AS canonical_id, {_sp_u} AS u,
+       CASE WHEN {_sp_u} < 0.9 THEN 'train'
+            WHEN {_sp_u} < 0.9 + 0.05 THEN 'val'
+            ELSE 'test' END AS split
+FROM r16 ORDER BY id""",
+    )
+
     # Streamed versioned dedup state (operators/dedup_state.py): folding
     # per-batch updates over the feed must land on the same canonical
     # mapping as one full rebuild — the identical closure again.

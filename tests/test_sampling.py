@@ -120,3 +120,54 @@ def test_filter_by_quantile_global_when_unstratified(spark):
     )
     kept = filter_by_quantile(df, 0.75, "score")
     assert sorted(r.id for r in kept.collect()) == [7, 8, 9]  # pr 7/9..1
+
+
+def test_split_by_cluster_is_leakage_free_and_ratioed(spark):
+    from graphiti_spark.operators.sampling import split_by_cluster, split_leakage
+
+    # 3000 docs in 1000 clusters of 3 (ids 3k, 3k+1, 3k+2 share cluster 3k)
+    canon = spark.range(3000).select(
+        F.col("id"),
+        (F.col("id") - F.col("id") % 3).alias("canonical_id"),
+    )
+    out = split_by_cluster(
+        canon, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t"
+    )
+    # no cluster straddles two splits
+    assert split_leakage(out).count() == 0
+    # ratios hold at cluster granularity (1000 clusters, sd ~13 for 0.8)
+    sizes = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 2250 <= sizes["train"] <= 2550
+    assert 150 <= sizes["val"] <= 450 and 150 <= sizes["test"] <= 450
+    assert sum(sizes.values()) == 3000
+    # deterministic: identical re-run
+    again = split_by_cluster(
+        canon, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t"
+    )
+    assert out.exceptAll(again).count() == 0
+    with pytest.raises(ValueError):
+        split_by_cluster(canon, {"train": 0.9, "val": 0.2})
+    with pytest.raises(ValueError):
+        split_by_cluster(canon, {"all": 1.0})
+
+
+def test_split_leakage_flags_row_keyed_split(spark):
+    from graphiti_spark.operators.sampling import split_by_cluster, split_leakage
+
+    canon = spark.range(3000).select(
+        F.col("id"),
+        (F.col("id") - F.col("id") % 3).alias("canonical_id"),
+    )
+    # drawing on the row id (the WRONG key) must leak across clusters
+    leaky = split_by_cluster(
+        canon.withColumnRenamed("id", "row_id")
+        .withColumnRenamed("canonical_id", "cid")
+        .select(F.col("row_id").alias("id"), F.col("cid").alias("canonical_id")),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        cluster_col="id",  # row-keyed draw
+        seed="t",
+    )
+    assert split_leakage(leaky).count() > 0
