@@ -1857,6 +1857,23 @@ def _q_hosts_pagerank(spark, sf_dir):
     return pagerank(e, iters=4)
 
 
+def _q_anchor_texts(spark, sf_dir):
+    """Per-target anchor-text profile (r4): how the corpus describes
+    each linked page — ref count, distinct sources, sorted distinct
+    anchor texts. Extraction pulls the <a> body alongside the href
+    (same resolution contract as page_links); the DuckDB twin asserts
+    the CLOSED-FORM expected (src, dst, text) edges and aggregates
+    identically."""
+    from graphiti_spark.operators.weblinks import (
+        anchor_text_profile,
+        extract_anchor_texts,
+    )
+    from graphiti_spark.sources.links import load_page_anchors
+
+    anchors = extract_anchor_texts(load_page_anchors(spark, sf_dir))
+    return anchor_text_profile(anchors).orderBy("dst")
+
+
 def _q_bpe_merges(spark, sf_dir):
     """BPE merge training: 12 greedy most-frequent-pair merges learned
     from the top-512 word-frequency table (the corpus-scale stage is
@@ -2023,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_links": _q_page_links,
         "hosts_graph": _q_hosts_graph,
         "hosts_pagerank": _q_hosts_pagerank,
+        "anchor_texts": _q_anchor_texts,  # per-target anchor-text profile (r4)
         # BPE tokenizer merge training + corpus encoding (r4)
         "bpe_merges": _q_bpe_merges,
         "docs_bpe_tokens": _q_docs_bpe_tokens,

@@ -33,7 +33,7 @@ oracles reproduce matches exactly (same contract as curation.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # scheme://authority/path?query#fragment (RFC-3986-lite: enough for the
@@ -199,24 +199,121 @@ def extract_links(
         F.col(id_col).alias("id"), src.alias("src"),
         base_scheme.alias("bs"), base_host.alias("bh"), h
     )
-    href = F.col("href")
-    resolved = (
-        F.when(href.rlike(_ABS_RE), href)
-        .when(
-            href.startswith("//"),
-            F.concat(F.col("bs"), F.lit(":"), href),
-        )
-        .when(
-            href.startswith("/"),
-            F.concat(F.col("bs"), F.lit("://"), F.col("bh"), href),
-        )
-        .otherwise(F.lit(None))
-    )
     return (
-        exploded.withColumn("dst", canonicalize_url(resolved))
+        exploded.withColumn(
+            "dst",
+            canonicalize_url(
+                _resolve_href(F.col("href"), F.col("bs"), F.col("bh"))
+            ),
+        )
         .filter(F.col("dst").isNotNull())
         .select("id", "src", "dst")
     )
+
+
+def _resolve_href(href, base_scheme, base_host):
+    """Shared href→absolute-URL resolution (see extract_links docstring
+    for the covered subset); unresolvable hrefs become NULL."""
+    return (
+        F.when(href.rlike(_ABS_RE), href)
+        .when(
+            href.startswith("//"),
+            F.concat(base_scheme, F.lit(":"), href),
+        )
+        .when(
+            href.startswith("/"),
+            F.concat(base_scheme, F.lit("://"), base_host, href),
+        )
+        .otherwise(F.lit(None))
+    )
+
+
+# Full <a> elements with their inner text (double-quoted href, no
+# nested tags inside the anchor body — the same closed deterministic
+# contract as _HREF_RE so DuckDB twins can assert closed-form output).
+_ANCHOR_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(id, src, dst, anchor): link edges WITH their normalized anchor
+    text — the web's own description of the target page (crawl
+    prioritization, KG entity naming, target-side quality signal).
+
+    Same extraction/resolution contract as ``extract_links`` (the dst
+    sets are identical), one extra captured group: the anchor's inner
+    text, lower-cased and whitespace-trimmed; empty texts become NULL
+    (kept — the edge still exists, it just carries no description).
+    Pure codegen: regexp_extract_all full matches, per-element group
+    pulls inside ``F.transform``, explode, resolve — no shuffle, no
+    Python; runs inside the page scan at 100 TB."""
+    src = canonicalize_url(F.col(url_col))
+    base_scheme = F.regexp_extract(src, _URL_RE, 1)
+    base_host = F.regexp_extract(src, _URL_RE, 2)
+    matches = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), 0)
+    pair = F.explode(
+        F.transform(
+            matches,
+            lambda m: F.struct(
+                F.regexp_extract(m, _ANCHOR_RE, 1).alias("href"),
+                F.regexp_extract(m, _ANCHOR_RE, 2).alias("txt"),
+            ),
+        )
+    ).alias("a")
+    exploded = pages.select(
+        F.col(id_col).alias("id"), src.alias("src"),
+        base_scheme.alias("bs"), base_host.alias("bh"), pair
+    )
+    anchor = F.trim(F.lower(F.col("a.txt")))
+    return (
+        exploded.withColumn(
+            "dst",
+            canonicalize_url(
+                _resolve_href(F.col("a.href"), F.col("bs"), F.col("bh"))
+            ),
+        )
+        .filter(F.col("dst").isNotNull())
+        .select(
+            "id", "src", "dst",
+            F.when(anchor != "", anchor).alias("anchor"),
+        )
+    )
+
+
+def anchor_text_profile(
+    anchors: DataFrame, max_texts: int = 8
+) -> DataFrame:
+    """Per-target anchor-text aggregation: how the rest of the corpus
+    describes each page. Output (dst, n_refs, n_srcs, texts) where
+    ``texts`` is the '|'-joined sorted distinct anchor texts, capped at
+    ``max_texts`` (lexicographically first k) so hub pages with
+    millions of in-links stay bounded — the cap is a per-group window
+    over DISTINCT (dst, anchor), never an unbounded collect. All three
+    shuffles key on dst, so AQE coalesces them into one exchange
+    lineage."""
+    counts = anchors.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("src").alias("n_srcs"),
+    )
+    w = Window.partitionBy("dst").orderBy("anchor")
+    texts = (
+        anchors.filter(F.col("anchor").isNotNull())
+        .select("dst", "anchor")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_texts)
+        .groupBy("dst")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("anchor")), "|").alias(
+                "texts"
+            )
+        )
+    )
+    return counts.join(texts, "dst", "left")
 
 
 def host_graph(

@@ -3286,6 +3286,7 @@ WHERE cnt * 100 >= n ORDER BY value"""
     from graphiti_spark.sources.links import (
         SQL_ANCHOR_EDGES_CTE,
         SQL_ANCHOR_HOSTS_CTE,
+        SQL_ANCHOR_TEXT_CTE,
     )
 
     q["page_links"] = f"""WITH {SQL_ANCHOR_EDGES_CTE}
@@ -3294,6 +3295,17 @@ SELECT doc_id AS id, src, dst FROM anchor_edges ORDER BY id, dst"""
     q["hosts_graph"] = f"""WITH {SQL_ANCHOR_HOSTS_CTE}
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM anchor_host_edges GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # Anchor-text profile per link target (weblinks.anchor_text_profile):
+    # the closed-form (src, dst, text) edges aggregated identically —
+    # ref count, distinct-source count, '|'-joined sorted distinct texts
+    # (the Spark side's max_texts=8 cap cannot bind: ≤3 distinct texts
+    # per dst by construction).
+    q["anchor_texts"] = f"""WITH {SQL_ANCHOR_TEXT_CTE}
+SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs,
+       array_to_string(list_sort(list_distinct(list(t))), '|') AS texts
+FROM anchor_text_edges GROUP BY dst ORDER BY dst"""
 
     # host PageRank: same unrolled exact-integer fixpoint as
     # parts_pagerank, over VARCHAR host ids (hp_ prefix — global CTE

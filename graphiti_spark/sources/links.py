@@ -122,6 +122,28 @@ anchor_host_edges AS (
 )"""
 
 
+# The same closed-form edges WITH their anchor texts (the three
+# resolvable anchors carry 'next' / 'mirror' / 'related' in the html
+# load_page_anchors emits; the dropped noise anchors carry none).
+SQL_ANCHOR_TEXT_CTE = f"""
+anchor_text_edges AS (
+  SELECT doc_id,
+         'https://' || ({_SQL_HOSTS})[CAST(c % 7 AS INT) + 1]
+           || '/art/' || CAST(c AS VARCHAR)
+           || '?a=1&b=' || CAST(c % 3 AS VARCHAR) AS src,
+         unnest([
+           {{'dst': 'https://' || ({_SQL_HOSTS})[CAST({_A_HOST2} AS INT) + 1]
+             || '/art/' || CAST({_A_K2} AS VARCHAR) || '?z=9',
+             't': 'next'}},
+           {{'dst': 'https://' || ({_SQL_HOSTS})[CAST({_A_HOST3} AS INT) + 1]
+             || '/art/' || CAST({_A_K3} AS VARCHAR), 't': 'mirror'}},
+           {{'dst': 'https://' || ({_SQL_HOSTS})[CAST(c % 7 AS INT) + 1]
+             || '/art/' || CAST({_A_K4} AS VARCHAR), 't': 'related'}}
+         ], recursive := true)
+  FROM (SELECT doc_id, doc_id % {CANON_MOD} AS c FROM documents)
+)"""
+
+
 def load_page_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → (doc_id, url, html): the page's crawl URL
     (the SAME messy surface variant load_links emits, so base-URL

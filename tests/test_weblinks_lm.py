@@ -538,3 +538,65 @@ def test_negative_samples_exact_python_twin(spark):
             r["start"], r["widx"], r["pos"], r["context"], r["neg_idx"]
         )
         assert r["negative"] == want, (dict(r.asDict()), want)
+
+
+def test_extract_anchor_texts_normalizes_and_drops_noise(spark):
+    """Same dst set as extract_links; anchor text is lower/trimmed,
+    empty bodies become NULL (edge kept), noise hrefs dropped."""
+    html = (
+        '<a href="https://Other.COM/x?utm_source=t&k=1"> NeXt Page </a>'
+        '<a href="//cdn.site.org/lib.js"></a>'
+        '<a href="/art/9" class="b">Related</a>'
+        '<a href="mailto:x@y.z">mail me</a>'
+        '<a href="#top">top</a>'
+    )
+    pages = _pages(
+        spark, [(1, "HTTPS://WWW.Base.COM:443/dir/page?x=1#f", html)]
+    )
+    got = sorted(
+        (r["dst"], r["anchor"])
+        for r in W.extract_anchor_texts(pages).collect()
+    )
+    assert got == [
+        ("https://base.com/art/9", "related"),
+        ("https://cdn.site.org/lib.js", None),
+        ("https://other.com/x?k=1", "next page"),
+    ]
+
+
+def test_extract_anchor_texts_is_shuffle_free(spark):
+    pages = _pages(spark, [(1, "https://a.com/x", '<a href="/y">y</a>')])
+    plan = (
+        W.extract_anchor_texts(pages)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_anchor_text_profile_counts_and_caps(spark):
+    """n_refs counts edges (incl. NULL-text), n_srcs distinct sources,
+    texts = sorted distinct '|'-joined, capped at max_texts by
+    lexicographic-first-k; all-NULL targets get NULL texts."""
+    rows = [
+        # 5 distinct texts at dst /t from two sources + one NULL-text ref
+        (1, "https://s1.com/a", '<a href="https://d.com/t">b</a>'
+            '<a href="https://d.com/t">a</a><a href="https://d.com/t">c</a>'),
+        (2, "https://s2.com/a", '<a href="https://d.com/t">e</a>'
+            '<a href="https://d.com/t">d</a><a href="https://d.com/t"></a>'),
+        # a dst whose only anchor is empty-bodied
+        (3, "https://s3.com/a", '<a href="https://d.com/bare"></a>'),
+    ]
+    prof = {
+        r["dst"]: r
+        for r in W.anchor_text_profile(
+            W.extract_anchor_texts(_pages(spark, rows)), max_texts=3
+        ).collect()
+    }
+    t = prof["https://d.com/t"]
+    assert (t["n_refs"], t["n_srcs"]) == (6, 2)
+    assert t["texts"] == "a|b|c"  # lexicographic first 3 of a..e
+    bare = prof["https://d.com/bare"]
+    assert (bare["n_refs"], bare["n_srcs"], bare["texts"]) == (1, 1, None)
