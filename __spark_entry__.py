@@ -1001,6 +1001,41 @@ def _q_docs_dedup_lines(spark, sf_dir):
     return dedup_lines(aug)
 
 
+def _q_docs_host_boilerplate(spark, sf_dir):
+    """Host-scoped boilerplate removal (r4): lines on ≥50 % of a host's
+    pages are cut from EVERY page of that host (nav bars / cookie
+    banners — corpus-global line dedup keeps the first copy; here none
+    survive). The corpus is single-line, so each doc is augmented with
+    a per-host nav line (100 % of the host → always cut) and, on even
+    doc_ids, a cookie line (~50 % — exercises the exact threshold
+    boundary); the DuckDB twin builds the identical augmented column
+    and applies the identical rule."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.curation import strip_host_boilerplate
+    from graphiti_spark.operators.weblinks import canonicalize_url, host_of
+    from graphiti_spark.sources.links import load_links
+
+    docs = _docs(spark, sf_dir)
+    links = load_links(spark, sf_dir).select("doc_id", "url")
+    d = docs.join(links, "doc_id").withColumn(
+        "host", host_of(canonicalize_url(F.col("url")))
+    )
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.lit("nav: "),
+            F.col("host"),
+            F.lit(" home about\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("cookie notice accept\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ),
+    )
+    return strip_host_boilerplate(aug).orderBy("id")
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -1970,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture": _q_docs_mixture,
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_dedup_lines": _q_docs_dedup_lines,
+        "docs_host_boilerplate": _q_docs_host_boilerplate,  # host-scoped (r4)
         # exact-substring (suffix-array-equivalent) span dedup (r4)
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_dup_spans_incremental": _q_docs_dup_spans_incremental,

@@ -368,3 +368,95 @@ def pack_sequences(
             ).cast("long").alias("seq_n_tokens"),
         )
     )
+
+
+def strip_host_boilerplate(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pages: int = 3,
+    frac: float = 0.5,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Host-scoped boilerplate removal: drop every line that appears on
+    at least ``frac`` of a host's pages (hosts with ≥ ``min_pages``
+    pages only). This is the nav-bar / footer / cookie-banner cut that
+    corpus-GLOBAL line dedup (``dedup_lines``) cannot express: here ALL
+    copies go (including the first — boilerplate has no canonical
+    occurrence), and an identical line on a small host survives because
+    the evidence threshold is per-host.
+
+    Scale: the line-frequency table is a distinct + map-side-combinable
+    count keyed by (host, line-hash); the boilerplate set is bounded by
+    over-threshold (host, line) pairs, and the removal is a left-anti
+    join on the same key — one row per key on the build side, so hub
+    hosts fan out but never hot-reduce. The ``frac·n_pages`` threshold
+    multiplies a double by an exact integer — bit-identical across
+    engines.
+
+    Output (id, host, text_clean, n_kept, n_dropped)."""
+    sep_pat = re.escape(line_sep)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.col(text_col).alias("text"),
+    )
+    lines = base.select(
+        "id",
+        "host",
+        F.posexplode(F.split(F.col("text"), sep_pat, -1)).alias(
+            "idx", "line"
+        ),
+    ).withColumn(
+        "lh", F.sha2(F.trim(F.lower(F.col("line"))).cast("binary"), 256)
+    )
+    host_pages = base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    line_df = (
+        lines.select("host", "lh", "id")
+        .distinct()
+        .groupBy("host", "lh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    boiler = (
+        line_df.join(host_pages, "host")
+        .filter(
+            (F.col("n_pages") >= F.lit(int(min_pages)))
+            & (F.col("n_docs") >= F.lit(float(frac)) * F.col("n_pages"))
+        )
+        .select("host", "lh")
+    )
+    kept = lines.join(boiler, ["host", "lh"], "left_anti")
+    agg = (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("idx"), F.col("line")))
+            ).alias("ls")
+        )
+        .select(
+            "id",
+            F.concat_ws(
+                line_sep, F.transform(F.col("ls"), lambda s: s["line"])
+            ).alias("text_clean"),
+            F.size(F.col("ls")).cast("long").alias("n_kept"),
+        )
+    )
+    totals = base.select(
+        "id",
+        "host",
+        F.size(F.split(F.col("text"), sep_pat, -1)).cast("long").alias(
+            "n_total"
+        ),
+    )
+    return totals.join(agg, "id", "left").select(
+        "id",
+        "host",
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )

@@ -3284,9 +3284,11 @@ WHERE cnt * 100 >= n ORDER BY value"""
     # adjudication style: DuckDB asserts what extraction + resolution +
     # canonicalization MUST produce, it never runs the regexes) ----
     from graphiti_spark.sources.links import (
+        CANON_MOD,
         SQL_ANCHOR_EDGES_CTE,
         SQL_ANCHOR_HOSTS_CTE,
         SQL_ANCHOR_TEXT_CTE,
+        _SQL_HOSTS,
     )
 
     q["page_links"] = f"""WITH {SQL_ANCHOR_EDGES_CTE}
@@ -3295,6 +3297,60 @@ SELECT doc_id AS id, src, dst FROM anchor_edges ORDER BY id, dst"""
     q["hosts_graph"] = f"""WITH {SQL_ANCHOR_HOSTS_CTE}
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM anchor_host_edges GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # Host-scoped boilerplate removal (curation.strip_host_boilerplate):
+    # the identical augmented column (nav line on every page of the
+    # host; cookie line on even doc_ids ≈ the 0.5 threshold boundary),
+    # the identical per-(host, normalized line) doc-frequency rule, and
+    # the identical ordered reassembly. hb_ prefix — global CTE rule.
+    q["docs_host_boilerplate"] = f"""WITH
+hb_aug AS MATERIALIZED (
+  SELECT doc_id AS id,
+         ({_SQL_HOSTS})[CAST((doc_id % {CANON_MOD}) % 7 AS INT) + 1] AS host,
+         'nav: ' || ({_SQL_HOSTS})[CAST((doc_id % {CANON_MOD}) % 7 AS INT) + 1]
+           || ' home about' || chr(10)
+           || CASE WHEN doc_id % 2 = 0
+                   THEN 'cookie notice accept' || chr(10) ELSE '' END
+           || text AS text
+  FROM documents
+),
+hb_lines AS MATERIALIZED (
+  SELECT id, host, unnest(generate_series(1, len(ls))) AS i, ls
+  FROM (SELECT id, host, string_split(text, chr(10)) AS ls FROM hb_aug)
+),
+hb_l AS MATERIALIZED (
+  SELECT id, host, i - 1 AS idx, ls[i] AS line,
+         trim(lower(ls[i])) AS norm
+  FROM hb_lines
+),
+hb_pages AS MATERIALIZED (
+  SELECT host, COUNT(*) AS n_pages FROM hb_aug GROUP BY host
+),
+hb_boiler AS MATERIALIZED (
+  SELECT f.host, f.norm
+  FROM (SELECT host, norm, COUNT(DISTINCT id) AS n_docs
+        FROM hb_l GROUP BY 1, 2) f
+  JOIN hb_pages p USING (host)
+  WHERE p.n_pages >= 3 AND f.n_docs >= 0.5 * p.n_pages
+),
+hb_kept AS MATERIALIZED (
+  SELECT l.* FROM hb_l l
+  WHERE NOT EXISTS (SELECT 1 FROM hb_boiler b
+                    WHERE b.host = l.host AND b.norm = l.norm)
+),
+hb_agg AS MATERIALIZED (
+  SELECT id, string_agg(line, chr(10) ORDER BY idx) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM hb_kept GROUP BY id
+)
+SELECT t.id, t.host,
+       COALESCE(a.text_clean, '') AS text_clean,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_total - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM (SELECT id, host, len(string_split(text, chr(10))) AS n_total
+      FROM hb_aug) t
+LEFT JOIN hb_agg a USING (id)
+ORDER BY t.id"""
 
     # Anchor-text profile per link target (weblinks.anchor_text_profile):
     # the closed-form (src, dst, text) edges aggregated identically —

@@ -258,3 +258,62 @@ def test_pack_sequences_matches_bruteforce_on_random_corpora(spark):
             for r in pack_sequences(docs, seq_len=L, bucket_size=3).collect()
         }
         assert got == expected, f"seed {seed}: {got ^ expected}"
+
+
+def test_strip_host_boilerplate_is_host_scoped(spark):
+    """All copies of an over-threshold line go (no canonical survivor,
+    unlike dedup_lines); the same line on a small host (< min_pages)
+    survives; under-threshold lines survive on big hosts."""
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.operators.curation import strip_host_boilerplate
+
+    rows = [
+        # big.com: 4 pages; "NAV" on all 4, "rare" on 1 (25% < 50%)
+        (1, "big.com", "NAV\nalpha"),
+        (2, "big.com", "nav \nbeta\nrare"),
+        (3, "big.com", "NAV\ngamma"),
+        (4, "big.com", "NAV\ndelta"),
+        # small.org: 2 pages (< min_pages=3) sharing the same nav line
+        (5, "small.org", "NAV\nepsilon"),
+        (6, "small.org", "NAV\nzeta"),
+    ]
+    docs = literal_df(
+        spark, rows,
+        [("doc_id", "bigint"), ("host", "string"), ("text", "string")],
+    )
+    out = {
+        r["id"]: r
+        for r in strip_host_boilerplate(docs, min_pages=3, frac=0.5).collect()
+    }
+    # big.com: nav cut everywhere (normalization: trim+lower matched
+    # "nav " to "NAV"), rare kept
+    assert out[1]["text_clean"] == "alpha"
+    assert out[2]["text_clean"] == "beta\nrare"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (2, 1)
+    assert out[4]["text_clean"] == "delta"
+    # small.org: below min_pages — untouched
+    assert out[5]["text_clean"] == "NAV\nepsilon"
+    assert out[5]["n_dropped"] == 0
+    # order preserved on survivors, host column carried through
+    assert out[3]["host"] == "big.com"
+
+
+def test_strip_host_boilerplate_can_empty_a_doc(spark):
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.operators.curation import strip_host_boilerplate
+
+    rows = [
+        (1, "h", "same"),
+        (2, "h", "same"),
+        (3, "h", "same\nextra"),
+    ]
+    docs = literal_df(
+        spark, rows,
+        [("doc_id", "bigint"), ("host", "string"), ("text", "string")],
+    )
+    out = {
+        r["id"]: r
+        for r in strip_host_boilerplate(docs, min_pages=3, frac=0.5).collect()
+    }
+    assert (out[1]["text_clean"], out[1]["n_kept"], out[1]["n_dropped"]) == ("", 0, 1)
+    assert out[3]["text_clean"] == "extra"
