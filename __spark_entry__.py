@@ -1001,6 +1001,39 @@ def _q_docs_dedup_lines(spark, sf_dir):
     return dedup_lines(aug)
 
 
+def _q_docs_domain_cap(spark, sf_dir):
+    """Hard per-domain quota (r4): at most 40 docs per host survive —
+    the n smallest deterministic uniforms (ties by id), so a link-farm
+    host cannot dominate the corpus no matter its size. The DuckDB twin
+    recomputes the identical draws and QUALIFYs the identical window."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.sampling import cap_per_group
+    from graphiti_spark.operators.weblinks import canonicalize_url, host_of
+    from graphiti_spark.sources.links import load_links
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    links = load_links(spark, sf_dir).select("doc_id", "url")
+    d = docs.join(links, "doc_id").select(
+        F.col("doc_id").alias("id"),
+        host_of(canonicalize_url(F.col("url"))).alias("host"),
+    )
+    return cap_per_group(d, "host", 40).orderBy("id")
+
+
+def _q_docs_epoch_order(spark, sf_dir):
+    """Deterministic training order (r4): content-hash shard (of 8) +
+    within-shard position from an independent uniform — epoch-wise
+    reshuffle with zero RNG state; shard×8 is a power-of-two scale of
+    the exact 52-bit uniform, so floor() is bit-identical both engines."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.sampling import epoch_order
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    return epoch_order(docs, n_shards=8).orderBy("id")
+
+
 def _q_docs_host_boilerplate(spark, sf_dir):
     """Host-scoped boilerplate removal (r4): lines on ≥50 % of a host's
     pages are cut from EVERY page of that host (nav bars / cookie
@@ -2006,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_dedup_lines": _q_docs_dedup_lines,
         "docs_host_boilerplate": _q_docs_host_boilerplate,  # host-scoped (r4)
+        "docs_domain_cap": _q_docs_domain_cap,    # per-domain quota (r4)
+        "docs_epoch_order": _q_docs_epoch_order,  # training-order shards (r4)
         # exact-substring (suffix-array-equivalent) span dedup (r4)
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_dup_spans_incremental": _q_docs_dup_spans_incremental,

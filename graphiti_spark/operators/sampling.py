@@ -236,3 +236,68 @@ def split_leakage(
         .agg(F.countDistinct("split").alias("n_splits"))
         .filter(F.col("n_splits") > 1)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Hard per-group quota: keep at most ``n`` rows per group (domain
+    balancing / anti-spam — a single link-farm host must not dominate
+    the corpus regardless of its size, which a RATE cannot guarantee).
+    The kept rows are the n smallest deterministic uniforms (ties
+    broken by id), so the survivor set is a pure function of
+    (seed, ids) — stable across runs, partitionings, and engines.
+    Output: input columns + ``u``; one per-group window, parallel
+    across groups (domains at web scale are plentiful; a pathological
+    mega-group bounds one partition at |group| — cap it upstream with
+    a coarser group key if a single key exceeds executor memory)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    u = uniform_hash_col(F.col(id_col), seed=seed)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("u").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("u", u)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
+def epoch_order(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "id",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic training-order assignment: every row gets a
+    ``shard`` (content-hash modulo ``n_shards`` — the data-loader
+    worker that reads it) and ``pos`` (its position within the shard,
+    ordered by an independent uniform draw, ties by id). Changing
+    ``seed`` reshuffles both assignments — one seed per epoch gives
+    epoch-wise reshuffling without any mutable RNG state, and a resumed
+    job regenerates the identical order.
+
+    Scale: the position window partitions BY SHARD, so ordering
+    parallelizes across shards (pick n_shards ≈ loader workers; each
+    shard sorts |corpus|/n_shards rows) — never a corpus-wide
+    single-partition sort."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard_u = uniform_hash_col(F.col(id_col), seed=f"{seed}:shard")
+    pos_u = uniform_hash_col(F.col(id_col), seed=f"{seed}:pos")
+    shard = F.floor(shard_u * n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("pos_u").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos_u", pos_u)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("pos_u")
+    )

@@ -3352,6 +3352,40 @@ FROM (SELECT id, host, len(string_split(text, chr(10))) AS n_total
 LEFT JOIN hb_agg a USING (id)
 ORDER BY t.id"""
 
+    # Per-domain quota (sampling.cap_per_group): identical draws,
+    # identical window — QUALIFY row_number over (host, u, id).
+    _dc_u = (
+        "(('0x' || substr(sha256('cap:' || CAST(doc_id AS VARCHAR)), 1, 13))"
+        "::UBIGINT / 4503599627370496.0)"
+    )
+    q["docs_domain_cap"] = f"""
+SELECT doc_id AS id,
+       ({_SQL_HOSTS})[CAST((doc_id % {CANON_MOD}) % 7 AS INT) + 1] AS host,
+       {_dc_u} AS u
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY host ORDER BY u ASC, id ASC) <= 40
+ORDER BY id"""
+
+    # Training-order sharding (sampling.epoch_order): shard = floor of
+    # the exact 52-bit uniform × 8 (power-of-two scale — exact in a
+    # double), position = row_number over an independent draw.
+    _eo_su = (
+        "(('0x' || substr(sha256('epoch0:shard:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 13))::UBIGINT / 4503599627370496.0)"
+    )
+    _eo_pu = (
+        "(('0x' || substr(sha256('epoch0:pos:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 13))::UBIGINT / 4503599627370496.0)"
+    )
+    q["docs_epoch_order"] = f"""
+SELECT doc_id AS id,
+       CAST(floor({_eo_su} * 8) AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY CAST(floor({_eo_su} * 8) AS INT)
+         ORDER BY {_eo_pu} ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+FROM documents ORDER BY id"""
+
     # Anchor-text profile per link target (weblinks.anchor_text_profile):
     # the closed-form (src, dst, text) edges aggregated identically —
     # ref count, distinct-source count, '|'-joined sorted distinct texts

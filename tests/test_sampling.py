@@ -171,3 +171,60 @@ def test_split_leakage_flags_row_keyed_split(spark):
         seed="t",
     )
     assert split_leakage(leaky).count() > 0
+
+
+def test_cap_per_group_keeps_n_smallest_draws(spark):
+    from graphiti_spark.operators.sampling import cap_per_group
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("g")
+    )
+    out = cap_per_group(df, "g", 10, seed="c")
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((r["u"], r["id"]))
+    assert all(len(v) == 10 for v in by_g.values())
+    # survivors are exactly the 10 smallest (u, id) of each group
+    full = df.withColumn(
+        "u",
+        __import__(
+            "graphiti_spark.operators.sampling", fromlist=["uniform_hash_col"]
+        ).uniform_hash_col(F.col("id"), seed="c"),
+    ).collect()
+    for g in ("true", "false"):
+        want = sorted((r["u"], r["id"]) for r in full if r["g"] == g)[:10]
+        assert sorted(by_g[g]) == want
+    # a group smaller than n passes through whole
+    tiny = spark.range(3).select(F.col("id"), F.lit("t").alias("g"))
+    assert cap_per_group(tiny, "g", 10).count() == 3
+    with pytest.raises(ValueError):
+        cap_per_group(df, "g", 0)
+
+
+def test_epoch_order_shards_and_positions(spark):
+    from graphiti_spark.operators.sampling import epoch_order
+
+    docs = spark.range(400)
+    out = epoch_order(docs, n_shards=4, seed="e0").collect()
+    shards = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        shards.setdefault(r["shard"], []).append(r["pos"])
+    # positions are dense 0..k-1 within every shard
+    for poss in shards.values():
+        assert sorted(poss) == list(range(len(poss)))
+    assert sum(len(v) for v in shards.values()) == 400
+    # deterministic; a different epoch seed reshuffles
+    a = {(r["id"], r["shard"], r["pos"]) for r in out}
+    b = {
+        (r["id"], r["shard"], r["pos"])
+        for r in epoch_order(docs, n_shards=4, seed="e0").collect()
+    }
+    c = {
+        (r["id"], r["shard"], r["pos"])
+        for r in epoch_order(docs, n_shards=4, seed="e1").collect()
+    }
+    assert a == b and a != c
+    with pytest.raises(ValueError):
+        epoch_order(docs, n_shards=0)
