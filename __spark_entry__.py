@@ -1001,6 +1001,31 @@ def _q_docs_dedup_lines(spark, sf_dir):
     return dedup_lines(aug)
 
 
+def _q_docs_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (r4): UTF-8-read-as-cp1252 damage reversed by a
+    closed ordered literal-replace table (longest sequences first —
+    the lead byte of the punctuation trigraphs is itself a mojibake
+    key). Every 3rd doc is augmented with a damaged phrase; the DuckDB
+    twin applies the identical chain in the identical order."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.textnorm import MOJIBAKE_SAMPLE as moj
+    from graphiti_spark.textnorm import fix_mojibake_col
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + moj)),
+        ).otherwise(F.col("text")),
+    )
+    fixed = fix_mojibake_col(F.col("text"))
+    return d.select(
+        F.col("doc_id").alias("id"),
+        fixed.alias("text_fixed"),
+        (fixed != F.col("text")).alias("changed"),
+    ).orderBy("id")
+
+
 def _q_docs_domain_cap(spark, sf_dir):
     """Hard per-domain quota (r4): at most 40 docs per host survive —
     the n smallest deterministic uniforms (ties by id), so a link-farm
@@ -2040,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_lines": _q_docs_dedup_lines,
         "docs_host_boilerplate": _q_docs_host_boilerplate,  # host-scoped (r4)
         "docs_domain_cap": _q_docs_domain_cap,    # per-domain quota (r4)
+        "docs_fix_mojibake": _q_docs_fix_mojibake,  # cp1252 repair (r4)
         "docs_epoch_order": _q_docs_epoch_order,  # training-order shards (r4)
         # exact-substring (suffix-array-equivalent) span dedup (r4)
         "docs_dup_spans": _q_docs_dup_spans,

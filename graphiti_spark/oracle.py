@@ -3352,6 +3352,25 @@ FROM (SELECT id, host, len(string_split(text, chr(10))) AS n_total
 LEFT JOIN hb_agg a USING (id)
 ORDER BY t.id"""
 
+    # Mojibake repair (textnorm.fix_mojibake_col): the chain is BUILT
+    # from the same MOJIBAKE_TABLE in the same order, and the damaged
+    # augmentation phrase is the same imported literal — zero manual
+    # duplication to drift.
+    from graphiti_spark.textnorm import MOJIBAKE_SAMPLE, MOJIBAKE_TABLE
+
+    _mj = "text"
+    for _bad, _good in MOJIBAKE_TABLE:
+        _mj = f"replace({_mj}, '{_bad}', '{_good}')"
+    q["docs_fix_mojibake"] = f"""WITH
+mj_aug AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' {MOJIBAKE_SAMPLE}' ELSE text END AS text
+  FROM documents
+)
+SELECT id, {_mj} AS text_fixed, ({_mj} <> text) AS changed
+FROM mj_aug ORDER BY id"""
+
     # Per-domain quota (sampling.cap_per_group): identical draws,
     # identical window — QUALIFY row_number over (host, u, id).
     _dc_u = (

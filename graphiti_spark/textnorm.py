@@ -115,3 +115,54 @@ def truncate_at_sentence_col(text: Column, max_chars: int) -> Column:
         cut_end.isNotNull(), F.rtrim(F.substring(text, 1, cut_end.cast("int")))
     ).otherwise(F.rtrim(head))
     return F.when(F.length(text) <= max_chars, text).otherwise(cut)
+
+
+# Mojibake repair: the most common UTF-8-bytes-read-as-cp1252 digraph/
+# trigraph damage, as a CLOSED ordered literal-replace table (longest
+# first — the 3-byte punctuation sequences contain 'â', which is itself
+# the cp1252 rendering of 0xE2, so they must repair before any 2-byte
+# rule could touch their lead byte). A production build applies the
+# general inverse transform (re-encode cp1252 → decode UTF-8) behind a
+# validity probe; the closed table keeps the operator engine-reproducible
+# (DuckDB has no byte-level re-encode) and covers the dominant web
+# corpus damage: curly quotes, dashes, ellipsis, Latin-1 letters, nbsp.
+MOJIBAKE_TABLE: list[tuple[str, str]] = [
+    ("â€™", "’"),  # â€™ → ’
+    ("â€˜", "‘"),  # â€˜ → ‘
+    ("â€œ", "“"),  # â€œ → “
+    ("â€¦", "…"),  # â€¦ → …
+    ("â€“", "–"),  # â€“ → –
+    ("â€”", "—"),  # â€” → —
+    ("Ã©", "é"),  # Ã© → é
+    ("Ã¨", "è"),  # Ã¨ → è
+    ("Ã¡", "á"),  # Ã¡ → á
+    ("Ã ", "à"),  # Ã  → à
+    ("Ã¤", "ä"),  # Ã¤ → ä
+    ("Ã£", "ã"),  # Ã£ → ã
+    ("Ã­", "í"),  # Ã­ → í
+    ("Ã³", "ó"),  # Ã³ → ó
+    ("Ã¶", "ö"),  # Ã¶ → ö
+    ("Ãº", "ú"),  # Ãº → ú
+    ("Ã¼", "ü"),  # Ã¼ → ü
+    ("Ã±", "ñ"),  # Ã± → ñ
+    ("Ã§", "ç"),  # Ã§ → ç
+    ("Â ", " "),  # Â +nbsp → space
+    ("Â«", "«"),  # Â« → «
+    ("Â»", "»"),  # Â» → »
+]
+
+
+def fix_mojibake_col(text: Column) -> Column:
+    """Apply the ordered mojibake table as chained literal replaces —
+    pure whole-stage codegen, no shuffle, no Python; runs inside the
+    scan stage at 100 TB. Idempotent on already-clean text (no repaired
+    output re-matches any table key)."""
+    out = text
+    for bad, good in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+# A damaged phrase exercising the table (query fixtures + oracles import
+# this one literal so both engines augment identically).
+MOJIBAKE_SAMPLE = "itâ€™s â€œokâ€¦ cafÃ© Ã¨re Ã±u â€“ Â«quoteÂ»"

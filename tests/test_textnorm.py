@@ -102,3 +102,53 @@ def test_clean_input_regex_semantics():
     assert clean_input("a\tb\nc\rd") == "a\tb\nc\rd"   # kept whitespace
     assert clean_input("a​b⁠c") == "abc"     # zero-width stripped
     assert clean_input("déjà vu") == "déjà vu"         # unicode untouched
+
+
+def test_fix_mojibake_repairs_cp1252_damage(spark):
+    """Every table entry is the real cp1252 misreading of its value's
+    UTF-8 bytes; the chain repairs them, is idempotent, and leaves
+    clean text (incl. legitimately accented text) untouched."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.textnorm import (
+        MOJIBAKE_SAMPLE,
+        MOJIBAKE_TABLE,
+        fix_mojibake_col,
+    )
+
+    for bad, good in MOJIBAKE_TABLE:
+        if good != " ":  # nbsp is deliberately normalized to plain space
+            assert bad == good.encode("utf-8").decode("cp1252")
+
+    expected = MOJIBAKE_SAMPLE
+    for bad, good in MOJIBAKE_TABLE:
+        expected = expected.replace(bad, good)
+    clean = "déjà vu — naïve café"
+    rows = [(1, MOJIBAKE_SAMPLE), (2, expected), (3, clean)]
+    df = literal_df(spark, rows, [("id", "bigint"), ("t", "string")])
+    out = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", fix_mojibake_col(F.col("t")).alias("f")
+        ).collect()
+    }
+    assert out[1] == expected          # repaired
+    assert out[2] == expected          # idempotent on repaired text
+    assert out[3] == clean             # clean accents untouched
+
+
+def test_fix_mojibake_is_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.textnorm import fix_mojibake_col
+
+    df = literal_df(spark, [(1, "x")], [("id", "bigint"), ("t", "string")])
+    plan = (
+        df.select(fix_mojibake_col(F.col("t")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
