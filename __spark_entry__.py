@@ -1001,6 +1001,40 @@ def _q_docs_dedup_lines(spark, sf_dir):
     return dedup_lines(aug)
 
 
+def _q_docs_kmv_jaccard(spark, sf_dir):
+    """Cross-corpus overlap from sketches alone (r4): the even-doc and
+    odd-doc halves of the corpus are sketched independently (k=64 KMV
+    over bigram hashes) and their Jaccard/intersection is estimated
+    from the two 64-entry sketches — no join over either corpus. The
+    DuckDB twin recomputes both exact k-minima lists and the identical
+    Beyer-et-al estimator."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    t = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array())
+    d = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 2).alias("side"), bigrams.alias("bgs"))
+        .select("side", F.explode("bgs").alias("bg"))
+    )
+    a = kmv_sketch(d.filter(F.col("side") == 0), [], "bg", k=64)
+    b = kmv_sketch(d.filter(F.col("side") == 1), [], "bg", k=64)
+    return kmv_jaccard(a, b, [], 64)
+
+
 def _q_docs_fix_mojibake(spark, sf_dir):
     """Mojibake repair (r4): UTF-8-read-as-cp1252 damage reversed by a
     closed ordered literal-replace table (longest sequences first —
@@ -2132,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_biased_walks": _q_parts_biased_walks,
         # mergeable corpus sketches: KMV distinct + MG heavy hitters (r4)
         "docs_distinct_kmv": _q_docs_distinct_kmv,
+        "docs_kmv_jaccard": _q_docs_kmv_jaccard,  # sketch-only overlap (r4)
         "docs_heavy_hitters": _q_docs_heavy_hitters,
         # crawl link graph: href extraction → host graph → PageRank (r4)
         "page_links": _q_page_links,

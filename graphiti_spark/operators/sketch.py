@@ -212,3 +212,46 @@ def heavy_hitters(
             ).alias("share"),
         )
     )
+
+
+def kmv_jaccard(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Cross-corpus overlap from two KMV sketches (Beyer et al. 2007,
+    SIGMOD — "On synopses for distinct-value estimation under multiset
+    operations"): with M = the k smallest distinct hashes of the UNION
+    of the two sketches, Jaccard ≈ |{m ∈ M present in both sketches}|
+    / |M|, and est_intersection = jaccard · est_union. This answers
+    "how much does the new crawl overlap the training corpus?" from
+    two bounded sketches — no join over either corpus, mergeable
+    across shards/days like the sketches themselves.
+
+    When |A ∪ B| < k both sketches are the exact hash sets and the
+    estimate is exact. Output (group_cols..., n_common, n_m,
+    jaccard_est, est_union, est_intersection); suffix `_a`/`_b` join,
+    inner — a group must appear in both sketch tables."""
+    a = sketch_a.select(*group_cols, F.col("kmins").alias("ka"))
+    b = sketch_b.select(*group_cols, F.col("kmins").alias("kb"))
+    j = a.join(b, group_cols) if group_cols else a.crossJoin(b)
+    m = _kmin(F.concat(F.col("ka"), F.col("kb")), k)
+    common = F.size(
+        F.array_intersect(F.array_intersect(m, F.col("ka")), F.col("kb"))
+    )
+    n_m = F.size(m)
+    jac = common.cast("double") / n_m
+    est_union = F.when(n_m < k, n_m.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at(m, k)
+    )
+    return j.select(
+        *group_cols,
+        common.cast("long").alias("n_common"),
+        n_m.cast("long").alias("n_m"),
+        (F.round(jac, 4) + F.lit(0.0)).alias("jaccard_est"),
+        (F.round(est_union, 4) + F.lit(0.0)).alias("est_union"),
+        (F.round(jac * est_union, 4) + F.lit(0.0)).alias(
+            "est_intersection"
+        ),
+    )

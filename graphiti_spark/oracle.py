@@ -3264,6 +3264,51 @@ SELECT lang, CAST(n_kept AS BIGINT) AS n_kept,
                   ELSE 63.0 / kth END, 4) + 0.0 AS est_distinct
 FROM kv_agg ORDER BY lang"""
 
+    # KMV cross-corpus Jaccard (sketch.kmv_jaccard): exact k-minima of
+    # each half, then the identical Beyer-et-al union-minima estimator
+    # (unrounded intermediates inside the products, 4 dp + IEEE −0
+    # normalization at the edges — same house rules). kj_ prefix.
+    q["docs_kmv_jaccard"] = """WITH kj_toks AS (
+  SELECT doc_id % 2 AS side,
+         list_filter(string_split(lower(trim(text)), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+kj_u AS (
+  SELECT DISTINCT side,
+         (('0x' || substr(sha256('kmv:' || t[i] || ' ' || t[i + 1]), 1, 13))
+          ::UBIGINT / 4503599627370496.0) AS u
+  FROM kj_toks, unnest(range(1, len(t))) AS r(i)
+),
+kj_rk AS (
+  SELECT side, u, row_number() OVER (PARTITION BY side ORDER BY u) AS rk
+  FROM kj_u
+),
+kj_a AS (SELECT u FROM kj_rk WHERE side = 0 AND rk <= 64),
+kj_b AS (SELECT u FROM kj_rk WHERE side = 1 AND rk <= 64),
+kj_m AS (
+  SELECT u FROM (
+    SELECT u, row_number() OVER (ORDER BY u) AS rk
+    FROM (SELECT u FROM kj_a UNION SELECT u FROM kj_b)
+  ) WHERE rk <= 64
+),
+kj_stats AS (
+  SELECT (SELECT COUNT(*) FROM kj_m m
+          WHERE EXISTS (SELECT 1 FROM kj_a a WHERE a.u = m.u)
+            AND EXISTS (SELECT 1 FROM kj_b b WHERE b.u = m.u)) AS n_common,
+         (SELECT COUNT(*) FROM kj_m) AS n_m,
+         (SELECT max(u) FROM kj_m) AS kth
+)
+SELECT CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_m AS BIGINT) AS n_m,
+       round(CAST(n_common AS DOUBLE) / n_m, 4) + 0.0 AS jaccard_est,
+       round(CASE WHEN n_m < 64 THEN CAST(n_m AS DOUBLE)
+                  ELSE 63.0 / kth END, 4) + 0.0 AS est_union,
+       round((CAST(n_common AS DOUBLE) / n_m)
+             * CASE WHEN n_m < 64 THEN CAST(n_m AS DOUBLE)
+                    ELSE 63.0 / kth END, 4) + 0.0 AS est_intersection
+FROM kj_stats"""
+
     # ---- heavy hitters (exact, threshold share >= 1/100) ----
     # The MG candidate pass is a bounded-shuffle implementation detail;
     # the final answer is the exact threshold query, which DuckDB runs

@@ -97,3 +97,44 @@ def test_heavy_hitters_exact_and_partition_invariant(values):
 def test_heavy_hitters_capacity_guard(values):
     with pytest.raises(ValueError):
         heavy_hitters(values, "v", 1, 100, capacity=10)
+
+
+def test_kmv_jaccard_exact_when_union_below_k(spark):
+    """|A ∪ B| < k ⇒ both sketches are the full hash sets and the
+    estimate is the true Jaccard / intersection, exactly."""
+    from graphiti_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    a_vals = [f"v{i}" for i in range(20)]
+    b_vals = [f"v{i}" for i in range(10, 30)]  # |∩|=10, |∪|=30, J=1/3
+    a = kmv_sketch(
+        spark.createDataFrame([(v,) for v in a_vals], "v string"), [], "v", k=64
+    )
+    b = kmv_sketch(
+        spark.createDataFrame([(v,) for v in b_vals], "v string"), [], "v", k=64
+    )
+    r = kmv_jaccard(a, b, [], 64).head()
+    assert (r["n_common"], r["n_m"]) == (10, 30)
+    assert r["jaccard_est"] == round(10 / 30, 4)
+    assert r["est_union"] == 30.0
+    assert r["est_intersection"] == round((10 / 30) * 30.0, 4)
+
+
+def test_kmv_jaccard_estimates_in_sketch_regime(spark):
+    """Union ≫ k: the estimate lands near the true Jaccard (k=256 ⇒
+    |J−Ĵ| within ~4/√k of truth for this fixture) and the sketch-only
+    path never touches corpus-sized state."""
+    from graphiti_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    a_vals = [f"x{i}" for i in range(3000)]
+    b_vals = [f"x{i}" for i in range(1500, 4500)]  # J = 1500/4500 = 1/3
+    k = 256
+    a = kmv_sketch(
+        spark.createDataFrame([(v,) for v in a_vals], "v string"), [], "v", k=k
+    )
+    b = kmv_sketch(
+        spark.createDataFrame([(v,) for v in b_vals], "v string"), [], "v", k=k
+    )
+    r = kmv_jaccard(a, b, [], k).head()
+    assert r["n_m"] == k
+    assert abs(r["jaccard_est"] - 1 / 3) < 4 / (k ** 0.5)
+    assert abs(r["est_union"] - 4500) / 4500 < 0.25
