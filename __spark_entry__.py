@@ -1336,6 +1336,21 @@ def _q_parts_triangles(spark, sf_dir):
     return triangle_count(e, "a", "b")
 
 
+def _q_parts_clustering(spark, sf_dir):
+    """Local clustering coefficient per node (r4): the fraction of each
+    node's neighbor pairs that are themselves connected — link-farm /
+    spam-neighborhood feature. Same degree-ordered-orientation triangle
+    core as parts_triangles; the DuckDB twin is BUILT from the
+    triangles oracle text plus the identical lcc arithmetic."""
+    from graphiti_spark.operators.cooccur import (
+        cooccurrence_pairs,
+        local_clustering,
+    )
+
+    e = cooccurrence_pairs(_li_gi(spark, sf_dir), "g", "i", min_count=2)
+    return local_clustering(e, "a", "b").orderBy("id")
+
+
 def _q_embeddings_quantized(spark, sf_dir):
     """Per-vector affine int8 quantization of the embedding table:
     codes + reconstruction scalars + exact RMSE (the storage lever for
@@ -2122,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_fraction": _q_docs_sample_fraction,
         "parts_cooccur_lift": _q_parts_cooccur_lift,
         "parts_triangles": _q_parts_triangles,
+        "parts_clustering": _q_parts_clustering,  # local clustering coeff (r4)
         "parts_kcore": _q_parts_kcore,
         "embeddings_quantized": _q_embeddings_quantized,
         "docs_repetition": _q_docs_repetition,

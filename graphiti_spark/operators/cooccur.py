@@ -123,18 +123,10 @@ def lift_scores(
     )
 
 
-def triangle_count(
-    edges: DataFrame, a_col: str = "a", b_col: str = "b"
-) -> DataFrame:
-    """Exact per-node triangle counts over an undirected (multi)edge
-    list (self-loops and duplicate/reversed edges collapse first).
-    Output (id, n_triangles) for every node on >= 1 triangle.
-
-    Degree-ordered orientation: each edge points from the smaller
-    (degree, id) endpoint, capping out-degrees at O(sqrt(m)); wedges
-    are generated on out-neighbor pairs and closed against the
-    canonical undirected edge set. Three shuffles (degree count,
-    wedge join, closing join), all on uniform node/pair keys."""
+def _und_deg(edges: DataFrame, a_col: str, b_col: str):
+    """Canonical undirected distinct edge set (self-loops dropped) and
+    per-node degrees over it — the shared base of triangle_count and
+    local_clustering."""
     a, b = F.col(a_col), F.col(b_col)
     und = (
         edges.select(
@@ -149,6 +141,22 @@ def triangle_count(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    return und, deg
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected (multi)edge
+    list (self-loops and duplicate/reversed edges collapse first).
+    Output (id, n_triangles) for every node on >= 1 triangle.
+
+    Degree-ordered orientation: each edge points from the smaller
+    (degree, id) endpoint, capping out-degrees at O(sqrt(m)); wedges
+    are generated on out-neighbor pairs and closed against the
+    canonical undirected edge set. Three shuffles (degree count,
+    wedge join, closing join), all on uniform node/pair keys."""
+    und, deg = _und_deg(edges, a_col, b_col)
     withdeg = (
         und.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
@@ -175,4 +183,36 @@ def triangle_count(
         )
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def local_clustering(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Local clustering coefficient per node: lcc = 2·T(v) / (d·(d−1))
+    — the fraction of a node's neighbor pairs that are themselves
+    connected. A per-node graph feature (spam/link-farm neighborhoods
+    cluster abnormally; organic hubs don't), exact integers into one
+    IEEE division, 4 dp. Nodes of degree < 2 get lcc 0.0.
+
+    Cost = triangle_count (degree-ordered orientation, hub-safe) plus
+    one left join of its per-node counts back onto the degree table.
+    Output (id, degree, n_triangles, lcc) for EVERY node of the
+    undirected simple graph."""
+    und, deg = _und_deg(edges, a_col, b_col)
+    tri = triangle_count(edges, a_col, b_col)
+    d = F.col("d")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    lcc = F.when(
+        d >= 2,
+        F.round(
+            F.lit(2.0) * t.cast("double") / (d * (d - 1)).cast("double"), 4
+        )
+        + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "id", "left").select(
+        "id",
+        d.cast("long").alias("degree"),
+        t.cast("long").alias("n_triangles"),
+        lcc.alias("lcc"),
     )

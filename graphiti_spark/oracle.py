@@ -1780,6 +1780,35 @@ FROM (SELECT x AS id FROM tr_t
       UNION ALL SELECT y2 FROM tr_t)
 GROUP BY id ORDER BY id"""
 
+    # Local clustering coefficient (cooccur.local_clustering): the
+    # parts_triangles chain re-prefixed (lc_ — global CTE namespace),
+    # per-node corner counts LEFT-joined onto the degree table, one
+    # IEEE division of exact integers, 4 dp. Built programmatically
+    # from the triangles oracle so the two can't drift.
+    _lc_base = (
+        q["parts_triangles"]
+        .replace("tr_", "lc_")
+        .rsplit("SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles", 1)[0]
+        .rstrip()
+    )
+    q["parts_clustering"] = (
+        _lc_base
+        + """,
+lc_n AS (
+  SELECT id, COUNT(*) AS t
+  FROM (SELECT x AS id FROM lc_t
+        UNION ALL SELECT y1 FROM lc_t
+        UNION ALL SELECT y2 FROM lc_t)
+  GROUP BY id
+)
+SELECT d.id, CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(n.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.d >= 2
+            THEN round(2.0 * COALESCE(n.t, 0) / (d.d * (d.d - 1)), 4) + 0.0
+            ELSE 0.0 END AS lcc
+FROM lc_deg d LEFT JOIN lc_n n USING (id) ORDER BY d.id"""
+    )
+
     # Affine int8 quantization: scale/rounding arguments are always
     # >= 0, so Spark HALF_UP and DuckDB round-half-away agree; the RMSE
     # fold reuses the list_inner_product ≡ F.aggregate equivalence the

@@ -168,3 +168,27 @@ def test_k_core_surfaces_capped_peeling(spark):
                  converged_sink=sink3)
     assert {r.id for r in tri.collect()} == {1, 2, 3}
     assert sink3 == [True]
+
+
+def test_local_clustering_hand_computed(spark):
+    """Triangle {1,2,3} plus pendant 4–1: lcc(1)=1/3 (one of its three
+    neighbor pairs connected), lcc(2)=lcc(3)=1.0, lcc(4)=0 (deg<2).
+    Duplicate/reversed edges collapse first."""
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.operators.cooccur import local_clustering
+
+    edges = literal_df(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 1), (4, 1)],
+        [("a", "bigint"), ("b", "bigint")],
+    )
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"], r["lcc"])
+        for r in local_clustering(edges).collect()
+    }
+    assert got == {
+        1: (3, 1, 0.3333),
+        2: (2, 1, 1.0),
+        3: (2, 1, 1.0),
+        4: (1, 0, 0.0),
+    }
