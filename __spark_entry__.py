@@ -2041,6 +2041,25 @@ def _q_docs_bpe_tokens(spark, sf_dir):
     return bpe_token_counts(docs, seg)
 
 
+def _q_bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language (r4): BPE tokens per whitespace
+    word under the corpus-trained merges — the metric tokenizer
+    ablations report per language slice. One |langs|-key aggregate over
+    the per-doc counts; the DuckDB twin extends the unrolled merge
+    chain with the identical language rollup."""
+    from graphiti_spark.operators.bpe import (
+        bpe_fertility,
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, seg = bpe_train(
+        docs, num_merges=12, vocab_cap=512, return_segmentation=True
+    )
+    return bpe_fertility(bpe_token_counts(docs, seg), docs).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -2192,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE tokenizer merge training + corpus encoding (r4)
         "bpe_merges": _q_bpe_merges,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
+        "bpe_fertility_by_lang": _q_bpe_fertility_by_lang,
     }
 
 

@@ -220,3 +220,41 @@ def bpe_token_counts(
             ).alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_fertility(
+    token_counts: DataFrame,
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility per group (the standard tokenizer-evaluation
+    metric: BPE tokens emitted per whitespace word — higher means the
+    vocabulary serves that slice worse, the number tokenizer ablations
+    report per language). One combinable groupBy over |groups| keys on
+    top of ``bpe_token_counts``. Output (group_col, n_words,
+    n_bpe_tokens, fertility)."""
+    g = docs.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp")
+    )
+    agg = (
+        token_counts.join(g, "id")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        (
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("fertility"),
+    )

@@ -3594,5 +3594,20 @@ FROM bp_dw d LEFT JOIN bp_w{_bp_merges} s USING (word)
 WHERE d.word <> ''
 GROUP BY d.id ORDER BY d.id"""
     )
+    q["bpe_fertility_by_lang"] = (
+        "WITH\n" + ",\n".join(_bp_cte) + f""",
+bf_dw AS MATERIALIZED (
+  SELECT lang,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(len(s.syms), length(d.word))) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(COALESCE(len(s.syms), length(d.word))) AS DOUBLE)
+             / COUNT(*), 4) + 0.0 AS fertility
+FROM bf_dw d LEFT JOIN bp_w{_bp_merges} s USING (word)
+WHERE d.word <> ''
+GROUP BY lang ORDER BY lang"""
+    )
 
     return q

@@ -116,3 +116,24 @@ def test_apply_merge_is_shuffle_free(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bpe_fertility_groups_and_arithmetic(spark):
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.operators.bpe import bpe_fertility
+
+    counts = literal_df(
+        spark,
+        [(1, 4, 8), (2, 6, 9), (3, 10, 10)],
+        [("id", "bigint"), ("n_words", "bigint"), ("n_bpe_tokens", "bigint")],
+    )
+    docs = literal_df(
+        spark,
+        [(1, "en"), (2, "en"), (3, "de")],
+        [("doc_id", "bigint"), ("lang", "string")],
+    )
+    got = {
+        r["lang"]: (r["n_words"], r["n_bpe_tokens"], r["fertility"])
+        for r in bpe_fertility(counts, docs).collect()
+    }
+    assert got == {"en": (10, 17, 1.7), "de": (10, 10, 1.0)}
