@@ -618,6 +618,30 @@ def _q_docs_split_clusters(spark, sf_dir):
     return split_by_cluster(canon, {"train": 0.9, "val": 0.05, "test": 0.05})
 
 
+def _q_docs_dup_rate_by_host(spark, sf_dir):
+    """Near-dup rate per host (r4): 1 − clusters/docs — the template-
+    farm signal (a host whose pages collapse into few near-dup clusters
+    is machine-generated). Canonicals from the same minhash closure as
+    docs_canonical; hosts from the closed-form crawl-URL derivation."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.dedup_docs import (
+        canonical_docs,
+        dup_rate_by_group,
+        minhash_near_dup,
+    )
+    from graphiti_spark.operators.weblinks import canonicalize_url, host_of
+    from graphiti_spark.sources.links import load_links
+
+    docs = _docs(spark, sf_dir)
+    canon = canonical_docs(docs, minhash_near_dup(docs, threshold=0.95, mode="word"))
+    hosts = load_links(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        host_of(canonicalize_url(F.col("url"))).alias("host"),
+    )
+    return dup_rate_by_group(canon.join(hosts, "id")).orderBy("host")
+
+
 def _q_docs_canonical_incremental(spark, sf_dir):
     """Incremental canonical maintenance (r4): the standing (id,
     canonical_id) table built from the PRIOR corpus (doc_id % 5 != 0) is
@@ -2109,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": _q_docs_simhash,  # oracle: brute-force hamming (r3)
         "docs_canonical": _q_docs_canonical,       # oracle: recursive-CTE closure
         "docs_split_clusters": _q_docs_split_clusters,  # leakage-safe split (r4)
+        "docs_dup_rate_by_host": _q_docs_dup_rate_by_host,  # template farms (r4)
         # touched-components-only canon update == full rebuild (r4)
         "docs_canonical_incremental": _q_docs_canonical_incremental,
         # streamed versioned dedup state == one-shot rebuild (r4)

@@ -938,3 +938,34 @@ def semantic_dedup(
         .join(canon, "id")
         .select("id", F.col("cell").cast("long").alias("cell"), "canonical_id")
     )
+
+
+def dup_rate_by_group(
+    canon: DataFrame, group_col: str = "host", id_col: str = "id"
+) -> DataFrame:
+    """Near-duplication rate per group (host/domain): n_docs,
+    n_clusters (distinct canonicals) and dup_rate = 1 − clusters/docs.
+    A host whose pages collapse into few near-dup clusters is a
+    template farm — the per-host spam signal curation pipelines gate
+    on. Input: a (id, canonical_id, group) frame (``canonical_docs``
+    output joined with the group column); one combinable groupBy over
+    |groups| keys. dup_rate is one IEEE division of exact integers,
+    4 dp + the −0.0 normalization house rule."""
+    agg = canon.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canonical_id").alias("n_clusters"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (
+            F.round(
+                F.lit(1.0)
+                - F.col("n_clusters").cast("double")
+                / F.col("n_docs").cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("dup_rate"),
+    )

@@ -2703,6 +2703,25 @@ SELECT id, m AS canonical_id FROM r16 ORDER BY id"""
     # (including new docs bridging two prior components).
     q["docs_canonical_incremental"] = q["docs_canonical"]
 
+    # Per-host near-dup rate (dedup_docs.dup_rate_by_group): the same
+    # canonical closure, grouped by the closed-form host, 1 − C/N in
+    # one exact-integer IEEE division.
+    from graphiti_spark.sources.links import CANON_MOD, _SQL_HOSTS
+
+    q["docs_dup_rate_by_host"] = q["docs_canonical"].replace(
+        "SELECT id, m AS canonical_id FROM r16 ORDER BY id",
+        f"""SELECT h.host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT r.m) AS BIGINT) AS n_clusters,
+       round(1.0 - CAST(COUNT(DISTINCT r.m) AS DOUBLE) / COUNT(*), 4)
+         + 0.0 AS dup_rate
+FROM r16 r
+JOIN (SELECT doc_id AS id,
+             ({_SQL_HOSTS})[CAST((doc_id % {CANON_MOD}) % 7 AS INT) + 1]
+               AS host
+      FROM documents) h USING (id)
+GROUP BY h.host ORDER BY h.host""",
+    )
+
     # Leakage-safe split (operators/sampling.py split_by_cluster): the
     # identical canonical closure, then the 52-bit sha-uniform drawn on
     # the CLUSTER id and the same IEEE running-sum boundaries

@@ -49,3 +49,25 @@ def test_long_path_converges(spark):
 
 def test_empty_pairs(spark):
     assert connected_components(_pairs(spark, [])).count() == 0
+
+
+def test_dup_rate_by_group_arithmetic(spark):
+    """Host with 4 docs in 2 clusters → dup_rate 0.5; singleton-only
+    host → 0.0."""
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.operators.dedup_docs import dup_rate_by_group
+
+    canon = literal_df(
+        spark,
+        [
+            (1, 1, "farm.com"), (2, 1, "farm.com"),
+            (3, 3, "farm.com"), (4, 3, "farm.com"),
+            (5, 5, "fresh.org"), (6, 6, "fresh.org"),
+        ],
+        [("id", "bigint"), ("canonical_id", "bigint"), ("host", "string")],
+    )
+    got = {
+        r["host"]: (r["n_docs"], r["n_clusters"], r["dup_rate"])
+        for r in dup_rate_by_group(canon).collect()
+    }
+    assert got == {"farm.com": (4, 2, 0.5), "fresh.org": (2, 2, 0.0)}
