@@ -618,6 +618,25 @@ def _q_docs_split_clusters(spark, sf_dir):
     return split_by_cluster(canon, {"train": 0.9, "val": 0.05, "test": 0.05})
 
 
+def _q_docs_contrastive_pairs(spark, sf_dir):
+    """Contrastive training triples from the dedup machinery (r4):
+    near-dup pairs symmetrized into (anchor, positive) examples, k=3
+    deterministic uniform negatives per example via the bucketed exact
+    inverse-CDF (unit weights). The DuckDB twin mines positives by
+    brute-force Jaccard and re-derives every draw with a direct rank
+    join — two formulations, identical rows."""
+    from graphiti_spark.operators.dedup_docs import (
+        contrastive_pairs,
+        minhash_near_dup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dup(docs, threshold=0.95, mode="word")
+    return contrastive_pairs(docs, pairs, k_neg=3).orderBy(
+        "anchor", "pos", "neg_idx"
+    )
+
+
 def _q_docs_dup_rate_by_host(spark, sf_dir):
     """Near-dup rate per host (r4): 1 − clusters/docs — the template-
     farm signal (a host whose pages collapse into few near-dup clusters
@@ -2134,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_canonical": _q_docs_canonical,       # oracle: recursive-CTE closure
         "docs_split_clusters": _q_docs_split_clusters,  # leakage-safe split (r4)
         "docs_dup_rate_by_host": _q_docs_dup_rate_by_host,  # template farms (r4)
+        "docs_contrastive_pairs": _q_docs_contrastive_pairs,  # training triples (r4)
         # touched-components-only canon update == full rebuild (r4)
         "docs_canonical_incremental": _q_docs_canonical_incremental,
         # streamed versioned dedup state == one-shot rebuild (r4)

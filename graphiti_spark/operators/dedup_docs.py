@@ -969,3 +969,40 @@ def dup_rate_by_group(
             + F.lit(0.0)
         ).alias("dup_rate"),
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k_neg: int = 3,
+    id_col: str = "doc_id",
+    seed: str = "cneg",
+) -> DataFrame:
+    """Contrastive training examples mined from the dedup machinery:
+    each near-dup pair becomes two (anchor, positive) examples (both
+    directions — standard for symmetric encoders), and every example
+    gets ``k_neg`` deterministic uniform negative draws from the corpus
+    id space (word2vec-style: a draw MAY collide with the anchor/
+    positive — at corpus scale the probability is |pair|/N and
+    rejection would make draws order-dependent). The draws reuse
+    ``walks.negative_samples``' bucketed exact inverse-CDF with unit
+    weights, keyed on (anchor, pos, neg_idx) — bit-reproducible by the
+    oracle's direct rank join.
+
+    Output (anchor, pos, neg_idx, negative): the (anchor, positive,
+    negatives) triples an embedding/reranker trainer consumes."""
+    from graphiti_spark.operators.walks import negative_samples
+
+    sym = pairs.select(
+        F.col("a_id").alias("anchor"), F.col("b_id").alias("pos")
+    ).unionAll(
+        pairs.select(
+            F.col("b_id").alias("anchor"), F.col("a_id").alias("pos")
+        )
+    )
+    freqs = docs.select(
+        F.col(id_col).alias("node"), F.lit(1).cast("long").alias("cnt")
+    )
+    return negative_samples(
+        sym, freqs, k=k_neg, seed=seed, key_cols=["anchor", "pos"]
+    )

@@ -324,6 +324,7 @@ def negative_samples(
     k: int = 2,
     seed: str = "neg",
     buckets_per_node: int = 1,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """``k`` deterministic negative samples per skip-gram pair, drawn
     from the unigram noise distribution P(node) ∝ cnt (word2vec's
@@ -396,15 +397,14 @@ def negative_samples(
         "*",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"),
     ).crossJoin(F.broadcast(totals))
+    # draw identity: the pair's key columns + neg_idx (default = the
+    # skip-gram pair identity; callers over other pair shapes pass
+    # their own, e.g. contrastive mining's ["anchor", "pos"])
+    kc = key_cols if key_cols is not None else [
+        "start", "widx", "pos", "context",
+    ]
     u = uniform_hash_col(
-        F.concat_ws(
-            ":",
-            F.col("start"),
-            F.col("widx"),
-            F.col("pos"),
-            F.col("context"),
-            F.col("neg_idx"),
-        ),
+        F.concat_ws(":", *[F.col(c) for c in kc], F.col("neg_idx")),
         seed=seed,
     )
     draws = (

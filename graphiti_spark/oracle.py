@@ -2703,6 +2703,47 @@ SELECT id, m AS canonical_id FROM r16 ORDER BY id"""
     # (including new docs bridging two prior components).
     q["docs_canonical_incremental"] = q["docs_canonical"]
 
+    # Contrastive triples (dedup_docs.contrastive_pairs): positives by
+    # brute-force Jaccard ≥ 0.95 (no LSH), negatives re-derived by the
+    # DIRECT rank join (Spark uses the bucketed-interval equi-join —
+    # different formulation, identical draws; unit weights make the
+    # inverse-CDF the doc-id rank). cp_ prefix.
+    _cp_u = (
+        "(('0x' || substr(sha256('cneg:' || CAST(anchor AS VARCHAR) || ':'"
+        " || CAST(pos AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 13))"
+        "::UBIGINT / 4503599627370496.0)"
+    )
+    q["docs_contrastive_pairs"] = f"""WITH
+cp_s AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+cp_p AS MATERIALIZED (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM cp_s a JOIN cp_s b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.w, b.w))) >= 0.95
+),
+cp_sym AS (
+  SELECT a_id AS anchor, b_id AS pos FROM cp_p
+  UNION ALL SELECT b_id, a_id FROM cp_p
+),
+cp_rank AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
+  FROM documents
+),
+cp_tot AS (SELECT COUNT(*) AS total FROM documents),
+cp_draws AS (
+  SELECT anchor, pos, j,
+         CAST(floor({_cp_u} * t.total) AS BIGINT) AS t
+  FROM cp_sym, (SELECT unnest(range(0, 3)) AS j), cp_tot t
+)
+SELECT d.anchor, d.pos, CAST(d.j AS INT) AS neg_idx,
+       r.doc_id AS negative
+FROM cp_draws d JOIN cp_rank r ON r.r = d.t
+ORDER BY d.anchor, d.pos, neg_idx"""
+
     # Per-host near-dup rate (dedup_docs.dup_rate_by_group): the same
     # canonical closure, grouped by the closed-form host, 1 − C/N in
     # one exact-integer IEEE division.

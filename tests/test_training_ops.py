@@ -435,3 +435,32 @@ def test_drop_dup_spans_keep_case(spark):
     assert got[1].text_dedup == "UNIQUE One!"
     assert got[2].text_dedup == "other tail"
     assert got[1].n_dropped == got[2].n_dropped == 8
+
+
+def test_contrastive_pairs_shape_and_determinism(spark):
+    """Each near-dup pair yields BOTH directions, every example gets
+    exactly k negatives drawn from the corpus id space, and draws are
+    a pure function of (seed, anchor, pos, neg_idx)."""
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.operators.dedup_docs import contrastive_pairs
+
+    docs = literal_df(
+        spark, [(i,) for i in range(50)], [("doc_id", "bigint")]
+    )
+    pairs = literal_df(
+        spark, [(3, 7), (10, 4)], [("a_id", "bigint"), ("b_id", "bigint")]
+    )
+    out = contrastive_pairs(docs, pairs, k_neg=2).collect()
+    assert len(out) == 2 * 2 * 2  # 2 pairs x 2 directions x k=2
+    examples = {(r["anchor"], r["pos"]) for r in out}
+    assert examples == {(3, 7), (7, 3), (10, 4), (4, 10)}
+    assert all(0 <= r["negative"] < 50 for r in out)
+    by_ex = {}
+    for r in out:
+        by_ex.setdefault((r["anchor"], r["pos"]), []).append(r["neg_idx"])
+    assert all(sorted(v) == [0, 1] for v in by_ex.values())
+    again = contrastive_pairs(docs, pairs, k_neg=2).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in again}
+    # direction matters for the draw key: (3,7) and (7,3) draw
+    # independently (they MAY coincide, but not by construction)
+    assert ("anchor", "pos", "neg_idx", "negative") == tuple(out[0].__fields__)
