@@ -2103,6 +2103,37 @@ def _q_bpe_fertility_by_lang(spark, sf_dir):
     return bpe_fertility(bpe_token_counts(docs, seg), docs).orderBy("lang")
 
 
+def _q_crawl_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl snapshot diff (r4): two crawl snapshots are
+    derived deterministically from documents (prev drops doc_id%11==3,
+    curr drops doc_id%11==7 and rewrites text for doc_id%13==5), keyed
+    by a unique canonical URL and sha256 content identity; the diff
+    tags every URL new/gone/changed/unchanged. The refetch set
+    (new+changed) is what a recrawl feeds to ingest_incremental; gone
+    drives takedown deletes. One full-outer sort-merge join — the
+    DuckDB twin rebuilds both snapshots with the same arithmetic and
+    FULL OUTER JOINs them."""
+    from graphiti_spark.operators.weblinks import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/art/"),
+        F.col("doc_id").cast("string"),
+    ).alias("url_canon")
+    prev = docs.filter(F.col("doc_id") % 11 != 3).select(
+        url, F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+    curr_text = F.when(
+        F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" updated"))
+    ).otherwise(F.col("text"))
+    curr = docs.filter(F.col("doc_id") % 11 != 7).select(
+        url, F.sha2(curr_text, 256).alias("content_sha")
+    )
+    return snapshot_diff(prev, curr).orderBy("url_canon")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -2253,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hosts_graph": _q_hosts_graph,
         "hosts_pagerank": _q_hosts_pagerank,
         "anchor_texts": _q_anchor_texts,  # per-target anchor-text profile (r4)
+        "crawl_snapshot_diff": _q_crawl_snapshot_diff,  # recrawl delta (r4)
         # BPE tokenizer merge training + corpus encoding (r4)
         "bpe_merges": _q_bpe_merges,
         "docs_bpe_tokens": _q_docs_bpe_tokens,

@@ -351,3 +351,51 @@ def domain_filter(
         "domain", registered_domain(host_of(F.col("url_canon")))
     )
     return canon.join(F.broadcast(block), "domain", "left_anti")
+
+
+def snapshot_diff(
+    prev: DataFrame,
+    curr: DataFrame,
+    key_col: str = "url_canon",
+    sha_col: str = "content_sha",
+) -> DataFrame:
+    """Diff two crawl snapshots by canonical URL and content identity:
+    one row per URL seen in either snapshot, tagged ``new`` (in curr
+    only), ``gone`` (in prev only), ``changed`` (both, different
+    content sha) or ``unchanged``.
+
+    This is the incremental-crawl front door: a recrawl of a 10^12-page
+    corpus re-processes only ``status IN ('new','changed')`` (the
+    refetch set feeds ``operators.incremental.ingest_incremental`` as
+    the batch, and ``gone`` drives takedown deletes — the same
+    delete-then-append delta contract as materialize.apply_graph_delta).
+    The reference re-ingests every episode on every run
+    (graphiti_core/graphiti.py add_episode has no snapshot notion); at
+    crawl scale the diff IS the workload reduction.
+
+    Scale shape: both inputs are one-row-per-canonical-URL (run
+    ``url_dedup`` first); the diff is a single full-outer sort-merge
+    join co-partitioned on the canonical URL — one shuffle per side,
+    status derivation is pure whole-stage codegen on the joined row.
+    No UDFs, no skew hazard beyond the key itself (canonical URLs are
+    unique by construction after url_dedup).
+    """
+    p = prev.select(F.col(key_col), F.col(sha_col).alias("prev_sha"))
+    c = curr.select(F.col(key_col), F.col(sha_col).alias("curr_sha"))
+    joined = p.join(c, key_col, "full_outer")
+    status = (
+        F.when(F.col("prev_sha").isNull(), F.lit("new"))
+        .when(F.col("curr_sha").isNull(), F.lit("gone"))
+        .when(F.col("prev_sha") == F.col("curr_sha"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col(key_col), status.alias("status"), "prev_sha", "curr_sha"
+    )
+
+
+def refetch_set(diff: DataFrame) -> DataFrame:
+    """The URLs a recrawl must actually process: ``new`` + ``changed``
+    rows of a ``snapshot_diff``. Pure filter — pushes down into the
+    diff join's output, no extra shuffle."""
+    return diff.filter(F.col("status").isin("new", "changed"))

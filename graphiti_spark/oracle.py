@@ -3670,4 +3670,29 @@ WHERE d.word <> ''
 GROUP BY lang ORDER BY lang"""
     )
 
+    # Incremental-crawl snapshot diff (r4): rebuild both derived
+    # snapshots with the identical arithmetic and FULL OUTER JOIN them.
+    q["crawl_snapshot_diff"] = """WITH
+csd_prev AS (
+  SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.com/art/' || CAST(doc_id AS VARCHAR) AS url_canon,
+         sha256(text) AS prev_sha
+  FROM documents WHERE doc_id % 11 <> 3
+),
+csd_curr AS (
+  SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.com/art/' || CAST(doc_id AS VARCHAR) AS url_canon,
+         sha256(CASE WHEN doc_id % 13 = 5 THEN text || ' updated'
+                     ELSE text END) AS curr_sha
+  FROM documents WHERE doc_id % 11 <> 7
+)
+SELECT COALESCE(p.url_canon, c.url_canon) AS url_canon,
+       CASE WHEN p.prev_sha IS NULL THEN 'new'
+            WHEN c.curr_sha IS NULL THEN 'gone'
+            WHEN p.prev_sha = c.curr_sha THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       p.prev_sha, c.curr_sha
+FROM csd_prev p FULL OUTER JOIN csd_curr c ON p.url_canon = c.url_canon
+ORDER BY url_canon"""
+
     return q

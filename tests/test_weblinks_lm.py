@@ -600,3 +600,41 @@ def test_anchor_text_profile_counts_and_caps(spark):
     assert t["texts"] == "a|b|c"  # lexicographic first 3 of a..e
     bare = prof["https://d.com/bare"]
     assert (bare["n_refs"], bare["n_srcs"], bare["texts"]) == (1, 1, None)
+
+
+def test_snapshot_diff_statuses_and_refetch(spark):
+    """snapshot_diff partitions the URL universe into exactly
+    new/gone/changed/unchanged by content sha, and refetch_set is the
+    new+changed subset a recrawl must re-process."""
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.operators.weblinks import refetch_set, snapshot_diff
+
+    cols = [("url_canon", "string"), ("content_sha", "string")]
+    prev = literal_df(
+        spark,
+        [("https://a/1", "x"), ("https://b/2", "y"), ("https://c/3", "z")],
+        cols,
+    )
+    curr = literal_df(
+        spark,
+        [("https://b/2", "y"), ("https://c/3", "w"), ("https://d/4", "v")],
+        cols,
+    )
+    diff = snapshot_diff(prev, curr)
+    got = {r["url_canon"]: r for r in diff.collect()}
+    assert {u: r["status"] for u, r in got.items()} == {
+        "https://a/1": "gone",
+        "https://b/2": "unchanged",
+        "https://c/3": "changed",
+        "https://d/4": "new",
+    }
+    # shas travel with the row: gone keeps prev only, new keeps curr only
+    assert got["https://a/1"]["prev_sha"] == "x"
+    assert got["https://a/1"]["curr_sha"] is None
+    assert got["https://d/4"]["prev_sha"] is None
+    assert got["https://d/4"]["curr_sha"] == "v"
+    assert got["https://c/3"]["prev_sha"] == "z"
+    assert got["https://c/3"]["curr_sha"] == "w"
+
+    refetch = {r["url_canon"] for r in refetch_set(diff).collect()}
+    assert refetch == {"https://c/3", "https://d/4"}
