@@ -2134,6 +2134,19 @@ def _q_crawl_snapshot_diff(spark, sf_dir):
     return snapshot_diff(prev, curr).orderBy("url_canon")
 
 
+def _q_crawl_refetch_set(spark, sf_dir):
+    """The recrawl work list (r4): ``refetch_set`` over the same derived
+    snapshot diff as ``crawl_snapshot_diff`` — only the new+changed
+    URLs a recrawl re-processes. Pure filter over the diff join output
+    (pushes down; no extra shuffle); the DuckDB twin filters its own
+    rebuilt FULL OUTER JOIN the same way."""
+    from graphiti_spark.operators.weblinks import refetch_set
+
+    return refetch_set(_q_crawl_snapshot_diff(spark, sf_dir)).orderBy(
+        "url_canon"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # pipeline stages (S1-S9, E1-E10, D1-D17, T1-T6)
@@ -2285,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hosts_pagerank": _q_hosts_pagerank,
         "anchor_texts": _q_anchor_texts,  # per-target anchor-text profile (r4)
         "crawl_snapshot_diff": _q_crawl_snapshot_diff,  # recrawl delta (r4)
+        "crawl_refetch_set": _q_crawl_refetch_set,  # recrawl work list (r4)
         # BPE tokenizer merge training + corpus encoding (r4)
         "bpe_merges": _q_bpe_merges,
         "docs_bpe_tokens": _q_docs_bpe_tokens,

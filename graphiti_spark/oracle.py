@@ -3695,4 +3695,31 @@ SELECT COALESCE(p.url_canon, c.url_canon) AS url_canon,
 FROM csd_prev p FULL OUTER JOIN csd_curr c ON p.url_canon = c.url_canon
 ORDER BY url_canon"""
 
+    # Recrawl work list: the new+changed subset of the same diff.
+    q["crawl_refetch_set"] = """WITH
+crs_prev AS (
+  SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.com/art/' || CAST(doc_id AS VARCHAR) AS url_canon,
+         sha256(text) AS prev_sha
+  FROM documents WHERE doc_id % 11 <> 3
+),
+crs_curr AS (
+  SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.com/art/' || CAST(doc_id AS VARCHAR) AS url_canon,
+         sha256(CASE WHEN doc_id % 13 = 5 THEN text || ' updated'
+                     ELSE text END) AS curr_sha
+  FROM documents WHERE doc_id % 11 <> 7
+),
+crs_diff AS (
+  SELECT COALESCE(p.url_canon, c.url_canon) AS url_canon,
+         CASE WHEN p.prev_sha IS NULL THEN 'new'
+              WHEN c.curr_sha IS NULL THEN 'gone'
+              WHEN p.prev_sha = c.curr_sha THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         p.prev_sha, c.curr_sha
+  FROM crs_prev p FULL OUTER JOIN crs_curr c ON p.url_canon = c.url_canon
+)
+SELECT * FROM crs_diff WHERE status IN ('new', 'changed')
+ORDER BY url_canon"""
+
     return q
