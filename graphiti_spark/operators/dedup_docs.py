@@ -513,15 +513,47 @@ def embedding_near_dup(
     )
 
 
+_LONG_MIN = -9223372036854775808
+
+
+def long_id_key(c):
+    """Order-preserving fixed-width (20-char) string encoding of a
+    64-bit id, so CC's lexicographic-min == numeric-min over the FULL
+    long range. The old ``lpad(cast, 12)`` silently TRUNCATED any id
+    whose decimal form exceeds 12 chars (every xxhash64 / content-hash
+    id) and scrambled negatives (the '-' sorts mid-string) — fine for
+    tiny test ids, corrupt at scale. Encoding: sign-flag prefix
+    ('0' = negative, '1' = non-negative) + the value shifted into
+    [0, 2^63) rendered as 19 zero-padded digits. Pure codegen; the
+    shift is the single op ``c - LONG_MIN`` via try_subtract — a single
+    op because Catalyst REASSOCIATES chained adds and constant-folds
+    the literals into an overflow (try_add(try_add(c, MAX), 1) →
+    c + (MAX+1) → null for every row), and try_* because ANSI would
+    otherwise throw on the eagerly-evaluated discarded CASE branch
+    (c ≥ 0 overflows the shift; the CASE drops that branch's NULL)."""
+    body = F.when(c < 0, F.try_subtract(c, F.lit(_LONG_MIN))).otherwise(c)
+    return F.concat(
+        F.when(c < 0, F.lit("0")).otherwise(F.lit("1")),
+        F.lpad(body.cast("string"), 19, "0"),
+    )
+
+
+def long_id_unkey(c):
+    """Inverse of ``long_id_key``: 20-char key string → the original
+    long (single-op ``body + LONG_MIN`` shift; try_add for the same
+    eager-CASE-branch reason as the encoder)."""
+    body = F.substring(c, 2, 19).cast("long")
+    return F.when(
+        F.substring(c, 1, 1) == "0", F.try_add(body, F.lit(_LONG_MIN))
+    ).otherwise(body)
+
+
 def canonical_docs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs → clusters → per-doc canonical id (min id in the
     connected component; singletons map to themselves)."""
     from graphiti_spark.operators.cc import connected_components
 
-    # zero-pad numeric ids so CC's lexicographic-min == numeric-min
-    def pad(c):
-        return F.lpad(c.cast("string"), 12, "0")
-
+    pad = long_id_key
     cc = connected_components(
         pairs.select(pad(F.col("a_id")).alias("src"), pad(F.col("b_id")).alias("dst"))
     )
@@ -529,10 +561,10 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
         docs.select(pad(F.col(id_col)).alias("uuid"))
         .join(cc, "uuid", "left")
         .select(
-            F.col("uuid").cast("long").alias("id"),
-            F.coalesce(F.col("canonical_uuid"), F.col("uuid"))
-            .cast("long")
-            .alias("canonical_id"),
+            long_id_unkey(F.col("uuid")).alias("id"),
+            long_id_unkey(
+                F.coalesce(F.col("canonical_uuid"), F.col("uuid"))
+            ).alias("canonical_id"),
         )
     )
 
@@ -580,8 +612,7 @@ def canonical_docs_incremental(
         F.broadcast(touched_canons), "canonical_id", "left_semi"
     )
 
-    def pad(c):
-        return F.lpad(c.cast("string"), 12, "0")
+    pad = long_id_key
 
     # membership edges of touched prior components + the batch's pairs
     prior_edges = touched_prior.filter(
@@ -603,10 +634,10 @@ def canonical_docs_incremental(
         scope.select(pad(F.col("id")).alias("uuid"))
         .join(cc, "uuid", "left")
         .select(
-            F.col("uuid").cast("long").alias("id"),
-            F.coalesce(F.col("canonical_uuid"), F.col("uuid"))
-            .cast("long")
-            .alias("canonical_id"),
+            long_id_unkey(F.col("uuid")).alias("id"),
+            long_id_unkey(
+                F.coalesce(F.col("canonical_uuid"), F.col("uuid"))
+            ).alias("canonical_id"),
         )
     )
     if delta_sink is not None:

@@ -215,9 +215,9 @@ def remove_docs(
         "left_semi",
     )
 
-    def pad(c):
-        return F.lpad(c.cast("string"), 12, "0")
+    from graphiti_spark.operators.dedup_docs import long_id_key, long_id_unkey
 
+    pad = long_id_key
     cc = connected_components(
         surviving_pairs.select(
             pad(F.col("a_id")).alias("src"), pad(F.col("b_id")).alias("dst")
@@ -227,10 +227,10 @@ def remove_docs(
         survivors.select(pad(F.col("id")).alias("uuid"))
         .join(cc, "uuid", "left")
         .select(
-            F.col("uuid").cast("long").alias("id"),
-            F.coalesce(F.col("canonical_uuid"), F.col("uuid"))
-            .cast("long")
-            .alias("canonical_id"),
+            long_id_unkey(F.col("uuid")).alias("id"),
+            long_id_unkey(
+                F.coalesce(F.col("canonical_uuid"), F.col("uuid"))
+            ).alias("canonical_id"),
         )
         .localCheckpoint()
     )

@@ -638,3 +638,73 @@ def test_snapshot_diff_statuses_and_refetch(spark):
 
     refetch = {r["url_canon"] for r in refetch_set(diff).collect()}
     assert refetch == {"https://c/3", "https://d/4"}
+
+
+def test_recrawl_diff_maintains_dedup_state(spark):
+    """Recrawl maintenance law: applying a snapshot diff to the standing
+    dedup state — remove_docs on gone+changed ids, then
+    update_dedup_state on the refetch set's current texts — must equal
+    init_dedup_state over the current snapshot alone. This is the
+    integration the snapshot_diff docstring promises: the diff IS the
+    incremental workload, including the near-dup case where a refetched
+    doc joins an existing cluster. Doc ids are xxhash64(url) — the
+    state machinery keys on longs; a URL-addressed corpus derives them."""
+    from graphiti_spark.operators.dedup_state import (
+        init_dedup_state,
+        remove_docs,
+        update_dedup_state,
+    )
+
+    t = " ".join(f"t{i}" for i in range(1, 21))
+    cols = [("url", "string"), ("text", "string")]
+    with_id = lambda df: df.withColumn("doc_id", F.xxhash64("url"))
+    prev = with_id(literal_df(
+        spark,
+        [
+            ("https://a/1", t),
+            ("https://a/2", t + " tail"),          # near-dup of a/1
+            ("https://a/3", "gone page body xyz"),
+            ("https://a/4", "stable unrelated document about spark"),
+        ],
+        cols,
+    ))
+    curr = with_id(literal_df(
+        spark,
+        [
+            ("https://a/1", t),                     # unchanged
+            ("https://a/2", "rewritten beyond recognition qq ww ee"),
+            ("https://a/4", "stable unrelated document about spark"),
+            ("https://a/5", t + " coda"),           # new, near-dup of a/1
+        ],
+        cols,
+    ))
+
+    def snap(docs):
+        return docs.select(
+            F.col("url").alias("url_canon"),
+            F.sha2(F.col("text"), 256).alias("content_sha"),
+        )
+
+    diff = W.snapshot_diff(snap(prev), snap(curr))
+
+    state = init_dedup_state(prev, threshold=0.8)
+    doomed = diff.filter(F.col("status").isin("gone", "changed")).select(
+        F.xxhash64("url_canon").alias("id")
+    )
+    state = remove_docs(doomed, state)
+    batch = W.refetch_set(diff).select("url_canon").join(
+        curr, F.col("url_canon") == F.col("url"), "inner"
+    ).select("doc_id", "text")
+    state = update_dedup_state(batch, state, threshold=0.8)
+    rebuilt = init_dedup_state(curr, threshold=0.8)
+
+    canon = {r.id: r.canonical_id for r in state["canon"].collect()}
+    want = {r.id: r.canonical_id for r in rebuilt["canon"].collect()}
+    assert canon == want
+    ids = {r.url: r.doc_id for r in curr.collect()}
+    gone_id = [r.doc_id for r in prev.collect() if r.url == "https://a/3"][0]
+    assert canon[ids["https://a/5"]] == canon[ids["https://a/1"]]  # joined
+    assert gone_id not in canon                                    # gone
+    got_docs = {tuple(r) for r in state["docs"].collect()}
+    want_docs = {tuple(r) for r in rebuilt["docs"].collect()}
+    assert got_docs == want_docs
