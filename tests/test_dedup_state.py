@@ -172,3 +172,26 @@ def test_replay_guard_scoped_to_stream(spark, corpus, tmp_path):
     got = load_dedup_state(spark, state_dir)
     rebuilt = init_dedup_state(corpus, threshold=0.8)
     assert _canon_map(got["canon"]) == _canon_map(rebuilt["canon"])
+
+
+def test_long_id_key_roundtrip_and_order(spark):
+    """The CC key encoding must be an order-preserving bijection over
+    the FULL long range — the old lpad-12 silently truncated hash-range
+    ids (lpad truncates past the target width) and scrambled negatives.
+    Covers both boundary values and xxhash64-realistic magnitudes."""
+    from graphiti_spark.operators.dedup_docs import long_id_key, long_id_unkey
+
+    vals = [
+        -(2**63), -(2**63) + 1, -769024105940936929, -999999999999,
+        -2, -1, 0, 1, 999999999999, 685223234348998744,
+        8485142954635520965, 2**63 - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "id long")
+    rows = df.select(
+        "id", long_id_key(F.col("id")).alias("k")
+    ).withColumn("back", long_id_unkey(F.col("k"))).collect()
+
+    assert all(r.back == r.id for r in rows)           # bijection
+    assert all(len(r.k) == 20 for r in rows)           # fixed width
+    by_key = [r.id for r in sorted(rows, key=lambda r: r.k)]
+    assert by_key == sorted(vals)                      # order-preserving
