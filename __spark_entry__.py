@@ -604,6 +604,29 @@ def _q_docs_canonical(spark, sf_dir):
     return canonical_docs(docs, minhash_near_dup(docs, threshold=0.95, mode="word"))
 
 
+def _q_docs_representatives(spark, sf_dir):
+    """Quality-based cluster representative selection (r4): per
+    near-dup cluster keep the highest-quality member (ties → min id)
+    instead of the arbitrary min-id canonical — one map-side-combinable
+    min(struct) agg, no window. The oracle recomputes the identical
+    canonical closure, the identical quality arithmetic, and the same
+    (score desc, id asc) winner rule."""
+    from graphiti_spark.operators.dedup_docs import (
+        canonical_docs,
+        minhash_near_dup,
+        representative_docs,
+    )
+    from graphiti_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    canon = canonical_docs(
+        docs, minhash_near_dup(docs, threshold=0.95, mode="word")
+    )
+    return representative_docs(
+        canon, quality_score(docs).select("id", "score")
+    ).orderBy("canonical_id")
+
+
 def _q_docs_split_clusters(spark, sf_dir):
     """Leakage-safe corpus split (r4): train/val/test assigned by a
     deterministic 52-bit sha-uniform on the near-dup CANONICAL id, so a
@@ -1991,6 +2014,27 @@ def _q_docs_distinct_kmv(spark, sf_dir):
     return kmv_distinct(bg, ["lang"], "bg", k=64).orderBy("lang")
 
 
+def _q_docs_token_quantile_sketch(spark, sf_dir):
+    """Per-language token-count quantiles from a k=64 bottom-k sample
+    sketch (the mergeable no-global-sort quantile estimator: the k
+    smallest sha52 draws per group are a uniform sample; the estimate
+    is the sample's order statistic). The DuckDB twin recomputes the
+    exact bottom-k sample and the identical rank arithmetic."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.sketch import bottomk_quantiles
+
+    t = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""
+    )
+    d = _docs(spark, sf_dir).select(
+        "lang", "doc_id", F.size(t).alias("n_tok")
+    )
+    return bottomk_quantiles(
+        d, ["lang"], "doc_id", "n_tok", [0.25, 0.5, 0.9], k=64
+    ).orderBy("lang", "q")
+
+
 def _q_docs_heavy_hitters(spark, sf_dir):
     """Exact corpus heavy hitters (token share >= 1%) through the
     Misra-Gries candidate pass + exact recount — the final answer is
@@ -2196,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": _q_docs_simhash,  # oracle: brute-force hamming (r3)
         "docs_canonical": _q_docs_canonical,       # oracle: recursive-CTE closure
         "docs_split_clusters": _q_docs_split_clusters,  # leakage-safe split (r4)
+        # best-quality cluster representative, one combinable agg (r4)
+        "docs_representatives": _q_docs_representatives,
         "docs_dup_rate_by_host": _q_docs_dup_rate_by_host,  # template farms (r4)
         "docs_contrastive_pairs": _q_docs_contrastive_pairs,  # training triples (r4)
         # touched-components-only canon update == full rebuild (r4)
@@ -2292,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_distinct_kmv": _q_docs_distinct_kmv,
         "docs_kmv_jaccard": _q_docs_kmv_jaccard,  # sketch-only overlap (r4)
         "docs_heavy_hitters": _q_docs_heavy_hitters,
+        # bottom-k sample quantiles: mergeable, no global sort (r4)
+        "docs_token_quantile_sketch": _q_docs_token_quantile_sketch,
         # crawl link graph: href extraction → host graph → PageRank (r4)
         "page_links": _q_page_links,
         "hosts_graph": _q_hosts_graph,

@@ -548,6 +548,50 @@ def long_id_unkey(c):
     ).otherwise(body)
 
 
+def representative_docs(
+    canon: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-based cluster representative selection: per near-dup
+    cluster keep the BEST member, not the min-id one — what a curation
+    pipeline actually wants (the min-id canonical is an arbitrary copy;
+    the representative should be the highest-quality copy).
+
+    canon: (id, canonical_id) from canonical_docs / the versioned dedup
+    state; scores: per-doc quality (e.g. textstats.quality_score).
+    Winner = max score (rounded 4 dp first — the house tie rule), ties
+    broken by MIN id. Output (canonical_id, rep_id, rep_score,
+    n_members).
+
+    Scale shape: ONE map-side-combinable min(struct) aggregation keyed
+    by cluster — no window, no per-cluster sort; a hot boilerplate
+    cluster with millions of members combines pre-shuffle. (-score, id)
+    struct ordering gives argmax-with-min-id-ties in a single agg;
+    Spark normalizes -0.0 = 0.0 in comparisons so a 0-score tie still
+    falls through to the id."""
+    joined = canon.join(
+        scores.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("_s")
+        ),
+        "id",
+    )
+    key = F.struct(
+        (-F.round(F.col("_s"), 4)).alias("ns"), F.col("id").alias("id")
+    )
+    return (
+        joined.groupBy("canonical_id")
+        .agg(F.min(key).alias("w"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "canonical_id",
+            F.col("w.id").alias("rep_id"),
+            (F.round(-F.col("w.ns"), 4) + F.lit(0.0)).alias("rep_score"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
 def canonical_docs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs → clusters → per-doc canonical id (min id in the
     connected component; singletons map to themselves)."""

@@ -255,3 +255,134 @@ def kmv_jaccard(
             "est_intersection"
         ),
     )
+
+
+def sample_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = 256,
+    seed: str = "qsk",
+    fanout: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k uniform sample for quantile estimation:
+    (group_cols..., sample array<struct<u double, v double>>, n_rows).
+
+    The k rows with the smallest content-hash draws u = sha52(seed:id)
+    are a simple random sample WITHOUT replacement of the group — the
+    classic bottom-k construction — so the sample's order statistics
+    estimate the group's quantiles with no global sort and shuffle
+    payload ≤ fanout × k structs per group, independent of group size.
+    Same two-level build as the KMV sketch (disjoint id-hash buckets,
+    each capped at k, then a bounded merge): the result is invariant
+    to bucketing and input partitioning because a globally-bottom-k
+    draw is bottom-k within its own bucket.
+
+    MERGEABLE across corpus shards with DISJOINT ids (the only shape a
+    sharded corpus has): union the samples, keep the k smallest by u,
+    add n_rows — law-tested in tests/test_sketch.py. Overlapping ids
+    would double-count n_rows (the u-dedup only repairs the sample).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    u = uniform_hash_col(F.col(id_col), seed)
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(fanout))
+    pair = F.struct(
+        u.alias("u"), F.col(value_col).cast("double").alias("v")
+    )
+    l1 = (
+        df.select(*group_cols, pair.alias("p"), bucket.alias("b"))
+        .groupBy(*group_cols, "b")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("p")), 1, k).alias(
+                "sample"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return l1.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("sample"))), 1, k
+        ).alias("sample"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def sample_merge(
+    sketches: Iterable[DataFrame], group_cols: list[str], k: int
+) -> DataFrame:
+    """Merge partial bottom-k samples built over DISJOINT id sets:
+    union, keep the k smallest by u, sum exact row counts."""
+    frames = list(sketches)
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    return merged.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("sample"))), 1, k
+        ).alias("sample"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Quantile estimates from a bottom-k sample sketch. Output one row
+    per (group, q): (group_cols..., q, est, n_sample, n_rows, exact).
+
+    Estimator: the ceil(q·n_sample)-th smallest sampled VALUE (rank
+    clamped to [1, n_sample]) — the standard order-statistic estimate
+    on a uniform sample. When n_rows ≤ k the sample IS the group and
+    the estimate is the exact quantile (``exact`` = true). Estimates
+    round to 4 dp with the IEEE −0 normalization the oracles expect."""
+    for qv in qs:
+        if not 0.0 <= qv <= 1.0:
+            raise ValueError(f"quantile {qv} outside [0, 1]")
+    values = F.array_sort(
+        F.transform(F.col("sample"), lambda x: x["v"])
+    )
+    n_samp = F.size("sample")
+    k_ref = F.col("n_rows") <= n_samp
+    rows = sketch.select(
+        *group_cols,
+        values.alias("vals"),
+        n_samp.cast("long").alias("n_sample"),
+        "n_rows",
+        k_ref.alias("exact"),
+        F.explode(
+            F.array(*[F.lit(float(qv)) for qv in qs])
+        ).alias("q"),
+    )
+    rank = F.greatest(
+        F.lit(1), F.ceil(F.col("q") * F.col("n_sample")).cast("int")
+    )
+    return rows.select(
+        *group_cols,
+        "q",
+        (
+            F.round(F.element_at("vals", rank), 4) + F.lit(0.0)
+        ).alias("est"),
+        "n_sample",
+        "n_rows",
+        "exact",
+    )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    qs: list[float],
+    k: int = 256,
+    seed: str = "qsk",
+    fanout: int = 64,
+) -> DataFrame:
+    """Sketch + estimate in one call (the common batch shape)."""
+    return quantile_estimate(
+        sample_sketch(df, group_cols, id_col, value_col, k, seed, fanout),
+        group_cols,
+        qs,
+    )

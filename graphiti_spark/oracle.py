@@ -2763,6 +2763,60 @@ JOIN (SELECT doc_id AS id,
 GROUP BY h.host ORDER BY h.host""",
     )
 
+    # Quality-based cluster representatives (dedup_docs.
+    # representative_docs): the identical canonical closure joined to
+    # the identical quality arithmetic (docs_quality's gates), winner =
+    # (score desc, id asc) — DuckDB uses a window where Spark uses the
+    # combinable min(struct); same result by construction.
+    q["docs_representatives"] = q["docs_canonical"].replace(
+        "SELECT id, m AS canonical_id FROM r16 ORDER BY id",
+        """SELECT canonical_id, id AS rep_id,
+       round(score, 4) + 0.0 AS rep_score,
+       CAST(nm AS BIGINT) AS n_members
+FROM (
+  SELECT r.m AS canonical_id, r.id, sc.score,
+         row_number() OVER (PARTITION BY r.m
+                            ORDER BY sc.score DESC, r.id) AS rk,
+         COUNT(*) OVER (PARTITION BY r.m) AS nm
+  FROM r16 r
+  JOIN (
+    SELECT id,
+      round(CAST(
+        (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+              THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN alpha_ratio >= 0.8 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN distinct_ratio >= 0.2 THEN 0.25 ELSE 0.0 END)
+        AS DOUBLE), 4) AS score
+    FROM (
+      SELECT doc_id AS id,
+        CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS mean_len,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> x IN
+               ('the','and','of','to','a','in','is','it','that','for')))
+               AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS stop_ratio,
+        CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(lower(text), '[^a-z ]', '',
+                  'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END AS alpha_ratio,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS distinct_ratio
+      FROM (
+        SELECT doc_id, text,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      )
+    )
+  ) sc ON sc.id = r.id
+) WHERE rk = 1 ORDER BY canonical_id""",
+    )
+
     # Leakage-safe split (operators/sampling.py split_by_cluster): the
     # identical canonical closure, then the 52-bit sha-uniform drawn on
     # the CLUSTER id and the same IEEE running-sum boundaries
@@ -3413,6 +3467,48 @@ SELECT tok AS value, CAST(cnt AS BIGINT) AS cnt,
        round(CAST(cnt AS DOUBLE) / n, 4) + 0.0 AS share
 FROM hh_c CROSS JOIN hh_n
 WHERE cnt * 100 >= n ORDER BY value"""
+
+    # ---- bottom-k sample quantile sketch (sketch.bottomk_quantiles):
+    # DuckDB recomputes the exact bottom-k-by-u sample (u = the same
+    # 52-bit sha draw on the doc id, ties broken by value as in the
+    # Spark struct sort) and the identical ceil(q·n)-rank estimator.
+    # qs_ prefix. ----
+    q["docs_token_quantile_sketch"] = """WITH qs_tok AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split(lower(trim(text)), ' '),
+             x -> x <> '')) AS n_tok
+  FROM documents
+),
+qs_u AS (
+  SELECT lang, CAST(n_tok AS DOUBLE) AS v,
+         (('0x' || substr(sha256('qsk:' || CAST(doc_id AS VARCHAR)), 1, 13))
+          ::UBIGINT / 4503599627370496.0) AS u
+  FROM qs_tok
+),
+qs_rk AS (
+  SELECT lang, u, v,
+         row_number() OVER (PARTITION BY lang ORDER BY u, v) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n_rows
+  FROM qs_u
+),
+qs_samp AS (
+  SELECT lang, v, n_rows,
+         count(*) OVER (PARTITION BY lang) AS n_sample,
+         row_number() OVER (PARTITION BY lang ORDER BY v, u) AS vrk
+  FROM qs_rk WHERE rk <= 64
+),
+qs_q AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                        CAST(0.9 AS DOUBLE)]) AS q),
+qs_est AS (
+  SELECT s.lang, q.q, s.v, s.n_sample, s.n_rows
+  FROM qs_samp s CROSS JOIN qs_q q
+  WHERE s.vrk = greatest(1, CAST(ceil(q.q * s.n_sample) AS INT))
+)
+SELECT lang, q, round(v, 4) + 0.0 AS est,
+       CAST(n_sample AS BIGINT) AS n_sample,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       n_rows <= n_sample AS exact
+FROM qs_est ORDER BY lang, q"""
 
     # ---- crawl link graph (closed-form expected edges, urls_canonical
     # adjudication style: DuckDB asserts what extraction + resolution +

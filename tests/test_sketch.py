@@ -138,3 +138,121 @@ def test_kmv_jaccard_estimates_in_sketch_regime(spark):
     assert r["n_m"] == k
     assert abs(r["jaccard_est"] - 1 / 3) < 4 / (k ** 0.5)
     assert abs(r["est_union"] - 4500) / 4500 < 0.25
+
+
+# ---- bottom-k quantile sample sketch ----
+
+
+@pytest.fixture(scope="module")
+def measured(spark):
+    # 3 groups × 400 rows; values are a deterministic spread so every
+    # quantile has a known exact answer. ids are globally unique (the
+    # disjointness the merge law assumes).
+    rows = [
+        (g, f"d{g}_{i}", float((i * 37) % 1000) / 10.0)
+        for g in range(3)
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "g int, id string, x double")
+
+
+def _exact_quantile(vals, q):
+    import math
+
+    vs = sorted(vals)
+    rank = max(1, math.ceil(q * len(vs)))
+    return vs[rank - 1]
+
+
+def test_sample_sketch_merge_equals_whole(measured):
+    from graphiti_spark.operators.sketch import (
+        quantile_estimate,
+        sample_merge,
+        sample_sketch,
+    )
+
+    k = 16
+    h1 = measured.filter(F.col("x") < 50.0)
+    h2 = measured.filter(F.col("x") >= 50.0)
+    merged = quantile_estimate(
+        sample_merge(
+            [
+                sample_sketch(h1, ["g"], "id", "x", k),
+                sample_sketch(h2, ["g"], "id", "x", k),
+            ],
+            ["g"],
+            k,
+        ),
+        ["g"],
+        [0.25, 0.5, 0.9],
+    )
+    whole = quantile_estimate(
+        sample_sketch(measured, ["g"], "id", "x", k), ["g"], [0.25, 0.5, 0.9]
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_sample_sketch_partition_and_fanout_invariant(measured):
+    from graphiti_spark.operators.sketch import bottomk_quantiles
+
+    a = bottomk_quantiles(
+        measured.repartition(1), ["g"], "id", "x", [0.5], k=16, fanout=4
+    )
+    b = bottomk_quantiles(
+        measured.repartition(13), ["g"], "id", "x", [0.5], k=16, fanout=64
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quantiles_exact_below_k(measured):
+    """n_rows ≤ k ⇒ the sample is the whole group: estimates must equal
+    the exact order-statistic quantiles and carry exact=true."""
+    from graphiti_spark.operators.sketch import bottomk_quantiles
+
+    qs = [0.0, 0.1, 0.5, 0.75, 1.0]
+    got = bottomk_quantiles(measured, ["g"], "id", "x", qs, k=512)
+    rows = got.collect()
+    by_g = {}
+    for r in measured.collect():
+        by_g.setdefault(r["g"], []).append(r["x"])
+    assert all(r["exact"] for r in rows)
+    for r in rows:
+        assert r["n_sample"] == 400 and r["n_rows"] == 400
+        assert r["est"] == round(_exact_quantile(by_g[r["g"]], r["q"]), 4)
+
+
+def test_quantile_estimator_rank_arithmetic(spark):
+    """Hand-checked: 4 values, q=0.5 → ceil(0.5·4)=2nd smallest; q=0
+    clamps to the minimum; q=1 → the maximum."""
+    from graphiti_spark.operators.sketch import bottomk_quantiles
+
+    df = spark.createDataFrame(
+        [("a", "i1", 10.0), ("a", "i2", 20.0), ("a", "i3", 30.0),
+         ("a", "i4", 40.0)],
+        "g string, id string, x double",
+    )
+    est = {
+        r["q"]: r["est"]
+        for r in bottomk_quantiles(
+            df, ["g"], "id", "x", [0.0, 0.5, 1.0], k=8
+        ).collect()
+    }
+    assert est == {0.0: 10.0, 0.5: 20.0, 1.0: 40.0}
+
+
+def test_quantile_sampling_accuracy(measured):
+    """k=64 over 400 rows: every estimate's true rank must sit within
+    0.15 of the target quantile (deterministic draw, fixed fixture)."""
+    from graphiti_spark.operators.sketch import bottomk_quantiles
+
+    got = bottomk_quantiles(measured, ["g"], "id", "x", [0.25, 0.5, 0.9], k=64)
+    by_g = {}
+    for r in measured.collect():
+        by_g.setdefault(r["g"], []).append(r["x"])
+    for r in got.collect():
+        assert not r["exact"] and r["n_sample"] == 64
+        vs = sorted(by_g[r["g"]])
+        true_rank = sum(1 for v in vs if v <= r["est"]) / len(vs)
+        assert abs(true_rank - r["q"]) < 0.15, (r["g"], r["q"], true_rank)

@@ -464,3 +464,28 @@ def test_contrastive_pairs_shape_and_determinism(spark):
     # direction matters for the draw key: (3,7) and (7,3) draw
     # independently (they MAY coincide, but not by construction)
     assert ("anchor", "pos", "neg_idx", "negative") == tuple(out[0].__fields__)
+
+
+def test_representative_docs_winner_rule(spark):
+    """Best score wins; score ties break to MIN id; singleton clusters
+    represent themselves; n_members counts every member."""
+    from graphiti_spark.operators.dedup_docs import representative_docs
+
+    canon = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "id long, canonical_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.75), (3, 0.75), (7, 0.0), (9, 0.25), (10, 0.25)],
+        "id long, score double",
+    )
+    got = {
+        r["canonical_id"]: (r["rep_id"], r["rep_score"], r["n_members"])
+        for r in representative_docs(canon, scores).collect()
+    }
+    assert got == {
+        1: (2, 0.75, 3),   # max score; tie 2-vs-3 -> min id 2
+        7: (7, 0.0, 1),    # singleton, zero score stays 0.0 (no -0.0)
+        9: (9, 0.25, 2),   # tie -> min id
+    }
+    assert all(str(v[1]) != "-0.0" for v in got.values())
