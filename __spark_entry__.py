@@ -866,6 +866,21 @@ def _q_embeddings_near_dup(spark, sf_dir):
     )
 
 
+def _q_embeddings_semantic_decontam(spark, sf_dir):
+    """Embedding-level benchmark decontamination (r4): label-0 vectors
+    play the benchmark suite (bounded by the eval sets → broadcast);
+    every other vector is flagged when its max cosine against any
+    benchmark vector reaches 0.45 — the semantic complement of the
+    exact 13-gram decontamination rule. DuckDB recomputes every cosine
+    with the identical double arithmetic and 4 dp pre-compare round."""
+    from graphiti_spark.operators.curation import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_decontaminate(
+        emb.filter("label <> 0"), emb.filter("label = 0"), threshold=0.45
+    ).orderBy("id")
+
+
 def _q_docs_language_id(spark, sf_dir):
     from graphiti_spark.operators.textstats import language_id
 
@@ -2253,6 +2268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_near_dup": _q_embeddings_near_dup,
         # SemDeDup: IVF-cell clustering + within-cell cosine CC (r4)
         "embeddings_semantic_dedup": _q_embeddings_semantic_dedup,
+        # embedding-level eval-set decontamination (r4)
+        "embeddings_semantic_decontam": _q_embeddings_semantic_decontam,
         "docs_language_id": _q_docs_language_id,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,

@@ -460,3 +460,63 @@ def strip_host_boilerplate(
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.45,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: a document is flagged
+    when its embedding's cosine against ANY benchmark embedding reaches
+    ``threshold`` — the semantic complement of the exact 13-gram rule
+    (``decontaminate``), catching paraphrased/reworded eval leakage
+    that verbatim n-grams miss. Output one row per corpus doc:
+    (id, max_benchmark_cos, n_matches, contaminated).
+
+    Scale shape: the benchmark suite is bounded by the EVAL SETS, not
+    the corpus, so its vectors broadcast; the corpus makes ONE pass
+    (broadcast nested-loop + map-side-combinable max/count per doc —
+    no shuffle wider than |corpus| rows of (id, max, count)). Cosines
+    compute in double with zero-norm guards and round to 4 dp BEFORE
+    the threshold compare and the max (house determinism rules)."""
+    a = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("av"),
+    )
+    b = benchmark.select(F.col(emb_col).cast("array<double>").alias("bv"))
+    if broadcast:
+        b = F.broadcast(b)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    na, nb = F.sqrt(dot(F.col("av"), F.col("av"))), F.sqrt(
+        dot(F.col("bv"), F.col("bv"))
+    )
+    cos = F.round(
+        F.when(
+            (na == 0.0) | (nb == 0.0), F.lit(0.0)
+        ).otherwise(dot(F.col("av"), F.col("bv")) / (na * nb)),
+        4,
+    )
+    scored = a.crossJoin(b).select(
+        "id", (cos + F.lit(0.0)).alias("cos")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            (F.max("cos") + F.lit(0.0)).alias("max_benchmark_cos"),
+            F.sum(
+                F.when(F.col("cos") >= threshold, 1).otherwise(0)
+            ).cast("long").alias("n_matches"),
+        )
+        .withColumn("contaminated", F.col("n_matches") > 0)
+    )

@@ -890,6 +890,32 @@ pairs AS (
 )
 SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.45 ORDER BY a_id, b_id"""
 
+    # Semantic decontamination (curation.semantic_decontaminate):
+    # label-0 vectors are the benchmark suite; every cosine recomputed
+    # in double, rounded 4 dp BEFORE the max and the threshold compare
+    # (identical to the Spark side). sc_ prefix.
+    q["embeddings_semantic_decontam"] = """WITH
+sc_b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv
+         FROM embeddings WHERE label = 0),
+sc_a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS av
+         FROM embeddings WHERE label <> 0),
+sc_cos AS (
+  SELECT a.id,
+         round(CASE WHEN list_inner_product(a.av, a.av) = 0
+                      OR list_inner_product(b.bv, b.bv) = 0
+                    THEN 0.0
+                    ELSE list_inner_product(a.av, b.bv)
+                         / (sqrt(list_inner_product(a.av, a.av))
+                            * sqrt(list_inner_product(b.bv, b.bv)))
+               END, 4) + 0.0 AS cos
+  FROM sc_a a CROSS JOIN sc_b b
+)
+SELECT id, max(cos) + 0.0 AS max_benchmark_cos,
+       CAST(sum(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches,
+       sum(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM sc_cos GROUP BY id ORDER BY id"""
+
     # SemDeDup (dedup_docs.semantic_dedup): hash-picked IVF centroids →
     # nearest-centroid cells (identical math to ann_ivf_embeddings) →
     # within-cell cosine >= τ pairs (rounded 4 dp first) → min-prop CC

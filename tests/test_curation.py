@@ -317,3 +317,34 @@ def test_strip_host_boilerplate_can_empty_a_doc(spark):
     }
     assert (out[1]["text_clean"], out[1]["n_kept"], out[1]["n_dropped"]) == ("", 0, 1)
     assert out[3]["text_clean"] == "extra"
+
+
+def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
+    """Identical direction → cos 1.0 flagged; orthogonal → 0.0 clean;
+    zero-norm vectors guard to 0.0 instead of NaN."""
+    from graphiti_spark.operators.curation import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),   # same direction, scaled -> cos 1.0
+            (2, [0.0, 3.0, 0.0]),   # orthogonal -> cos 0.0
+            (3, [1.0, 1.0, 0.0]),   # cos ~0.7071
+            (4, [0.0, 0.0, 0.0]),   # zero norm -> guard to 0.0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["id"]: (r["max_benchmark_cos"], r["n_matches"], r["contaminated"])
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.7
+        ).collect()
+    }
+    assert out == {
+        1: (1.0, 1, True),
+        2: (0.0, 0, False),
+        3: (0.7071, 1, True),
+        4: (0.0, 0, False),
+    }
