@@ -866,6 +866,18 @@ def _q_embeddings_near_dup(spark, sf_dir):
     )
 
 
+def _q_embeddings_kmeans(spark, sf_dir):
+    """Deterministic k-means refinement of the IVF centroids (r4): two
+    Lloyd rounds from the hash-picked seed, means accumulated in exact
+    1e-9 integer units (order/partitioning-independent — the only
+    order-sensitive step in Lloyd made replayable). DuckDB unrolls both
+    rounds: identical assignment argmax, identical integer-unit sums."""
+    from graphiti_spark.operators.kmeans import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_lloyd(emb, n_cells=8, n_iter=2).orderBy("cid")
+
+
 def _q_embeddings_semantic_decontam(spark, sf_dir):
     """Embedding-level benchmark decontamination (r4): label-0 vectors
     play the benchmark suite (bounded by the eval sets → broadcast);
@@ -2270,6 +2282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_semantic_dedup": _q_embeddings_semantic_dedup,
         # embedding-level eval-set decontamination (r4)
         "embeddings_semantic_decontam": _q_embeddings_semantic_decontam,
+        # exact-integer-mean Lloyd refinement of the IVF centroids (r4)
+        "embeddings_kmeans": _q_embeddings_kmeans,
         "docs_language_id": _q_docs_language_id,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,

@@ -1,0 +1,119 @@
+"""Deterministic k-means (Lloyd) refinement + per-group prototype
+embeddings ("mean pooling") with exact-integer accumulation.
+
+The IVF index (search/similarity.py ivf_centroids) deliberately ships
+hash-picked centroids for reproducibility and notes "swap in k-means
+offline if needed — the probe/assign contract is unchanged". This
+module is that offline step, made engine-reproducible:
+
+  - **The mean is the only k-means step that is order-sensitive.**
+    Summing IEEE doubles across partitions gives different bits for
+    different aggregation orders, so a naive Lloyd iteration is not
+    replayable. Here every component quantizes HALF_UP to 1e-9 integer
+    units first and accumulates in decimal(38,0) (exact, associative,
+    partitioning-independent — the pagerank/sessionization integer-sum
+    house pattern), then divides ONCE in double and rounds 4 dp.
+  - Assignment reuses ivf_assign's broadcast-argmax cosine (raw-double
+    zip_with math, bit-identical to DuckDB's list_inner_product; ties
+    → min centroid id), so the whole iteration is a pure function of
+    (corpus, n_cells, n_iter) that the oracle can unroll round by
+    round.
+  - Empty cells keep their previous centroid (no respawn heuristics —
+    reproducibility over the last recall point, as with the hash pick).
+
+Scale shape per iteration: one broadcast cross join (|corpus| × k) +
+a combinable (cell, pos) sum shuffle of |corpus|·dim integer rows; the
+centroid frame (k rows) is localCheckpointed each round so the plan
+stays linear in n_iter (the k_core/incremental lineage rule).
+
+``mean_pool`` stands alone as per-group prototype construction (class
+centroids for contrastive training, cluster summaries for SemDeDup
+reporting) with the same exact-accumulation guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphiti_spark.search.similarity import ivf_assign, ivf_centroids
+
+# 1e-9 quantization: components round HALF_UP to integer units before
+# the exact decimal sum. Rounding is away-from-zero for negatives in
+# BOTH engines; products |x|·1e9 stay far under 2^53 so the half cases
+# are exact doubles and round identically.
+UNITS = 1_000_000_000.0
+
+
+def mean_pool(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group elementwise mean embedding, order-independent.
+    Output (group_cols..., cvec array<double>, n_members)."""
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(UNITS), 0).cast(
+            "decimal(38,0)"
+        ),
+    )
+    ex = df.select(*group_cols, F.posexplode(iv).alias("pos", "iv"))
+    agg = ex.groupBy(*group_cols, "pos").agg(
+        F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = (F.col("s").cast("double") / F.lit(UNITS)) / F.col("n")
+    comp = agg.select(
+        *group_cols,
+        "pos",
+        (F.round(mean, round_dp) + F.lit(0.0)).alias("m"),
+        "n",
+    )
+    return comp.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda x: x["m"],
+        ).alias("cvec"),
+        F.max("n").cast("long").alias("n_members"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iter: int = 2,
+    init: DataFrame | None = None,
+) -> DataFrame:
+    """n_iter Lloyd rounds from the hash-picked seed (or ``init``
+    (cid, cvec) to resume/continue a refinement). Output
+    (cid, cvec array<double>, n_members) — cid keeps the seed identity
+    so cluster labels are stable across refinement rounds; drop-in for
+    ivf_assign/cosine_topk_ivf ``centroids``."""
+    cents = (
+        init.select("cid", "cvec")
+        if init is not None
+        else ivf_centroids(df, id_col, vec_col, n_cells)
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+        means = mean_pool(
+            assigned.select(F.col("cell").alias("cid"), "vec"),
+            ["cid"],
+            "vec",
+        )
+        cents = (
+            cents.select("cid", F.col("cvec").alias("prev"))
+            .join(means, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("cvec"), F.col("prev")).alias("cvec"),
+                F.coalesce(F.col("n_members"), F.lit(0))
+                .cast("long")
+                .alias("n_members"),
+            )
+            .localCheckpoint()
+        )
+    return cents

@@ -890,6 +890,63 @@ pairs AS (
 )
 SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.45 ORDER BY a_id, b_id"""
 
+    # k-means Lloyd refinement (operators/kmeans.py): two unrolled
+    # rounds from the hash-picked seed. Assignment = the sd_assign /
+    # ivf argmax shape (s DESC, cid ASC); means = HALF_UP 1e-9 integer
+    # units summed in HUGEINT (exact = order-independent, matching the
+    # Spark decimal(38,0) accumulation), ONE double division chain,
+    # 4 dp + IEEE −0 normalization. Empty cells keep their previous
+    # centroid via the same LEFT JOIN coalesce. km_ prefix.
+    _km_rounds, _km_prev = [], "km_c0"
+    for _i in (1, 2):
+        _km_rounds.append(f"""km_s{_i} AS (
+  SELECT a.vec_id, c.cid,
+         CASE WHEN list_inner_product(a.v, a.v) = 0
+                OR list_inner_product(c.cvec, c.cvec) = 0
+              THEN 0.0
+              ELSE list_inner_product(a.v, c.cvec)
+                   / (sqrt(list_inner_product(a.v, a.v))
+                      * sqrt(list_inner_product(c.cvec, c.cvec)))
+         END + 0.0 AS s
+  FROM km_v a CROSS JOIN {_km_prev} c
+),
+km_a{_i} AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM km_s{_i}) WHERE rn = 1
+),
+km_m{_i} AS MATERIALIZED (
+  SELECT cid, list(m ORDER BY pos) AS cvec, max(n) AS n_members FROM (
+    SELECT cell AS cid, pos,
+           round((CAST(sum(iv) AS DOUBLE) / 1000000000.0) / count(*), 4)
+             + 0.0 AS m,
+           count(*) AS n
+    FROM (
+      SELECT a.cell, r.i AS pos,
+             CAST(round(v[r.i] * 1000000000.0, 0) AS HUGEINT) AS iv
+      FROM km_a{_i} a JOIN km_v USING (vec_id),
+           unnest(range(1, len(v) + 1)) AS r(i)
+    ) GROUP BY cell, pos
+  ) GROUP BY cid
+),
+km_c{_i} AS MATERIALIZED (
+  SELECT c.cid, coalesce(m.cvec, c.cvec) AS cvec,
+         coalesce(m.n_members, 0) AS n_members
+  FROM {_km_prev} c LEFT JOIN km_m{_i} m USING (cid)
+)""")
+        _km_prev = f"km_c{_i}"
+    q["embeddings_kmeans"] = f"""WITH
+km_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+km_c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+{','.join(_km_rounds)}
+SELECT cid, cvec, CAST(n_members AS BIGINT) AS n_members
+FROM {_km_prev} ORDER BY cid"""
+
     # Semantic decontamination (curation.semantic_decontaminate):
     # label-0 vectors are the benchmark suite; every cosine recomputed
     # in double, rounded 4 dp BEFORE the max and the threshold compare

@@ -1,0 +1,63 @@
+"""Deterministic k-means: exact-integer mean accumulation (the
+order-independence contract) and Lloyd refinement behavior."""
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.kmeans import kmeans_lloyd, mean_pool
+
+
+def test_mean_pool_partitioning_invariant(spark):
+    """The whole point of the 1e-9 integer-unit accumulation: identical
+    bits no matter how the input is partitioned."""
+    rows = [
+        (i % 3, [float((i * 37 + d) % 100) / 7.0 for d in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g int, vec array<float>")
+    a = sorted(map(tuple, mean_pool(df.repartition(1), ["g"], "vec").collect()))
+    b = sorted(map(tuple, mean_pool(df.repartition(13), ["g"], "vec").collect()))
+    assert a == b
+
+
+def test_mean_pool_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, -6.0])],
+        "g int, vec array<float>",
+    )
+    out = {r["g"]: (r["cvec"], r["n_members"]) for r in
+           mean_pool(df, ["g"], "vec").collect()}
+    assert out == {1: ([2.0, 3.0], 2), 2: ([5.0, -6.0], 1)}
+
+
+def test_kmeans_separable_clusters_converge(spark):
+    """Two orthogonal direction bundles; after 2 rounds each centroid
+    is the exact mean of its bundle and members split correctly."""
+    rows = (
+        [(i, [10.0 + (i % 3), 0.1 * (i % 3), 0.0]) for i in range(12)]
+        + [(100 + i, [0.1 * (i % 3), 7.0 + (i % 3), 0.0]) for i in range(12)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_lloyd(df, n_cells=2, n_iter=2).collect()
+    assert sorted(r["n_members"] for r in cents) == [12, 12]
+    for r in cents:
+        v = r["cvec"]
+        # each centroid points into exactly one bundle's quadrant
+        assert (v[0] > 1.0) != (v[1] > 1.0)
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A seeded centroid that wins no points (duplicate direction,
+    larger cid loses min-cid ties) must survive with n_members=0 and
+    its vector unchanged — no silent respawn."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.9, 0.02])],
+        "vec_id long, embedding array<float>",
+    )
+    init = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [1.0, 0.0])],  # identical -> 20 starves
+        "cid long, cvec array<double>",
+    )
+    out = {r["cid"]: r for r in
+           kmeans_lloyd(df, n_iter=1, init=init).collect()}
+    assert out[20]["n_members"] == 0 and out[20]["cvec"] == [1.0, 0.0]
+    assert out[10]["n_members"] == 3
