@@ -257,6 +257,25 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF top-k over k-means-REFINED centroids (r4): kmeans_lloyd's
+    output drops straight into cosine_topk_ivf's ``centroids`` slot —
+    the drop-in contract the IVF module promises for offline-trained
+    cells. The oracle unrolls the identical two Lloyd rounds, then runs
+    the identical probe/scan arithmetic over the refined centroids."""
+    from graphiti_spark.operators.kmeans import kmeans_lloyd
+    from graphiti_spark.search.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_ivf(
+        emb,
+        _query_vec(spark, sf_dir),
+        limit=10,
+        n_probe=3,
+        centroids=kmeans_lloyd(emb, n_cells=8, n_iter=2),
+    )
+
+
 def _q_ann_ivf_quantized(spark, sf_dir):
     """IVF top-k over the int8-quantized index (the 4x-bandwidth scan
     path): probe cells are chosen on full precision, the candidate scan
@@ -2242,6 +2261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh,          # oracle: sha256 planes (r3)
         "ann_ivf_embeddings": _q_ann_ivf,          # oracle: sha256 centroids (r3)
         "ann_ivf_quantized": _q_ann_ivf_quantized,  # int8 scan path (r4)
+        # trained-centroid IVF: kmeans output in the centroids slot (r4)
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         # frozen-centroid index-add == same-centroid full build (r4)
         "ann_ivf_incremental": _q_ann_ivf_incremental,
         "mmr_embeddings": _q_mmr,                  # oracle: unrolled greedy CTEs

@@ -947,6 +947,74 @@ km_c0 AS MATERIALIZED (
 SELECT cid, cvec, CAST(n_members AS BIGINT) AS n_members
 FROM {_km_prev} ORDER BY cid"""
 
+    # Trained-centroid IVF (ann_ivf_kmeans): the km_ Lloyd chain above
+    # feeds the IDENTICAL probe/scan arithmetic as ann_ivf_embeddings —
+    # km_c2 replaces the hash-picked cent, n_probe 3, top-10. kq_
+    # prefix for the ANN tail.
+    q["ann_ivf_kmeans"] = q["embeddings_kmeans"].replace(
+        """SELECT cid, cvec, CAST(n_members AS BIGINT) AS n_members
+FROM km_c2 ORDER BY cid""",
+        """, kq_qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q
+         FROM embeddings WHERE vec_id = 0),
+kq_assign AS (
+  SELECT e.vec_id, c.cid,
+         CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) = 0
+                OR list_inner_product(c.cvec, c.cvec) = 0
+              THEN 0.0
+              ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(c.cvec, c.cvec)))
+         END + 0.0 AS s
+  FROM embeddings e CROSS JOIN km_c2 c
+),
+kq_cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM kq_assign) WHERE rn = 1
+),
+kq_probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           CASE WHEN list_inner_product((SELECT q FROM kq_qv),
+                                        (SELECT q FROM kq_qv)) = 0
+                  OR list_inner_product(c.cvec, c.cvec) = 0
+                THEN 0.0
+                ELSE list_inner_product((SELECT q FROM kq_qv), c.cvec)
+                     / (sqrt(list_inner_product((SELECT q FROM kq_qv),
+                                                (SELECT q FROM kq_qv)))
+                        * sqrt(list_inner_product(c.cvec, c.cvec)))
+           END + 0.0 AS s
+    FROM km_c2 c) ORDER BY s DESC, cid ASC LIMIT 3
+),
+kq_cands AS (SELECT vec_id FROM kq_cells JOIN kq_probe USING (cid)),
+kq_scored AS (
+  SELECT e.vec_id AS id,
+         round(
+           CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) = 0
+                  OR list_inner_product((SELECT q FROM kq_qv),
+                                        (SELECT q FROM kq_qv)) = 0
+                THEN 0.0
+                ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        (SELECT q FROM kq_qv))
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product((SELECT q FROM kq_qv),
+                                                  (SELECT q FROM kq_qv))))
+           END,
+         4) AS score
+  FROM embeddings e JOIN kq_cands c ON e.vec_id = c.vec_id
+),
+kq_topk AS (SELECT * FROM kq_scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM kq_topk ORDER BY rank""",
+    )
+
     # Semantic decontamination (curation.semantic_decontaminate):
     # label-0 vectors are the benchmark suite; every cosine recomputed
     # in double, rounded 4 dp BEFORE the max and the threshold compare

@@ -61,3 +61,29 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
            kmeans_lloyd(df, n_iter=1, init=init).collect()}
     assert out[20]["n_members"] == 0 and out[20]["cvec"] == [1.0, 0.0]
     assert out[10]["n_members"] == 3
+
+
+def test_trained_centroids_full_recall_on_clustered_data(spark):
+    """On genuinely clustered vectors, 2 Lloyd rounds align the cells
+    with the bundles: probing ONE cell already recovers the full
+    brute-force top-10 for an in-bundle query (the scan-fraction win
+    IVF training buys at corpus scale)."""
+    from graphiti_spark.search.similarity import cosine_topk, cosine_topk_ivf
+
+    rows = []
+    for b, base in enumerate([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0],
+                              [0.0, 0.0, 10.0]]):
+        for i in range(20):
+            v = [x + 0.05 * ((i * 7 + d) % 5) for d, x in enumerate(base)]
+            rows.append((b * 100 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_lloyd(emb, n_cells=3, n_iter=2)
+    q = [10.0, 0.1, 0.1]
+    brute = [r["id"] for r in cosine_topk(emb, q, limit=10).collect()]
+    ivf = [
+        r["id"]
+        for r in cosine_topk_ivf(
+            emb, q, limit=10, n_probe=1, centroids=cents
+        ).collect()
+    ]
+    assert set(ivf) == set(brute) and len(ivf) == 10
