@@ -912,6 +912,21 @@ def _q_embeddings_semantic_decontam(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_docs_curation_funnel(spark, sf_dir):
+    """The COMPOSED curation funnel (r4): exact dedup → near-dup
+    canonicals → C4 line dedup → language/quality gates → deterministic
+    sample, each stage consuming the previous stage's survivors — the
+    oracle-able core of jobs/curate_corpus.py. Every stage is
+    hash-verified standalone elsewhere; this entry hash-proves the
+    composition (survivor sets, rewritten text feeding the gates, the
+    final content sha of what ships)."""
+    from graphiti_spark.operators.curation import curation_funnel
+
+    return curation_funnel(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
 def _q_docs_language_id(spark, sf_dir):
     from graphiti_spark.operators.textstats import language_id
 
@@ -2305,6 +2320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_semantic_decontam": _q_embeddings_semantic_decontam,
         # exact-integer-mean Lloyd refinement of the IVF centroids (r4)
         "embeddings_kmeans": _q_embeddings_kmeans,
+        # the composed curation funnel, hash-proven end-to-end (r4)
+        "docs_curation_funnel": _q_docs_curation_funnel,
         "docs_language_id": _q_docs_language_id,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,

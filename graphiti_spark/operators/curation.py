@@ -520,3 +520,93 @@ def semantic_decontaminate(
         )
         .withColumn("contaminated", F.col("n_matches") > 0)
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    near_dup_threshold: float = 0.95,
+    langs: tuple = ("en", "und"),
+    min_quality: float = 0.25,
+    sample_rate: float = 0.5,
+    sample_seed: str = "curate",
+) -> DataFrame:
+    """The composed curation funnel as ONE declarative DataFrame — the
+    oracle-able core of jobs/curate_corpus.py (stages 1-4 + 7): exact
+    dedup → MinHash near-dup canonicals → C4 line dedup → language +
+    quality gates → deterministic sample. Each stage is individually
+    hash-verified elsewhere; this entry hash-proves their COMPOSITION
+    (each stage consuming the previous survivors, the rewrite text
+    flowing into the gates and the final content sha).
+
+    Output per surviving doc: (doc_id, content_sha = sha256 of the
+    line-deduped text, pred_lang, quality, u — the sampling draw).
+
+    Stage boundaries localCheckpoint: the dedup stages reference their
+    input 3-4× each, so composing them nests the upstream plan
+    multiplicatively (the measured 542 MB plan-string lesson in
+    jobs/curate_corpus.py); the checkpoint keeps the composed plan
+    linear while leaving every stage declarative internally."""
+    from graphiti_spark.operators.dedup_docs import (
+        canonical_docs,
+        exact_dedup,
+        minhash_near_dup,
+    )
+    from graphiti_spark.operators.sampling import sample_fraction
+    from graphiti_spark.operators.textstats import language_id, quality_score
+
+    # 1. exact dedup: the canonical copy survives
+    ex = exact_dedup(docs)
+    d = docs.join(
+        ex.filter(F.col("id") == F.col("canonical_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    ).localCheckpoint()
+
+    # 2. near-dup canonicals over the survivors
+    canon = canonical_docs(
+        d, minhash_near_dup(d, threshold=near_dup_threshold, mode="word")
+    )
+    d = d.join(
+        canon.filter(F.col("id") == F.col("canonical_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    ).localCheckpoint()
+
+    # 3. corpus-level line dedup; docs emptied by the rewrite drop out
+    dl = dedup_lines(d)
+    d = (
+        d.drop("text")
+        .join(
+            dl.select(
+                F.col("id").alias("doc_id"),
+                F.col("text_dedup").alias("text"),
+            ),
+            "doc_id",
+        )
+        .filter(F.length("text") > 0)
+        .localCheckpoint()
+    )
+
+    # 4. language + quality gates over the REWRITTEN text
+    lang = language_id(d).select(F.col("id").alias("doc_id"), "pred_lang")
+    qual = quality_score(d).select(
+        F.col("id").alias("doc_id"), F.col("score").alias("quality")
+    )
+    d = (
+        d.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter(F.col("pred_lang").isin(*langs))
+        .filter(F.col("quality") >= min_quality)
+    )
+
+    # 7. deterministic sample (stage numbering mirrors the job)
+    d = sample_fraction(d, sample_rate, seed=sample_seed)
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_sha"),
+        "pred_lang",
+        "quality",
+        "u",
+    )

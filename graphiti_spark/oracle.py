@@ -1422,6 +1422,136 @@ SELECT d.id, COALESCE(a.text_dedup, '') AS text_dedup,
 FROM dl_docs d LEFT JOIN dl_agg a ON d.id = a.id
 ORDER BY d.id"""
 
+    # Composed curation funnel (curation.curation_funnel): exact dedup
+    # → near-dup canonicals → line dedup → language/quality gates →
+    # deterministic sample, each stage consuming the previous SURVIVORS.
+    # Every stage twin is the same arithmetic as its standalone oracle
+    # (docs_exact_dedup / docs_canonical / docs_dedup_lines /
+    # docs_language_id / docs_quality / docs_sample_fraction); the hash
+    # here proves the COMPOSITION — survivor sets, rewritten text
+    # flowing into the gates, and the final content sha. cf_ prefix.
+    _cf_closure, _cf_prev = [], "cf_r0"
+    for _i in range(1, 17):
+        _cf_cur = f"cf_r{_i}"
+        _cf_closure.append(f"""{_cf_cur} AS MATERIALIZED (
+  SELECT v.id, least(v.m, coalesce(n.m, v.m)) AS m
+  FROM {_cf_prev} v
+  LEFT JOIN (
+    SELECT s.a AS id, min(r.m) AS m
+    FROM cf_sym s JOIN {_cf_prev} r ON r.id = s.b
+    GROUP BY s.a
+  ) n USING (id)
+)""")
+        _cf_prev = _cf_cur
+    _cf_lang_arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{code}' AS code, "
+        f"len(list_filter(toks, t -> t IN {inlist})) AS hits FROM cf_t"
+        for code, inlist in sorted(_markers.items())
+    )
+    _cf_u = (
+        "(('0x' || substr(sha256('curate:' || CAST(doc_id AS VARCHAR)), 1, "
+        "13))::UBIGINT / 4503599627370496.0)"
+    )
+    q["docs_curation_funnel"] = f"""WITH
+cf_ex AS MATERIALIZED (
+  SELECT doc_id, text,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+cf_d1 AS MATERIALIZED (
+  SELECT e.doc_id, e.text
+  FROM cf_ex e JOIN (SELECT h, min(doc_id) AS keep FROM cf_ex GROUP BY h) g
+    ON e.h = g.h AND e.doc_id = g.keep
+),
+cf_s AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct(string_split(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' ')) AS w
+  FROM cf_d1
+),
+cf_p AS MATERIALIZED (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM cf_s a JOIN cf_s b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.w, b.w))) >= 0.95
+),
+cf_sym AS MATERIALIZED (
+  SELECT a_id AS a, b_id AS b FROM cf_p UNION SELECT b_id, a_id FROM cf_p
+),
+cf_r0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS m FROM cf_d1),
+{','.join(_cf_closure)},
+cf_d2 AS MATERIALIZED (
+  SELECT d.doc_id, d.text
+  FROM cf_d1 d JOIN cf_r16 r ON r.id = d.doc_id AND r.m = d.doc_id
+),
+cf_lines AS (
+  SELECT id, unnest(range(0, len(l))) AS idx, unnest(l) AS line
+  FROM (SELECT doc_id AS id, string_split(text, chr(10)) AS l FROM cf_d2)
+),
+cf_keep AS (
+  SELECT id, idx, line,
+         row_number() OVER (PARTITION BY trim(lower(line))
+                            ORDER BY id, idx) AS rn
+  FROM cf_lines
+),
+cf_d3 AS MATERIALIZED (
+  SELECT id AS doc_id,
+         array_to_string(list(line ORDER BY idx), chr(10)) AS text
+  FROM cf_keep WHERE rn = 1 GROUP BY id
+  HAVING length(array_to_string(list(line ORDER BY idx), chr(10))) > 0
+),
+cf_t AS MATERIALIZED (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')
+           AS toks
+  FROM cf_d3
+),
+cf_langs AS ({_cf_lang_arms}),
+cf_lang AS (
+  SELECT doc_id, CASE WHEN hits > 0 THEN code ELSE 'und' END AS pred_lang
+  FROM (
+    SELECT doc_id, code, hits,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, code ASC) AS rn
+    FROM cf_langs) WHERE rn = 1
+),
+cf_qual AS (
+  SELECT doc_id,
+    round(CAST(
+      (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+            THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN alpha_ratio >= 0.8 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN distinct_ratio >= 0.2 THEN 0.25 ELSE 0.0 END)
+      AS DOUBLE), 4) AS quality
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) > 0
+           THEN CAST(list_sum(list_transform(toks, x -> length(x)))
+                     AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS mean_len,
+      CASE WHEN len(toks) > 0
+           THEN CAST(len(list_filter(toks, x -> x IN
+             ('the','and','of','to','a','in','is','it','that','for')))
+             AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS stop_ratio,
+      CASE WHEN length(text) > 0
+           THEN CAST(length(regexp_replace(lower(text), '[^a-z ]', '',
+                'g')) AS DOUBLE) / length(text)
+           ELSE 0.0 END AS alpha_ratio,
+      CASE WHEN len(toks) > 0
+           THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS distinct_ratio
+    FROM cf_t
+  )
+)
+SELECT d.doc_id, sha256(d.text) AS content_sha, l.pred_lang, q.quality,
+       {_cf_u} AS u
+FROM cf_d3 d JOIN cf_lang l USING (doc_id) JOIN cf_qual q USING (doc_id)
+WHERE l.pred_lang IN ('en', 'und') AND q.quality >= 0.25
+  AND {_cf_u} < 0.5
+ORDER BY d.doc_id"""
+
     # Sequence packing (curation.pack_sequences): concat-and-chunk the
     # id-ordered corpus token stream into 128-token training sequences;
     # one row per (sequence, doc) overlap segment. DuckDB's global
