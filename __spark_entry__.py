@@ -1971,6 +1971,45 @@ def _q_parts_skipgrams(spark, sf_dir):
     return skipgram_pairs(w, window=2)
 
 
+def _q_parts_walk_corpus(spark, sf_dir):
+    """The COMPOSED walk-corpus export (r4): walks → skip-gram pairs →
+    per-pair ORDERED negative arrays, exactly the
+    jobs/export_walk_corpus.py composition including the duplicate-pair
+    rule (a window containing the same context twice draws on the
+    DISTINCT key and joins back, so every pair row keeps its own k
+    negatives). The oracle re-derives the walks, the pair slices, and
+    every draw, then folds negatives into the same ordered lists."""
+    from graphiti_spark.operators.walks import (
+        negative_samples,
+        node_frequencies,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    edges = li.unionByName(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    walks = random_walks(
+        edges, walk_len=3, walks_per_node=2, seed="walk"
+    ).localCheckpoint(eager=True)
+    pairs = skipgram_pairs(walks, window=2).localCheckpoint(eager=True)
+    keys = ["start", "widx", "pos", "center", "context"]
+    drawn = negative_samples(
+        pairs.distinct(), node_frequencies(pairs), k=2
+    )
+    negs = drawn.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("neg_idx", "negative"))),
+            lambda s: s["negative"],
+        ).alias("negatives")
+    )
+    return pairs.join(negs, keys).orderBy(*keys)
+
+
 def _q_parts_skipgram_negatives(spark, sf_dir):
     """k=2 deterministic negative samples per skip-gram pair from the
     unigram noise distribution (exact integer inverse-CDF; Spark uses
@@ -2402,6 +2441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_walks": _q_parts_walks,
         "parts_skipgrams": _q_parts_skipgrams,
         "parts_skipgram_negatives": _q_parts_skipgram_negatives,
+        # the composed walk-corpus export, hash-proven end-to-end (r4)
+        "parts_walk_corpus": _q_parts_walk_corpus,
         "parts_biased_walks": _q_parts_biased_walks,
         # mergeable corpus sketches: KMV distinct + MG heavy hitters (r4)
         "docs_distinct_kmv": _q_docs_distinct_kmv,

@@ -3596,6 +3596,27 @@ SELECT d.start, d.widx, d.pos, d.center, d.context, d.neg_idx,
 FROM ng_draws d JOIN ng_cum c ON d.t >= c.lo AND d.t < c.hi
 ORDER BY d.start, d.widx, d.pos, d.context, d.neg_idx"""
 
+    # Composed walk-corpus export (jobs/export_walk_corpus.py shape):
+    # the same draw chain as parts_skipgram_negatives, folded into
+    # per-pair ORDERED negative lists on the DISTINCT pair key and
+    # joined back — duplicate pair rows (path a-b-a windows) each keep
+    # their own k negatives, exactly the job's rule.
+    q["parts_walk_corpus"] = q["parts_skipgram_negatives"].replace(
+        """SELECT d.start, d.widx, d.pos, d.center, d.context, d.neg_idx,
+       c.node AS negative
+FROM ng_draws d JOIN ng_cum c ON d.t >= c.lo AND d.t < c.hi
+ORDER BY d.start, d.widx, d.pos, d.context, d.neg_idx""",
+        """SELECT p.start, p.widx, p.pos, p.center, p.context, n.negatives
+FROM sg_pairs p JOIN (
+  SELECT d.start, d.widx, d.pos, d.center, d.context,
+         list(c.node ORDER BY d.neg_idx) AS negatives
+  FROM (SELECT DISTINCT * FROM ng_draws) d
+  JOIN ng_cum c ON d.t >= c.lo AND d.t < c.hi
+  GROUP BY d.start, d.widx, d.pos, d.center, d.context
+) n USING (start, widx, pos, center, context)
+ORDER BY p.start, p.widx, p.pos, p.context""",
+    )
+
     # ---- node2vec second-order biased walks (unrolled step chain) ----
     # same base graph; step >= 2 scores every neighbor of cur against
     # prev with INTEGER weights (ret/near/far = 4/2/1 i.e. p=0.5, q=2)
