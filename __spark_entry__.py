@@ -897,6 +897,27 @@ def _q_embeddings_kmeans(spark, sf_dir):
     return kmeans_lloyd(emb, n_cells=8, n_iter=2).orderBy("cid")
 
 
+def _q_embeddings_label_prototypes(spark, sf_dir):
+    """Per-label prototype embeddings built through the MERGEABLE mean
+    state (r4): two disjoint shards are sketched separately and folded
+    — the mini-batch path a standing prototype table uses to absorb a
+    new day's vectors. The oracle computes the one-pass per-label mean
+    with the identical HUGEINT integer-unit arithmetic, so the hash
+    proves fold == one pass."""
+    from graphiti_spark.operators.kmeans import (
+        mean_state,
+        mean_state_finalize,
+        mean_state_merge,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    halves = [emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")]
+    state = mean_state_merge(
+        [mean_state(h, ["label"], "embedding") for h in halves], ["label"]
+    )
+    return mean_state_finalize(state, ["label"]).orderBy("label")
+
+
 def _q_embeddings_semantic_decontam(spark, sf_dir):
     """Embedding-level benchmark decontamination (r4): label-0 vectors
     play the benchmark suite (bounded by the eval sets → broadcast);
@@ -2359,6 +2380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_semantic_decontam": _q_embeddings_semantic_decontam,
         # exact-integer-mean Lloyd refinement of the IVF centroids (r4)
         "embeddings_kmeans": _q_embeddings_kmeans,
+        # mergeable prototype state: shard fold == one-pass mean (r4)
+        "embeddings_label_prototypes": _q_embeddings_label_prototypes,
         # the composed curation funnel, hash-proven end-to-end (r4)
         "docs_curation_funnel": _q_docs_curation_funnel,
         "docs_language_id": _q_docs_language_id,

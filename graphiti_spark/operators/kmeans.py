@@ -117,3 +117,80 @@ def kmeans_lloyd(
             .localCheckpoint()
         )
     return cents
+
+
+def mean_state(
+    df: DataFrame, group_cols: list[str], vec_col: str
+) -> DataFrame:
+    """The mergeable sufficient statistic behind ``mean_pool``:
+    (group_cols..., sums array<decimal(38,0)> of 1e-9 integer units,
+    n long). Because the units are exact integers, states merge
+    ASSOCIATIVELY — add the sums, add the counts — so per-shard /
+    per-day partial states fold into the same prototype as one pass
+    over the union (the mini-batch centroid-update path: a new batch
+    updates standing prototypes without re-reading the corpus).
+    Law-tested in tests/test_kmeans.py."""
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(UNITS), 0).cast(
+            "decimal(38,0)"
+        ),
+    )
+    ex = df.select(*group_cols, F.posexplode(iv).alias("pos", "iv"))
+    comp = ex.groupBy(*group_cols, "pos").agg(
+        F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return comp.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda x: x["s"],
+        ).alias("sums"),
+        F.max("n").cast("long").alias("n"),
+    )
+
+
+def mean_state_merge(
+    states: list[DataFrame], group_cols: list[str]
+) -> DataFrame:
+    """Fold partial mean states: elementwise sum + count sum. Exact —
+    no rounding happens until finalize."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    ex = merged.select(
+        *group_cols, F.posexplode("sums").alias("pos", "iv"), "n"
+    )
+    comp = ex.groupBy(*group_cols, "pos").agg(F.sum("iv").alias("s"))
+    totals = merged.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    return (
+        comp.groupBy(*group_cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("sums")
+        )
+        .join(totals, group_cols)
+    )
+
+
+def mean_state_finalize(
+    state: DataFrame, group_cols: list[str], round_dp: int = 4
+) -> DataFrame:
+    """State → the mean_pool output shape (group_cols..., cvec, 
+    n_members): ONE double division chain per component, rounded
+    ``round_dp`` dp with the IEEE −0 normalization."""
+    cvec = F.transform(
+        F.col("sums"),
+        lambda s: F.round(
+            (s.cast("double") / F.lit(UNITS)) / F.col("n"), round_dp
+        )
+        + F.lit(0.0),
+    )
+    return state.select(
+        *group_cols,
+        cvec.alias("cvec"),
+        F.col("n").alias("n_members"),
+    )

@@ -947,6 +947,27 @@ km_c0 AS MATERIALIZED (
 SELECT cid, cvec, CAST(n_members AS BIGINT) AS n_members
 FROM {_km_prev} ORDER BY cid"""
 
+    # Per-label prototype embeddings (kmeans.mean_state family): the
+    # Spark side folds two disjoint shard states; DuckDB computes the
+    # ONE-PASS per-label mean with the identical HALF_UP 1e-9
+    # integer-unit HUGEINT sums and division chain — the hash proves
+    # fold == one pass. pt_ prefix.
+    q["embeddings_label_prototypes"] = """WITH pt_e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pt_comp AS (
+  SELECT label, r.i AS pos,
+         sum(CAST(round(v[r.i] * 1000000000.0, 0) AS HUGEINT)) AS s,
+         count(*) AS n
+  FROM pt_e, unnest(range(1, len(v) + 1)) AS r(i)
+  GROUP BY label, r.i
+)
+SELECT label,
+       list(round((CAST(s AS DOUBLE) / 1000000000.0) / n, 4) + 0.0
+            ORDER BY pos) AS cvec,
+       CAST(max(n) AS BIGINT) AS n_members
+FROM pt_comp GROUP BY label ORDER BY label"""
+
     # Trained-centroid IVF (ann_ivf_kmeans): the km_ Lloyd chain above
     # feeds the IDENTICAL probe/scan arithmetic as ann_ivf_embeddings —
     # km_c2 replaces the hash-picked cent, n_probe 3, top-10. kq_

@@ -87,3 +87,58 @@ def test_trained_centroids_full_recall_on_clustered_data(spark):
         ).collect()
     ]
     assert set(ivf) == set(brute) and len(ivf) == 10
+
+
+def test_mean_state_fold_law(spark):
+    """finalize(merge(state(A), state(B))) == mean_pool(A ∪ B) exactly
+    — the integer-unit sums make prototype updates associative, so a
+    standing state absorbs new batches without re-reading the corpus."""
+    from graphiti_spark.operators.kmeans import (
+        mean_state,
+        mean_state_finalize,
+        mean_state_merge,
+        mean_pool,
+    )
+
+    rows = [
+        (i % 4, [float((i * 31 + d * 7) % 97) / 9.0 for d in range(6)])
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "g int, vec array<float>")
+    a, b = df.filter("g IS NOT NULL AND vec[0] < 5"), df.filter(
+        "vec[0] >= 5"
+    )
+    folded = mean_state_finalize(
+        mean_state_merge(
+            [mean_state(a, ["g"], "vec"), mean_state(b, ["g"], "vec")],
+            ["g"],
+        ),
+        ["g"],
+    )
+    whole = mean_pool(df, ["g"], "vec")
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_mean_state_three_way_merge_associative(spark):
+    from graphiti_spark.operators.kmeans import (
+        mean_state,
+        mean_state_finalize,
+        mean_state_merge,
+    )
+
+    rows = [(0, [float(i), float(-i)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "g int, vec array<float>")
+    thirds = [df.filter(f"vec[0] % 3 = {k}") for k in range(3)]
+    states = [mean_state(t, ["g"], "vec") for t in thirds]
+    left = mean_state_merge(
+        [mean_state_merge(states[:2], ["g"]), states[2]], ["g"]
+    )
+    right = mean_state_merge(
+        [states[0], mean_state_merge(states[1:], ["g"])], ["g"]
+    )
+    l = mean_state_finalize(left, ["g"]).collect()
+    r = mean_state_finalize(right, ["g"]).collect()
+    assert sorted(map(tuple, l)) == sorted(map(tuple, r))
+    assert l[0]["cvec"] == [14.5, -14.5] and l[0]["n_members"] == 30
