@@ -466,3 +466,46 @@ def test_dup_spans_incremental_no_cartesian(spark):
     plan = _plan(dup_spans_incremental(new, build_gram_index(prior)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_sketch_no_python_single_pattern(spark):
+    """The bottom-k quantile sample is pure relational codegen: the
+    sha draw, bucketing, and struct bottom-k never leave the JVM."""
+    from graphiti_spark.operators.sketch import bottomk_quantiles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "doc_id", F.length("text").alias("n")
+    )
+    plan = _plan(
+        bottomk_quantiles(docs, ["lang"], "doc_id", "n", [0.5], k=16)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontam_broadcasts_the_benchmark(spark):
+    """The benchmark side is bounded by the eval suite: the corpus pass
+    must be a broadcast nested-loop against it — never a shuffle of the
+    corpus keyed for a sort-merge join, and never a Python stage."""
+    from graphiti_spark.operators.curation import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = semantic_decontaminate(
+        emb.filter("label <> 0"), emb.filter("label = 0")
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mean_pool_no_python_combinable_agg(spark):
+    """Prototype means are relational: posexplode + hash aggregate with
+    a partial (map-side) phase — no Python, no window over the corpus."""
+    from graphiti_spark.operators.kmeans import mean_pool
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(mean_pool(emb, ["label"], "embedding"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
