@@ -918,6 +918,27 @@ def _q_embeddings_label_prototypes(spark, sf_dir):
     return mean_state_finalize(state, ["label"]).orderBy("label")
 
 
+def _q_embeddings_prototype_takedown(spark, sf_dir):
+    """Prototype-state takedown (r4): removing the vec_id % 5 == 0
+    slice is an EXACT integer subtraction on the standing state — no
+    rebuild, no IEEE drift. The oracle computes the one-pass mean over
+    the remaining vectors; the hash proves subtract == rebuild."""
+    from graphiti_spark.operators.kmeans import (
+        mean_state,
+        mean_state_finalize,
+        mean_state_subtract,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    state = mean_state(emb, ["label"], "embedding")
+    gone = mean_state(
+        emb.filter("vec_id % 5 = 0"), ["label"], "embedding"
+    )
+    return mean_state_finalize(
+        mean_state_subtract(state, gone, ["label"]), ["label"]
+    ).orderBy("label")
+
+
 def _q_embeddings_semantic_decontam(spark, sf_dir):
     """Embedding-level benchmark decontamination (r4): label-0 vectors
     play the benchmark suite (bounded by the eval sets → broadcast);
@@ -2382,6 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans": _q_embeddings_kmeans,
         # mergeable prototype state: shard fold == one-pass mean (r4)
         "embeddings_label_prototypes": _q_embeddings_label_prototypes,
+        # exact-subtraction takedown == rebuild over the remainder (r4)
+        "embeddings_prototype_takedown": _q_embeddings_prototype_takedown,
         # the composed curation funnel, hash-proven end-to-end (r4)
         "docs_curation_funnel": _q_docs_curation_funnel,
         "docs_language_id": _q_docs_language_id,

@@ -194,3 +194,33 @@ def mean_state_finalize(
         cvec.alias("cvec"),
         F.col("n").alias("n_members"),
     )
+
+
+def mean_state_subtract(
+    state: DataFrame, removed: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Takedown without rebuild: because the state is EXACT integer
+    sums, removing documents is an exact elementwise subtraction —
+    subtract(state(A ∪ B), state(B)) == state(A) bit-for-bit (law-
+    tested), something an IEEE-double running mean can never offer.
+    Groups whose count reaches zero are dropped. Inner join on the
+    group: subtracting a group the state never saw is an error in the
+    caller's bookkeeping, surfaced by the untouched state row."""
+    r = removed.select(
+        *group_cols,
+        F.col("sums").alias("r_sums"),
+        F.col("n").alias("r_n"),
+    )
+    joined = state.join(r, group_cols, "left")
+    out = joined.select(
+        *group_cols,
+        F.when(
+            F.col("r_sums").isNull(), F.col("sums")
+        ).otherwise(
+            F.zip_with("sums", "r_sums", lambda a, b: a - b)
+        ).alias("sums"),
+        (
+            F.col("n") - F.coalesce(F.col("r_n"), F.lit(0))
+        ).cast("long").alias("n"),
+    )
+    return out.filter(F.col("n") > 0)

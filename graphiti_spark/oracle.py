@@ -968,6 +968,14 @@ SELECT label,
        CAST(max(n) AS BIGINT) AS n_members
 FROM pt_comp GROUP BY label ORDER BY label"""
 
+    # Prototype-state takedown (kmeans.mean_state_subtract): the Spark
+    # side subtracts the removed slice's state from the standing state;
+    # DuckDB rebuilds the mean over the REMAINDER — hash equality
+    # proves subtract == rebuild (exact integers, no IEEE drift).
+    q["embeddings_prototype_takedown"] = q[
+        "embeddings_label_prototypes"
+    ].replace("FROM embeddings", "FROM embeddings WHERE vec_id % 5 <> 0")
+
     # Trained-centroid IVF (ann_ivf_kmeans): the km_ Lloyd chain above
     # feeds the IDENTICAL probe/scan arithmetic as ann_ivf_embeddings —
     # km_c2 replaces the hash-picked cent, n_probe 3, top-10. kq_

@@ -142,3 +142,42 @@ def test_mean_state_three_way_merge_associative(spark):
     r = mean_state_finalize(right, ["g"]).collect()
     assert sorted(map(tuple, l)) == sorted(map(tuple, r))
     assert l[0]["cvec"] == [14.5, -14.5] and l[0]["n_members"] == 30
+
+
+def test_mean_state_subtract_is_exact_takedown(spark):
+    """subtract(state(A ∪ B), state(B)) == state(A) bit-for-bit — the
+    exact-integer sums make removal a subtraction, no rebuild; a group
+    fully removed disappears."""
+    from graphiti_spark.operators.kmeans import (
+        mean_state,
+        mean_state_finalize,
+        mean_state_subtract,
+    )
+
+    rows = [
+        (i % 3, i, [float((i * 13 + d) % 50) / 3.0 for d in range(5)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "g int, i int, vec array<float>")
+    keep, gone = df.filter("i % 4 <> 0"), df.filter("i % 4 = 0")
+    repaired = mean_state_subtract(
+        mean_state(df, ["g"], "vec"),
+        mean_state(gone, ["g"], "vec"),
+        ["g"],
+    )
+    direct = mean_state(keep, ["g"], "vec")
+    assert sorted(map(tuple, repaired.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # full-group removal: group 0 rows all removed -> row disappears
+    g0_gone = df.filter("g = 0")
+    left = mean_state_subtract(
+        mean_state(df, ["g"], "vec"),
+        mean_state(g0_gone, ["g"], "vec"),
+        ["g"],
+    )
+    assert sorted(r["g"] for r in left.collect()) == [1, 2]
+    # finalize of the repaired state equals the direct mean
+    assert sorted(
+        map(tuple, mean_state_finalize(repaired, ["g"]).collect())
+    ) == sorted(map(tuple, mean_state_finalize(direct, ["g"]).collect()))
