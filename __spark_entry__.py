@@ -646,6 +646,39 @@ def _q_docs_representatives(spark, sf_dir):
     ).orderBy("canonical_id")
 
 
+def _q_docs_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram (r4): how much of the corpus
+    sits in clusters of size 1, 2, 3… — the dedup-health metric that
+    catches template farms (mass in big clusters) at a glance. One
+    combinable count per cluster + one per size; the oracle re-derives
+    the canonical closure and the identical double aggregation."""
+    from graphiti_spark.operators.dedup_docs import (
+        canonical_docs,
+        minhash_near_dup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    canon = canonical_docs(
+        docs, minhash_near_dup(docs, threshold=0.95, mode="word")
+    )
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        )
+    )
+
+
 def _q_docs_split_clusters(spark, sf_dir):
     """Leakage-safe corpus split (r4): train/val/test assigned by a
     deterministic 52-bit sha-uniform on the near-dup CANONICAL id, so a
@@ -2386,6 +2419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_clusters": _q_docs_split_clusters,  # leakage-safe split (r4)
         # best-quality cluster representative, one combinable agg (r4)
         "docs_representatives": _q_docs_representatives,
+        # dedup-health histogram: corpus mass by cluster size (r4)
+        "docs_cluster_sizes": _q_docs_cluster_sizes,
         "docs_dup_rate_by_host": _q_docs_dup_rate_by_host,  # template farms (r4)
         "docs_contrastive_pairs": _q_docs_contrastive_pairs,  # training triples (r4)
         # touched-components-only canon update == full rebuild (r4)

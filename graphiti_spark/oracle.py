@@ -3073,6 +3073,17 @@ JOIN (SELECT doc_id AS id,
 GROUP BY h.host ORDER BY h.host""",
     )
 
+    # Near-dup cluster-size histogram: the identical canonical closure,
+    # then two exact-integer aggregations.
+    q["docs_cluster_sizes"] = q["docs_canonical"].replace(
+        "SELECT id, m AS canonical_id FROM r16 ORDER BY id",
+        """SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM (SELECT m, COUNT(*) AS cluster_size FROM r16 GROUP BY m)
+GROUP BY cluster_size ORDER BY cluster_size""",
+    )
+
     # Quality-based cluster representatives (dedup_docs.
     # representative_docs): the identical canonical closure joined to
     # the identical quality arithmetic (docs_quality's gates), winner =
