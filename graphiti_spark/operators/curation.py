@@ -480,16 +480,14 @@ def semantic_decontaminate(
     Scale shape: the benchmark suite is bounded by the EVAL SETS, not
     the corpus, so its vectors broadcast; the corpus makes ONE pass
     (broadcast nested-loop + map-side-combinable max/count per doc —
-    no shuffle wider than |corpus| rows of (id, max, count)). Cosines
-    compute in double with zero-norm guards and round to 4 dp BEFORE
-    the threshold compare and the max (house determinism rules)."""
-    a = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(emb_col).cast("array<double>").alias("av"),
-    )
-    b = benchmark.select(F.col(emb_col).cast("array<double>").alias("bv"))
-    if broadcast:
-        b = F.broadcast(b)
+    no shuffle wider than |corpus| rows of (id, max, count)). Both
+    norms are projected ONCE per side before the cross join (the same
+    left-to-right double fold as functions.embed.cosine_col, so the
+    quotient is bit-identical to computing them inline), cosines round
+    to 4 dp BEFORE the threshold compare and the max (house rules).
+    An EMPTY benchmark frame returns every corpus doc clean (max 0.0,
+    0 matches) — the per-doc contract holds; don't mistake it for a
+    run that checked something."""
 
     def dot(x, y):
         return F.aggregate(
@@ -498,25 +496,42 @@ def semantic_decontaminate(
             lambda acc, v: acc + v,
         )
 
-    na, nb = F.sqrt(dot(F.col("av"), F.col("av"))), F.sqrt(
-        dot(F.col("bv"), F.col("bv"))
+    a = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("av"),
+    ).withColumn("an", F.sqrt(dot(F.col("av"), F.col("av"))))
+    b = benchmark.select(
+        F.col(emb_col).cast("array<double>").alias("bv")
+    ).withColumn("bn", F.sqrt(dot(F.col("bv"), F.col("bv"))))
+    if broadcast:
+        b = F.broadcast(b)
+
+    cos = F.when(F.col("bv").isNull(), F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.when(
+                (F.col("an") == 0.0) | (F.col("bn") == 0.0), F.lit(0.0)
+            ).otherwise(
+                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+            ),
+            4,
+        )
+        + F.lit(0.0)
     )
-    cos = F.round(
-        F.when(
-            (na == 0.0) | (nb == 0.0), F.lit(0.0)
-        ).otherwise(dot(F.col("av"), F.col("bv")) / (na * nb)),
-        4,
-    )
-    scored = a.crossJoin(b).select(
-        "id", (cos + F.lit(0.0)).alias("cos")
+    # LEFT outer against the broadcast benchmark: an empty suite keeps
+    # one (null-cos) row per corpus doc instead of erasing the corpus —
+    # still ONE pass, no corpus-keyed join back
+    scored = a.join(b, F.lit(True), "left").select(
+        "id", cos.alias("cos")
     )
     return (
         scored.groupBy("id")
         .agg(
-            (F.max("cos") + F.lit(0.0)).alias("max_benchmark_cos"),
-            F.sum(
-                F.when(F.col("cos") >= threshold, 1).otherwise(0)
-            ).cast("long").alias("n_matches"),
+            F.coalesce(F.max("cos") + F.lit(0.0), F.lit(0.0)).alias(
+                "max_benchmark_cos"
+            ),
+            F.sum(F.when(F.col("cos") >= threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_matches"),
         )
         .withColumn("contaminated", F.col("n_matches") > 0)
     )

@@ -568,25 +568,33 @@ def representative_docs(
     Scale shape: ONE map-side-combinable min(struct) aggregation keyed
     by cluster — no window, no per-cluster sort; a hot boilerplate
     cluster with millions of members combines pre-shuffle. (-score, id)
-    struct ordering gives argmax-with-min-id-ties in a single agg;
-    Spark normalizes -0.0 = 0.0 in comparisons so a 0-score tie still
-    falls through to the id."""
+    struct ordering gives argmax-with-min-id-ties in a single agg; the
+    `+ 0.0` normalizes IEEE -0.0 (struct ORDERING is sign-sensitive
+    even though comparisons aren't) so a 0-score tie falls through to
+    the id. NULL scores rank WORST (+inf key), never winning over any
+    scored member; an all-null cluster reports rep_score null."""
     joined = canon.join(
         scores.select(
             F.col(id_col).alias("id"), F.col(score_col).alias("_s")
         ),
         "id",
     )
-    key = F.struct(
-        (-F.round(F.col("_s"), 4)).alias("ns"), F.col("id").alias("id")
+    ns = F.coalesce(
+        -F.round(F.col("_s"), 4) + F.lit(0.0),
+        F.lit(float("inf")),
     )
+    key = F.struct(ns.alias("ns"), F.col("id").alias("id"))
     return (
         joined.groupBy("canonical_id")
         .agg(F.min(key).alias("w"), F.count(F.lit(1)).alias("n_members"))
         .select(
             "canonical_id",
             F.col("w.id").alias("rep_id"),
-            (F.round(-F.col("w.ns"), 4) + F.lit(0.0)).alias("rep_score"),
+            F.when(
+                F.col("w.ns") == float("inf"), F.lit(None).cast("double")
+            )
+            .otherwise(F.round(-F.col("w.ns"), 4) + F.lit(0.0))
+            .alias("rep_score"),
             F.col("n_members").cast("long").alias("n_members"),
         )
     )

@@ -52,30 +52,12 @@ def mean_pool(
     round_dp: int = 4,
 ) -> DataFrame:
     """Per-group elementwise mean embedding, order-independent.
-    Output (group_cols..., cvec array<double>, n_members)."""
-    iv = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * F.lit(UNITS), 0).cast(
-            "decimal(38,0)"
-        ),
-    )
-    ex = df.select(*group_cols, F.posexplode(iv).alias("pos", "iv"))
-    agg = ex.groupBy(*group_cols, "pos").agg(
-        F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    mean = (F.col("s").cast("double") / F.lit(UNITS)) / F.col("n")
-    comp = agg.select(
-        *group_cols,
-        "pos",
-        (F.round(mean, round_dp) + F.lit(0.0)).alias("m"),
-        "n",
-    )
-    return comp.groupBy(*group_cols).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))),
-            lambda x: x["m"],
-        ).alias("cvec"),
-        F.max("n").cast("long").alias("n_members"),
+    Vectors must share one dimension per group (embedding tables do).
+    Output (group_cols..., cvec array<double>, n_members). Exactly
+    ``mean_state_finalize(mean_state(...))`` — one arithmetic path, so
+    the fold law can't drift from the one-pass form."""
+    return mean_state_finalize(
+        mean_state(df, group_cols, vec_col), group_cols, round_dp
     )
 
 
@@ -153,27 +135,26 @@ def mean_state_merge(
     states: list[DataFrame], group_cols: list[str]
 ) -> DataFrame:
     """Fold partial mean states: elementwise sum + count sum. Exact —
-    no rounding happens until finalize."""
+    no rounding happens until finalize. ONE groupBy (no join): NULL
+    group keys are ordinary grouping values, so a nullable label can't
+    silently lose its prototype (a join on the group would — null
+    never equi-matches null). The zip_with fold over collected sum
+    arrays is order-free because integer addition is associative."""
     merged = states[0]
     for s in states[1:]:
         merged = merged.unionByName(s)
-    ex = merged.select(
-        *group_cols, F.posexplode("sums").alias("pos", "iv"), "n"
+    g = merged.groupBy(*group_cols).agg(
+        F.collect_list("sums").alias("arrs"),
+        F.sum("n").cast("long").alias("n"),
     )
-    comp = ex.groupBy(*group_cols, "pos").agg(F.sum("iv").alias("s"))
-    totals = merged.groupBy(*group_cols).agg(
-        F.sum("n").cast("long").alias("n")
+    folded = F.aggregate(
+        F.slice(
+            F.col("arrs"), F.lit(2), F.greatest(F.size("arrs") - 1, F.lit(0))
+        ),
+        F.element_at("arrs", 1),
+        lambda acc, a: F.zip_with(acc, a, lambda x, y: x + y),
     )
-    return (
-        comp.groupBy(*group_cols)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                lambda x: x["s"],
-            ).alias("sums")
-        )
-        .join(totals, group_cols)
-    )
+    return g.select(*group_cols, folded.alias("sums"), "n")
 
 
 def mean_state_finalize(
@@ -203,24 +184,16 @@ def mean_state_subtract(
     sums, removing documents is an exact elementwise subtraction —
     subtract(state(A ∪ B), state(B)) == state(A) bit-for-bit (law-
     tested), something an IEEE-double running mean can never offer.
-    Groups whose count reaches zero are dropped. Inner join on the
-    group: subtracting a group the state never saw is an error in the
-    caller's bookkeeping, surfaced by the untouched state row."""
-    r = removed.select(
+    Groups whose count reaches zero are dropped; groups the removal
+    never touches pass through unchanged, and removals for groups the
+    state never saw are ignored (the caller's delta should be derived
+    from the same corpus the state was built over). Implemented as the
+    negated-state MERGE, so NULL group keys subtract correctly too."""
+    neg = removed.select(
         *group_cols,
-        F.col("sums").alias("r_sums"),
-        F.col("n").alias("r_n"),
+        F.transform(F.col("sums"), lambda s: -s).alias("sums"),
+        (-F.col("n")).cast("long").alias("n"),
     )
-    joined = state.join(r, group_cols, "left")
-    out = joined.select(
-        *group_cols,
-        F.when(
-            F.col("r_sums").isNull(), F.col("sums")
-        ).otherwise(
-            F.zip_with("sums", "r_sums", lambda a, b: a - b)
-        ).alias("sums"),
-        (
-            F.col("n") - F.coalesce(F.col("r_n"), F.lit(0))
-        ).cast("long").alias("n"),
+    return mean_state_merge([state, neg], group_cols).filter(
+        F.col("n") > 0
     )
-    return out.filter(F.col("n") > 0)

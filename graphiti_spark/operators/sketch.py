@@ -281,8 +281,10 @@ def sample_sketch(
 
     MERGEABLE across corpus shards with DISJOINT ids (the only shape a
     sharded corpus has): union the samples, keep the k smallest by u,
-    add n_rows — law-tested in tests/test_sketch.py. Overlapping ids
-    would double-count n_rows (the u-dedup only repairs the sample).
+    add n_rows — law-tested in tests/test_sketch.py. Merging sketches
+    whose id sets OVERLAP: sample_merge dedups identical (u, v) structs
+    so the shared rows don't occupy two bottom-k slots, but n_rows
+    still double-counts them — treat overlap merges as approximate.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -313,14 +315,21 @@ def sample_merge(
     sketches: Iterable[DataFrame], group_cols: list[str], k: int
 ) -> DataFrame:
     """Merge partial bottom-k samples built over DISJOINT id sets:
-    union, keep the k smallest by u, sum exact row counts."""
+    union, keep the k smallest by u, sum exact row counts. The
+    array_distinct collapses identical (u, v) structs so an
+    overlapping-id merge doesn't burn two sample slots on one row
+    (n_rows still double-counts overlap — see sample_sketch)."""
     frames = list(sketches)
     merged = frames[0]
     for f in frames[1:]:
         merged = merged.unionByName(f)
     return merged.groupBy(*group_cols).agg(
         F.slice(
-            F.array_sort(F.flatten(F.collect_list("sample"))), 1, k
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("sample")))
+            ),
+            1,
+            k,
         ).alias("sample"),
         F.sum("n_rows").cast("long").alias("n_rows"),
     )

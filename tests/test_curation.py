@@ -348,3 +348,19 @@ def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
         3: (0.7071, 1, True),
         4: (0.0, 0, False),
     }
+
+
+def test_semantic_decontaminate_empty_benchmark_returns_clean_rows(spark):
+    """An empty benchmark must NOT erase the corpus: every doc comes
+    back (max 0.0, 0 matches, clean) so downstream joins survive."""
+    from graphiti_spark.operators.curation import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = corpus.filter("vec_id < 0")  # empty
+    out = sorted(
+        map(tuple, semantic_decontaminate(corpus, bench).collect())
+    )
+    assert out == [(1, 0.0, 0, False), (2, 0.0, 0, False)]

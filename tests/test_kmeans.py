@@ -181,3 +181,58 @@ def test_mean_state_subtract_is_exact_takedown(spark):
     assert sorted(
         map(tuple, mean_state_finalize(repaired, ["g"]).collect())
     ) == sorted(map(tuple, mean_state_finalize(direct, ["g"]).collect()))
+
+
+def test_mean_state_merge_keeps_null_group_keys(spark):
+    """NULL is a legal grouping value: a nullable-label prototype must
+    survive the shard merge (a join-based merge would silently drop it
+    — null never equi-matches null)."""
+    from graphiti_spark.operators.kmeans import (
+        mean_state,
+        mean_state_finalize,
+        mean_state_merge,
+        mean_pool,
+    )
+
+    df = spark.createDataFrame(
+        [(None, [1.0, 2.0]), (None, [3.0, 4.0]), ("a", [5.0, 6.0])],
+        "g string, vec array<float>",
+    )
+    halves = [df.limit(0), df]  # degenerate split incl. an empty state
+    folded = mean_state_finalize(
+        mean_state_merge(
+            [mean_state(h, ["g"], "vec") for h in halves], ["g"]
+        ),
+        ["g"],
+    )
+    whole = mean_pool(df, ["g"], "vec")
+    got = sorted(map(tuple, folded.collect()), key=str)
+    assert got == sorted(map(tuple, whole.collect()), key=str)
+    assert {r[0] for r in got} == {None, "a"}
+
+
+def test_mean_state_subtract_null_group_and_unknown_group(spark):
+    """Takedown applies to NULL-keyed groups too, and a removal for a
+    group the state never saw is ignored (no negative ghost rows)."""
+    from graphiti_spark.operators.kmeans import (
+        mean_state,
+        mean_state_subtract,
+    )
+
+    df = spark.createDataFrame(
+        [(None, [2.0]), (None, [4.0]), ("a", [6.0])],
+        "g string, vec array<float>",
+    )
+    gone = spark.createDataFrame(
+        [(None, [2.0]), ("zzz", [9.0])], "g string, vec array<float>"
+    )
+    out = {
+        r["g"]: (r["sums"], r["n"])
+        for r in mean_state_subtract(
+            mean_state(df, ["g"], "vec"),
+            mean_state(gone, ["g"], "vec"),
+            ["g"],
+        ).collect()
+    }
+    assert set(out) == {None, "a"}
+    assert int(out[None][0][0]) == 4_000_000_000 and out[None][1] == 1

@@ -489,3 +489,22 @@ def test_representative_docs_winner_rule(spark):
         9: (9, 0.25, 2),   # tie -> min id
     }
     assert all(str(v[1]) != "-0.0" for v in got.values())
+
+
+def test_representative_docs_null_scores_lose(spark):
+    """A member with NO quality score must never beat a scored member;
+    an all-null cluster reports rep_score null with min-id winner."""
+    from graphiti_spark.operators.dedup_docs import representative_docs
+
+    canon = spark.createDataFrame(
+        [(1, 1), (2, 1), (8, 8), (9, 8)], "id long, canonical_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.9), (2, None), (8, None), (9, None)],
+        "id long, score double",
+    )
+    got = {
+        r["canonical_id"]: (r["rep_id"], r["rep_score"])
+        for r in representative_docs(canon, scores).collect()
+    }
+    assert got == {1: (1, 0.9), 8: (8, None)}
