@@ -91,6 +91,27 @@ def _q_mentions(spark, sf_dir):
     return _pipe(spark, sf_dir)["mentions"].select("episode_uuid", "group_id", "name")
 
 
+def _q_pronoun_links(spark, sf_dir):
+    """E1 pronoun disambiguation (r4, standalone): each pronoun token
+    resolves to the nearest preceding surviving mention in its episode
+    — the deterministic recency heuristic standing in for the
+    reference's LLM pronoun resolution (prompts/extract_nodes.py). The
+    frozen default grammar skips pronouns by contract, so this never
+    perturbs the expected-triple set. The corpus carries no natural
+    pronouns, so both engines append the same deterministic pronoun
+    clause to every episode (the docs_pii augmentation device) — each
+    pronoun must resolve to the LAST surviving mention of its doc."""
+    from graphiti_spark.operators.extract import pronoun_mentions
+
+    eps = _pipe(spark, sf_dir)["episodes"].withColumn(
+        "content",
+        F.concat(
+            F.col("content"), F.lit(" then it failed and they recovered")
+        ),
+    )
+    return pronoun_mentions(eps).orderBy("episode_uuid", "pos")
+
+
 def _q_triples(spark, sf_dir):
     return _pipe(spark, sf_dir)["triples"].select(
         "episode_uuid", "group_id", "subj_name", "pred", "obj_name", "fact"
@@ -2372,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_text": _q_pages_text,
         "episodes": _q_episodes,
         "mentions": _q_mentions,
+        # E1 pronoun disambiguation, standalone recency heuristic (r4)
+        "pronoun_links": _q_pronoun_links,
         "triples": _q_triples,
         "entities": _q_entities,
         "edges_merged": _q_edges_merged,

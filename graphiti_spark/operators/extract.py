@@ -265,3 +265,64 @@ def extract_mentions_and_triples(
     run_pipeline and ingest_incremental do)."""
     stream = extract_token_stream(episodes, excluded_entity_types)
     return mentions_from_stream(stream), triples_from_stream(stream)
+
+
+# E1 pronoun disambiguation (reference prompts/extract_nodes.py:86-196
+# instructs pronoun resolution during extraction). The FROZEN default
+# grammar deliberately ignores pronouns — the expected-triple set is a
+# contract — so this is a standalone operator, not a pipeline stage.
+PRONOUNS = (
+    "he", "she", "it", "they", "him", "her", "them", "his", "its",
+    "their",
+)
+
+
+def pronoun_mentions(
+    episodes: DataFrame, excluded_entity_types: tuple = ()
+) -> DataFrame:
+    """Resolve each pronoun token to the nearest PRECEDING surviving
+    mention in its episode — the recency heuristic standing in for the
+    reference's LLM pronoun disambiguation (E1). Trailing punctuation
+    is stripped before the pronoun match; a pronoun with no preceding
+    mention is dropped (the reference's unresolvable-pronoun guard).
+    Output (episode_uuid, pos, pronoun, antecedent).
+
+    Scale shape: the same one-posexplode token pass and per-episode
+    window as the main extraction — pure codegen, no Python."""
+    toks = tokens_df(episodes)
+    mention_name = _mention_name_col()
+    if excluded_entity_types:
+        from graphiti_spark.functions.typing import entity_type_col
+
+        mention_name = F.when(
+            entity_type_col(mention_name).isin(
+                sorted(excluded_entity_types)
+            ),
+            F.lit(None),
+        ).otherwise(mention_name)
+    pron = F.regexp_replace(F.lower(F.col("tok")), r"[.,;:!?]+$", "")
+    tagged = toks.withColumn("mention_name", mention_name).withColumn(
+        "pronoun",
+        F.when(
+            pron.isin(*PRONOUNS) & F.col("mention_name").isNull(), pron
+        ),
+    )
+    stream = tagged.filter(
+        F.col("mention_name").isNotNull() | F.col("pronoun").isNotNull()
+    )
+    w = Window.partitionBy("episode_uuid").orderBy("pos")
+    ante = F.last("mention_name", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        stream.withColumn("antecedent", ante)
+        .filter(
+            F.col("pronoun").isNotNull() & F.col("antecedent").isNotNull()
+        )
+        .select(
+            "episode_uuid",
+            F.col("pos").cast("int").alias("pos"),
+            "pronoun",
+            "antecedent",
+        )
+    )

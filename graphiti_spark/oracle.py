@@ -237,6 +237,47 @@ SELECT episode_uuid, group_id, name FROM mentions ORDER BY episode_uuid, name"""
 SELECT episode_uuid, group_id, subj_name, pred, obj_name, fact
 FROM triples ORDER BY episode_uuid, subj_name, pred, obj_name"""
 
+    # E1 pronoun disambiguation (standalone — the frozen default
+    # grammar skips pronouns by contract): nearest preceding surviving
+    # mention per pronoun token, trailing punctuation stripped, same
+    # token/mention chain as the mentions oracle. pn_ prefix.
+    from graphiti_spark.operators.extract import PRONOUNS as _PN
+
+    _pn_list = sql_in_list(tuple(sorted(_PN)))
+    # the corpus has no natural pronouns: both engines append the same
+    # deterministic clause per episode (none of its words are in the
+    # frozen gazetteer, so the mention chain is unperturbed)
+    _pn_cte = MENTIONS_CTE.replace(
+        "FROM episodes\n)",
+        "FROM (SELECT uuid, group_id, valid_at,\n"
+        "             content || ' then it failed and they recovered'"
+        " AS content\n"
+        "      FROM episodes)\n)",
+        1,
+    )
+    q["pronoun_links"] = f"""WITH {_pn_cte},
+pn_stream AS (
+  SELECT episode_uuid, pos, CAST(NULL AS VARCHAR) AS pronoun, name
+  FROM mention_pos
+  UNION ALL
+  SELECT episode_uuid, pos,
+         regexp_replace(lower(tok), '[.,;:!?]+$', '') AS pronoun,
+         NULL AS name
+  FROM tagged
+  WHERE regexp_replace(lower(tok), '[.,;:!?]+$', '') IN {_pn_list}
+    AND tok NOT IN {NOUNS}
+),
+pn_win AS (
+  SELECT *,
+    last_value(name IGNORE NULLS) OVER (
+      PARTITION BY episode_uuid ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS antecedent
+  FROM pn_stream
+)
+SELECT episode_uuid, CAST(pos AS INT) AS pos, pronoun, antecedent
+FROM pn_win WHERE pronoun IS NOT NULL AND antecedent IS NOT NULL
+ORDER BY episode_uuid, pos"""
+
     q["entities"] = f"""WITH {ENTITIES_CTE}
 SELECT uuid, group_id, name, mention_count FROM entities ORDER BY uuid"""
 

@@ -137,3 +137,32 @@ def test_stated_date_rules(spark):
     assert got["ep2"].year == _episodes_df(
         spark, ["x"]
     ).select("valid_at").first()[0].year  # reference time passthrough
+
+
+def test_pronoun_mentions_recency_and_guards(spark):
+    """Each pronoun binds to the NEAREST preceding mention (not the
+    doc's last), trailing punctuation is stripped, and a pronoun before
+    any mention is dropped."""
+    from datetime import datetime, timezone
+
+    from graphiti_spark.operators.extract import pronoun_mentions
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    eps = spark.createDataFrame(
+        [
+            # "they" before any mention -> dropped; "it," strips comma
+            # and binds to "order"; "them" binds to "table" (nearest,
+            # not "order")
+            ("e1", "g", ts, "they saw the order then it, broke table near them"),
+            ("e2", "g", ts, "nothing here they wander"),  # no mentions
+        ],
+        "uuid string, group_id string, valid_at timestamp, content string",
+    )
+    rows = sorted(
+        (r["episode_uuid"], r["pos"], r["pronoun"], r["antecedent"])
+        for r in pronoun_mentions(eps).collect()
+    )
+    assert rows == [
+        ("e1", 5, "it", "order"),
+        ("e1", 9, "them", "table"),
+    ]
