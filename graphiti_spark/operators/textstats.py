@@ -35,13 +35,10 @@ def _tokens(text_col):
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
-def language_id(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Marker-word language ID: per-language marker hit count over the
-    token stream, argmax with deterministic tie-break (lexicographic
-    language code); zero hits → 'und'. Output (id, pred_lang, n_hits)."""
-    toks = _tokens(F.col(text_col))
+def _lang_best(text_col):
+    """(hits, lang) struct of the argmax language — the shared
+    expression behind language_id and the streaming monitor."""
+    toks = _tokens(text_col)
     scores = [
         F.struct(
             F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
@@ -56,6 +53,22 @@ def language_id(
     best = scores[0]
     for s in scores[1:]:
         best = F.when(s["hits"] > best["hits"], s).otherwise(best)
+    return best
+
+
+def pred_lang_col(text_col):
+    """Per-row predicted language code ('und' on zero marker hits)."""
+    best = _lang_best(text_col)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: per-language marker hit count over the
+    token stream, argmax with deterministic tie-break (lexicographic
+    language code); zero hits → 'und'. Output (id, pred_lang, n_hits)."""
+    best = _lang_best(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("id"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
@@ -80,6 +93,38 @@ def token_stats(
         .cast("long")
         .alias("n_bpe_tokens"),
         F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score_col(text_col):
+    """Per-row composite quality score (the four 0.25 gates, rounded
+    4 dp) — the shared expression behind quality_score and the
+    streaming monitor. Same arithmetic as the docs_quality oracle."""
+    t = text_col
+    toks = F.filter(_tokens(t), lambda x: x != "")
+    n = F.size(toks).cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda x: x.isin(*ENGLISH_STOPWORDS))) / n,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        F.length(t) > 0,
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z ]", "")).cast("double")
+        / F.length(t),
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+    return F.round(
+        F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.8, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0),
+        4,
     )
 
 
@@ -116,12 +161,6 @@ def quality_score(
     distinct_ratio = F.when(
         n > 0, F.size(F.array_distinct(toks)) / n
     ).otherwise(F.lit(0.0))
-    gates = (
-        F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
-        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
-        + F.when(alpha_ratio >= 0.8, 0.25).otherwise(0.0)
-        + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0)
-    )
     return docs.select(
         F.col(id_col).alias("id"),
         n.cast("long").alias("n_tokens"),
@@ -129,7 +168,7 @@ def quality_score(
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(gates, 4).alias("score"),
+        quality_score_col(t).alias("score"),
     )
 
 
