@@ -667,6 +667,23 @@ def _q_docs_representatives(spark, sf_dir):
     ).orderBy("canonical_id")
 
 
+def _q_docs_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance-1 string-similarity self-join (r4) over 32-char
+    normalized text prefixes — PassJoin-style half-segment pigeonhole
+    blocking + Levenshtein verify. The oracle is brute-force all-pairs
+    Levenshtein, so the hash match PROVES the blocking's full recall."""
+    from graphiti_spark.operators.dedup_docs import (
+        edit_distance_pairs,
+        normalize_text_col,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.substring(normalize_text_col(F.col("text")), 1, 32).alias("s"),
+    )
+    return edit_distance_pairs(d).orderBy("a_id", "b_id")
+
+
 def _q_docs_cluster_sizes(spark, sf_dir):
     """Near-dup cluster-size histogram (r4): how much of the corpus
     sits in clusters of size 1, 2, 3… — the dedup-health metric that
@@ -2444,6 +2461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_representatives": _q_docs_representatives,
         # dedup-health histogram: corpus mass by cluster size (r4)
         "docs_cluster_sizes": _q_docs_cluster_sizes,
+        # edit-distance-1 similarity join, full recall vs brute force (r4)
+        "docs_edit_distance_pairs": _q_docs_edit_distance_pairs,
         "docs_dup_rate_by_host": _q_docs_dup_rate_by_host,  # template farms (r4)
         "docs_contrastive_pairs": _q_docs_contrastive_pairs,  # training triples (r4)
         # touched-components-only canon update == full rebuild (r4)

@@ -1089,3 +1089,92 @@ def contrastive_pairs(
     return negative_samples(
         sym, freqs, k=k_neg, seed=seed, key_cols=["anchor", "pos"]
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame, id_col: str = "id", str_col: str = "s"
+) -> DataFrame:
+    """String-similarity self-join at edit distance ≤ 1 (PassJoin-style
+    pigeonhole blocking, Li et al. PVLDB 2011): split each string into
+    two halves — a single edit touches at most one half, so for any
+    pair within distance 1 the untouched half survives VERBATIM as the
+    other string's prefix (edit in the second half) or suffix (edit in
+    the first half). Candidates therefore share an exact (side,
+    segment) key; Levenshtein verifies. Output (a_id, b_id, dist) with
+    a_id < b_id, dist ≤ 1. The oracle is the brute-force all-pairs
+    ground truth, so the hash match PROVES the blocking's full recall.
+
+    Scale shape: each string emits ≤ 8 keys (2 query segments + ≤ 3
+    prefixes + ≤ 3 suffixes), one segment-keyed shuffle, no quadratic
+    stage outside a shared-segment bucket; Levenshtein runs only on
+    blocked candidates, JVM-side. Strings of length ≤ 1 route through
+    one tiny brute bucket (bounded by the ≤-2-char vocabulary)."""
+    s = docs.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    s = s.withColumn("L", F.length("s")).withColumn(
+        "m", F.floor(F.col("L") / 2).cast("int")
+    )
+    # query keys: my own two halves (len >= 2 so both are non-empty)
+    qk = s.filter(F.col("L") >= 2).select(
+        "id",
+        "s",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("P").alias("side"),
+                    F.expr("substring(s, 1, m)").alias("seg"),
+                ),
+                F.struct(
+                    F.lit("S").alias("side"),
+                    F.expr("substring(s, m + 1, L - m)").alias("seg"),
+                ),
+            )
+        ).alias("k"),
+    ).select("id", "s", "k.side", "k.seg")
+    # candidate keys: prefixes/suffixes at the segment lengths a query
+    # of length L-1, L or L+1 would probe
+    cand_struct = []
+    for d in (-1, 0, 1):
+        cand_struct.append(
+            f"struct('P' AS side, substring(s, 1, "
+            f"cast(floor((L + {d}) / 2) AS INT)) AS seg)"
+        )
+        cand_struct.append(
+            f"struct('S' AS side, substring(s, L - cast(ceil((L + {d}) / 2)"
+            f" AS INT) + 1, cast(ceil((L + {d}) / 2) AS INT)) AS seg)"
+        )
+    ck = s.select(
+        "id",
+        "s",
+        F.explode(
+            F.array_distinct(F.expr(f"array({', '.join(cand_struct)})"))
+        ).alias("k"),
+    ).select("id", "s", "k.side", "k.seg").filter(F.col("seg") != "")
+    # tiny strings: single shared bucket, both roles
+    tiny_q = s.filter(F.col("L") <= 1).select(
+        "id", "s", F.lit("T").alias("side"), F.lit("").alias("seg")
+    )
+    tiny_c = s.filter(F.col("L") <= 2).select(
+        "id", "s", F.lit("T").alias("side"), F.lit("").alias("seg")
+    )
+    q_all = qk.unionByName(tiny_q)
+    c_all = ck.unionByName(tiny_c)
+    pairs = (
+        q_all.alias("a")
+        .join(
+            c_all.alias("b"),
+            (F.col("a.side") == F.col("b.side"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("a_id"),
+            F.greatest("a.id", "b.id").alias("b_id"),
+            F.least("a.s", "b.s").alias("_sa"),
+            F.greatest("a.s", "b.s").alias("_sb"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("_sa", "_sb")
+    return pairs.filter(dist <= 1).select(
+        "a_id", "b_id", dist.cast("int").alias("dist")
+    )

@@ -3114,6 +3114,22 @@ JOIN (SELECT doc_id AS id,
 GROUP BY h.host ORDER BY h.host""",
     )
 
+    # Edit-distance-1 similarity join (dedup_docs.edit_distance_pairs):
+    # brute-force all-pairs Levenshtein ground truth — the hash match
+    # also proves the half-segment pigeonhole blocking has FULL RECALL
+    # on this corpus (the docs_near_dup adjudication style). ed_ prefix.
+    q["docs_edit_distance_pairs"] = """WITH ed_s AS (
+  SELECT doc_id AS id,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                1, 32) AS s
+  FROM documents
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM ed_s a JOIN ed_s b ON a.id < b.id
+WHERE levenshtein(a.s, b.s) <= 1
+ORDER BY a_id, b_id"""
+
     # Near-dup cluster-size histogram: the identical canonical closure,
     # then two exact-integer aggregations.
     q["docs_cluster_sizes"] = q["docs_canonical"].replace(

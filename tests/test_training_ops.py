@@ -508,3 +508,51 @@ def test_representative_docs_null_scores_lose(spark):
         for r in representative_docs(canon, scores).collect()
     }
     assert got == {1: (1, 0.9), 8: (8, None)}
+
+
+def test_edit_distance_pairs_catches_every_single_edit_shape(spark):
+    """Substitution/insertion/deletion in either half, boundary edits,
+    tiny strings — all caught; ed=2 pairs excluded."""
+    from graphiti_spark.operators.dedup_docs import edit_distance_pairs
+
+    rows = [
+        (1, "abcdef"),
+        (2, "abcdeX"),   # substitution, 2nd half -> (1,2) d1
+        (3, "Xbcdef"),   # substitution, 1st half -> (1,3) d1
+        (4, "abcdefg"),  # insertion at end -> (1,4) d1
+        (5, "bcdef"),    # deletion at front -> (1,5) d1
+        (6, "abcXdef"),  # insertion at the half boundary -> (1,6) d1
+        (7, "XbcdeX"),   # ed 2 from 1 -> no pair with 1
+        (8, "a"),
+        (9, "ab"),       # tiny: (8,9) d1
+        (10, "zzzzzz"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in edit_distance_pairs(df).collect()
+    }
+    expected_with_1 = {(1, 2), (1, 3), (1, 4), (1, 5), (1, 6)}
+    assert expected_with_1 <= set(got)
+    assert all(got[p] == 1 for p in expected_with_1)
+    assert (1, 7) not in got and (8, 9) in got
+    assert not any(10 in p for p in got)
+    # exhaustive: no pair beyond brute-force truth
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    truth = {
+        (i, j)
+        for (i, si), (j, sj) in itertools.combinations(rows, 2)
+        if lev(si, sj) <= 1
+    }
+    assert set(got) == truth
