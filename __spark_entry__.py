@@ -1040,6 +1040,33 @@ def _q_docs_curation_funnel(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_docs_fold_homoglyphs(spark, sf_dir):
+    """Homoglyph/confusable folding (r4): Cyrillic/Greek lookalikes,
+    fullwidth forms, nbsp, and the zero-width family folded to ASCII in
+    ONE translate pass — the spam-evasion repair exact dedup and
+    blocklists need. The corpus is clean, so every 2nd doc gets the
+    shared confusable sample (textnorm.HOMOGLYPH_SAMPLE — one literal
+    both engines import); odd docs prove idempotence on clean text."""
+    from graphiti_spark.textnorm import HOMOGLYPH_SAMPLE, fold_homoglyphs_col
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" " + HOMOGLYPH_SAMPLE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("aug"),
+    )
+    folded = fold_homoglyphs_col(F.col("aug"))
+    return d.select(
+        "id",
+        F.sha2(folded.cast("binary"), 256).alias("folded_sha"),
+        (F.length("aug") - F.length(folded)).cast("int").alias("n_deleted"),
+        (folded != F.col("aug")).alias("changed"),
+    ).orderBy("id")
+
+
 def _q_docs_language_id(spark, sf_dir):
     from graphiti_spark.operators.textstats import language_id
 
@@ -2485,6 +2512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the composed curation funnel, hash-proven end-to-end (r4)
         "docs_curation_funnel": _q_docs_curation_funnel,
         "docs_language_id": _q_docs_language_id,
+        # homoglyph folding: one-pass confusable repair (r4)
+        "docs_fold_homoglyphs": _q_docs_fold_homoglyphs,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
         "docs_fingerprint": _q_docs_fingerprint,

@@ -3981,6 +3981,34 @@ FROM (SELECT id, host, len(string_split(text, chr(10))) AS n_total
 LEFT JOIN hb_agg a USING (id)
 ORDER BY t.id"""
 
+    # Homoglyph folding (textnorm.fold_homoglyphs_col): translate()
+    # has IDENTICAL semantics in both engines (chars beyond the
+    # replacement string are deleted); src/dst/sample are the same
+    # imported constants — zero manual duplication to drift. hg_ prefix.
+    from graphiti_spark.textnorm import (
+        HOMOGLYPH_DST,
+        HOMOGLYPH_SAMPLE,
+        HOMOGLYPH_SRC,
+    )
+
+    _hg_src = HOMOGLYPH_SRC.replace("'", "''")
+    _hg_dst = HOMOGLYPH_DST.replace("'", "''")
+    _hg_sample = (" " + HOMOGLYPH_SAMPLE).replace("'", "''")
+    q["docs_fold_homoglyphs"] = f"""WITH hg_aug AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 2 = 0 THEN text || '{_hg_sample}'
+              ELSE text END AS aug
+  FROM documents
+),
+hg_f AS (
+  SELECT id, aug, translate(aug, '{_hg_src}', '{_hg_dst}') AS folded
+  FROM hg_aug
+)
+SELECT id, sha256(folded) AS folded_sha,
+       CAST(length(aug) - length(folded) AS INT) AS n_deleted,
+       folded <> aug AS changed
+FROM hg_f ORDER BY id"""
+
     # Mojibake repair (textnorm.fix_mojibake_col): the chain is BUILT
     # from the same MOJIBAKE_TABLE in the same order, and the damaged
     # augmentation phrase is the same imported literal — zero manual

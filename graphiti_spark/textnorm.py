@@ -166,3 +166,56 @@ def fix_mojibake_col(text: Column) -> Column:
 # A damaged phrase exercising the table (query fixtures + oracles import
 # this one literal so both engines augment identically).
 MOJIBAKE_SAMPLE = "itâ€™s â€œokâ€¦ cafÃ© Ã¨re Ã±u â€“ Â«quoteÂ»"
+
+
+# Homoglyph / confusable folding: Unicode characters that render like
+# ASCII but defeat exact dedup, gram matching, and blocklists ("vіаgrа"
+# with Cyrillic і/а slips every ASCII filter). A CLOSED 1-char table so
+# a single translate() pass — identical semantics in Spark and DuckDB —
+# folds Cyrillic/Greek lookalikes and fullwidth forms to ASCII, maps
+# the space confusables to a plain space, and DELETES the zero-width
+# family (translate drops source chars beyond the replacement string).
+_CYRILLIC_FOLD = {
+    "а": "a", "е": "e", "о": "o", "р": "p",
+    "с": "c", "х": "x", "у": "y", "і": "i",
+    "ѕ": "s", "ј": "j",
+}
+_GREEK_FOLD = {
+    "ο": "o", "α": "a", "ε": "e", "ι": "i",
+    "κ": "k", "ν": "v",
+}
+_SPACE_FOLD = {" ": " ", "　": " "}
+_ZERO_WIDTH = "​‌‍﻿­"
+# fullwidth ！..～ → ASCII !..~ (covers fullwidth letters and digits)
+_FULLWIDTH = {chr(0xFF01 + i): chr(0x21 + i) for i in range(94)}
+
+HOMOGLYPH_SRC = "".join(
+    list(_CYRILLIC_FOLD) + list(_GREEK_FOLD) + list(_SPACE_FOLD)
+    + list(_FULLWIDTH)
+) + _ZERO_WIDTH
+HOMOGLYPH_DST = "".join(
+    list(_CYRILLIC_FOLD.values()) + list(_GREEK_FOLD.values())
+    + list(_SPACE_FOLD.values()) + list(_FULLWIDTH.values())
+)
+# build-time table verification: 1-char non-ASCII keys, unique, ASCII
+# values; deletions strictly the unmapped tail
+assert len(set(HOMOGLYPH_SRC)) == len(HOMOGLYPH_SRC)
+assert all(ord(c) > 0x7F for c in HOMOGLYPH_SRC)
+assert all(ord(c) <= 0x7F for c in HOMOGLYPH_DST)
+assert len(HOMOGLYPH_SRC) == len(HOMOGLYPH_DST) + len(_ZERO_WIDTH)
+
+
+def fold_homoglyphs_col(text: Column) -> Column:
+    """One translate() pass over the closed confusable table — pure
+    codegen, runs inside the scan stage at 100 TB; idempotent (every
+    output char is ASCII, never a table key)."""
+    return F.translate(text, HOMOGLYPH_SRC, HOMOGLYPH_DST)
+
+
+# A confusable-laden phrase (Cyrillic е/і/а/о, Greek ν, fullwidth
+# ＦＲＥＥ１２３, nbsp, zero-widths) — query fixtures + oracles import
+# this one literal so both engines augment identically.
+HOMOGLYPH_SAMPLE = (
+    "frее vіаgrа nоw νip ＦＲＥＥ１２３ deal"
+    " z​ero‌wid‍th﻿­end"
+)

@@ -152,3 +152,26 @@ def test_fix_mojibake_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_fold_homoglyphs(spark):
+    """Cyrillic/Greek/fullwidth confusables fold to ASCII, zero-widths
+    delete, clean ASCII is untouched, and the fold is idempotent."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.textnorm import HOMOGLYPH_SAMPLE, fold_homoglyphs_col
+
+    df = spark.createDataFrame(
+        [(1, HOMOGLYPH_SAMPLE), (2, "plain ascii text!")], "id long, t string"
+    )
+    out = {
+        r["id"]: (r["f"], r["ff"])
+        for r in df.select(
+            "id",
+            fold_homoglyphs_col(F.col("t")).alias("f"),
+            fold_homoglyphs_col(fold_homoglyphs_col(F.col("t"))).alias("ff"),
+        ).collect()
+    }
+    assert out[1][0] == "free viagra now vip FREE123 deal zerowidthend"
+    assert out[2][0] == "plain ascii text!"
+    assert all(f == ff for f, ff in out.values())  # idempotent
