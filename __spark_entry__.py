@@ -1040,6 +1040,26 @@ def _q_docs_curation_funnel(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_docs_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) layout keys (r4): interleave a content-hash
+    bucket with the size dimension so files cluster on BOTH at once —
+    the native form of Iceberg Z-ORDER BY (SURVEY S8). Spark spreads
+    bits with the 5-step magic masks; DuckDB reconstructs the key
+    bit-by-bit (a different formulation, so the hash checks the
+    arithmetic, not a copy)."""
+    from graphiti_spark.functions.zorder import zorder_key
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 1048576).cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    return d.select(
+        "id", "x", "y",
+        zorder_key(F.col("x"), F.col("y")).alias("zkey"),
+    ).orderBy("id")
+
+
 def _q_docs_fold_homoglyphs(spark, sf_dir):
     """Homoglyph/confusable folding (r4): Cyrillic/Greek lookalikes,
     fullwidth forms, nbsp, and the zero-width family folded to ASCII in
@@ -2514,6 +2534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_language_id": _q_docs_language_id,
         # homoglyph folding: one-pass confusable repair (r4)
         "docs_fold_homoglyphs": _q_docs_fold_homoglyphs,
+        # Z-order layout keys: two-dimensional data skipping (r4)
+        "docs_zorder_keys": _q_docs_zorder_keys,
         "docs_token_stats": _q_docs_token_stats,
         "docs_quality": _q_docs_quality,
         "docs_fingerprint": _q_docs_fingerprint,

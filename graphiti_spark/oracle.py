@@ -3981,6 +3981,23 @@ FROM (SELECT id, host, len(string_split(text, chr(10))) AS n_total
 LEFT JOIN hb_agg a USING (id)
 ORDER BY t.id"""
 
+    # Z-order keys (functions/zorder.py): DuckDB reconstructs the
+    # Morton interleave BIT BY BIT — a different formulation than the
+    # Spark magic-mask spread, so equality checks the arithmetic.
+    q["docs_zorder_keys"] = """WITH zo AS (
+  SELECT doc_id AS id,
+         CAST(doc_id % 1048576 AS BIGINT) AS x,
+         CAST(n_chars AS BIGINT) AS y
+  FROM documents
+)
+SELECT id, x, y,
+       CAST(
+         list_sum(list_transform(range(0, 31),
+           i -> (((x >> i) & 1) << (2 * i))
+                + (((y >> i) & 1) << (2 * i + 1))))
+       AS BIGINT) AS zkey
+FROM zo ORDER BY id"""
+
     # Homoglyph folding (textnorm.fold_homoglyphs_col): translate()
     # has IDENTICAL semantics in both engines (chars beyond the
     # replacement string are deleted); src/dst/sample are the same
