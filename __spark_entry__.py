@@ -394,6 +394,33 @@ def _q_neighbor_weights(spark, sf_dir):
     return neighbor_weights(_pipe(spark, sf_dir)["edges_merged"])
 
 
+def _q_graph_asof_diff(spark, sf_dir):
+    """Bi-temporal as-of diff (r4): edges added/removed between two
+    event times — live(t) = valid_at ≤ t < invalid_at (open-ended when
+    never invalidated). One shuffle-free pass over the temporal edges;
+    the downstream-sync primitive of the bi-temporal model."""
+    from datetime import datetime, timezone
+
+    from graphiti_spark.operators.temporal import asof_diff
+
+    t1 = datetime(2024, 1, 1, 2, 0, tzinfo=timezone.utc)
+    t2 = datetime(2024, 1, 1, 6, 0, tzinfo=timezone.utc)
+    d = asof_diff(_pipe(spark, sf_dir)["edges"], t1, t2)
+    return _fmt_ts(
+        d.select(
+            "uuid",
+            "source_node_uuid",
+            "target_node_uuid",
+            "name",
+            "valid_at",
+            "invalid_at",
+            "status",
+        ),
+        "valid_at",
+        "invalid_at",
+    ).orderBy("uuid")
+
+
 def _q_filtered_edges(spark, sf_dir):
     from datetime import datetime, timezone
 
@@ -2487,6 +2514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_rerank": _q_mentions_rerank,
         "neighbor_weights": _q_neighbor_weights,
         "filtered_edges": _q_filtered_edges,
+        # bi-temporal as-of diff: added/removed between two times (r4)
+        "graph_asof_diff": _q_graph_asof_diff,
         "communities": _q_communities,
         # G4 community maintenance inside the delta-incremental ingest
         # (r4): prior-half LP communities + direct/neighbor placement of

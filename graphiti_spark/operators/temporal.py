@@ -233,3 +233,40 @@ def episode_context_window(episodes: DataFrame, last_n: int = 3) -> DataFrame:
         "prev_episode_uuid",
         (F.col("rank0") + 1).alias("rank"),
     )
+
+
+def asof_snapshot(edges: DataFrame, at) -> DataFrame:
+    """The graph AS OF an event time: edges whose validity interval
+    covers ``at`` (valid_at ≤ at < invalid_at, open-ended when never
+    invalidated) — the bi-temporal read the reference's interval model
+    exists for (SURVEY §1.1). Pure filter: partition/min-max pruning
+    applies when the table is laid out on valid_at."""
+    at_l = F.lit(at)
+    return edges.filter(
+        (F.col("valid_at") <= at_l)
+        & (F.col("invalid_at").isNull() | (F.col("invalid_at") > at_l))
+    )
+
+
+def asof_diff(edges: DataFrame, t1, t2) -> DataFrame:
+    """What changed between two event times: edges live at t2 but not
+    t1 (``added``) and live at t1 but not t2 (``removed`` — closed by a
+    later fact). ONE shuffle-free pass computing both liveness flags
+    per row; unchanged edges drop out. The downstream-sync primitive a
+    bi-temporal store owes its consumers."""
+    l1 = F.lit(t1)
+    l2 = F.lit(t2)
+
+    def live(at):
+        return (F.col("valid_at") <= at) & (
+            F.col("invalid_at").isNull() | (F.col("invalid_at") > at)
+        )
+
+    status = (
+        F.when(live(l2) & ~live(l1), F.lit("added"))
+        .when(live(l1) & ~live(l2), F.lit("removed"))
+        .otherwise(F.lit(None))
+    )
+    return edges.withColumn("status", status).filter(
+        F.col("status").isNotNull()
+    )

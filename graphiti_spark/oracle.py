@@ -303,6 +303,33 @@ SELECT uuid, group_id, source_node_uuid, target_node_uuid,
        strftime(expired_at, '%Y-%m-%d %H:%M:%S') AS expired_at
 FROM edges_temporal ORDER BY uuid"""
 
+    # Bi-temporal as-of diff (temporal.asof_diff): live(t) = valid_at
+    # <= t < invalid_at (open-ended). Same temporal chain, same CASE.
+    q["graph_asof_diff"] = f"""WITH {EDGES_TEMPORAL_CTE}
+SELECT uuid, source_node_uuid, target_node_uuid, name,
+       strftime(valid_at, '%Y-%m-%d %H:%M:%S') AS valid_at,
+       strftime(invalid_at, '%Y-%m-%d %H:%M:%S') AS invalid_at,
+       status
+FROM (
+  SELECT e.*,
+         CASE WHEN (valid_at <= TIMESTAMP '2024-01-01 06:00:00'
+                    AND (invalid_at IS NULL
+                         OR invalid_at > TIMESTAMP '2024-01-01 06:00:00'))
+                   AND NOT (valid_at <= TIMESTAMP '2024-01-01 02:00:00'
+                    AND (invalid_at IS NULL
+                         OR invalid_at > TIMESTAMP '2024-01-01 02:00:00'))
+              THEN 'added'
+              WHEN (valid_at <= TIMESTAMP '2024-01-01 02:00:00'
+                    AND (invalid_at IS NULL
+                         OR invalid_at > TIMESTAMP '2024-01-01 02:00:00'))
+                   AND NOT (valid_at <= TIMESTAMP '2024-01-01 06:00:00'
+                    AND (invalid_at IS NULL
+                         OR invalid_at > TIMESTAMP '2024-01-01 06:00:00'))
+              THEN 'removed'
+         END AS status
+  FROM edges_temporal e
+) WHERE status IS NOT NULL ORDER BY uuid"""
+
     q["nodes"] = f"""WITH {NODES_CTE}
 SELECT uuid, name, group_id, mention_count, summary, label
 FROM nodes ORDER BY uuid"""

@@ -149,3 +149,37 @@ def test_invalidation_candidates_bounded_on_hub(spark):
     assert cnt <= n * RELEVANT_SCHEMA_LIMIT
     per_new = out.groupBy("new_uuid").count().agg(F.max("count")).collect()[0][0]
     assert per_new <= RELEVANT_SCHEMA_LIMIT
+
+
+def test_asof_snapshot_and_diff_truth_table(spark):
+    """live(t) = valid_at <= t < invalid_at, open-ended intervals; the
+    diff emits exactly the liveness changes between t1 and t2."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.temporal import asof_diff, asof_snapshot
+
+    def ts(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    edges = spark.createDataFrame(
+        [
+            ("before_both", ts(0), ts(1)),     # closed before t1
+            ("removed", ts(0), ts(4)),         # live at 2, closed by 6
+            ("stable", ts(0), None),           # live at both
+            ("added", ts(3), None),            # opens between
+            ("blip", ts(3), ts(5)),            # opens AND closes between
+            ("after_both", ts(8), None),       # opens after t2
+        ],
+        "uuid string, valid_at timestamp, invalid_at timestamp",
+    )
+    snap2 = {r["uuid"] for r in asof_snapshot(edges, ts(2)).collect()}
+    snap6 = {r["uuid"] for r in asof_snapshot(edges, ts(6)).collect()}
+    assert snap2 == {"removed", "stable"}
+    assert snap6 == {"stable", "added"}
+    diff = {
+        r["uuid"]: r["status"]
+        for r in asof_diff(edges, ts(2), ts(6)).collect()
+    }
+    assert diff == {"removed": "removed", "added": "added"}
