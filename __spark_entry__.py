@@ -2158,6 +2158,33 @@ def _q_parts_skipgrams(spark, sf_dir):
     return skipgram_pairs(w, window=2)
 
 
+def _q_parts_salted_topk(spark, sf_dir):
+    """Hub-safe per-group top-k (r4): top-3 lineitems per supplier by
+    (quantity desc, partkey, orderkey) through the salted TWO-PHASE
+    window. The DuckDB twin runs the PLAIN unsalted window — a
+    different formulation, so the hash proves salting never changes
+    the answer (the pipeline's skew rule as a first-class operator)."""
+    from graphiti_spark.operators.topk import salted_topk
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_quantity").cast("double").alias("quantity"),
+    )
+    return salted_topk(
+        li,
+        ["suppkey"],
+        [
+            F.col("quantity").desc(),
+            F.col("partkey").asc(),
+            F.col("orderkey").asc(),
+        ],
+        k=3,
+        n_salt=8,
+    ).orderBy("suppkey", "rank")
+
+
 def _q_parts_walk_corpus(spark, sf_dir):
     """The COMPOSED walk-corpus export (r4): walks → skip-gram pairs →
     per-pair ORDERED negative arrays, exactly the
@@ -2646,6 +2673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_skipgram_negatives": _q_parts_skipgram_negatives,
         # the composed walk-corpus export, hash-proven end-to-end (r4)
         "parts_walk_corpus": _q_parts_walk_corpus,
+        # salted two-phase top-k == plain window (r4)
+        "parts_salted_topk": _q_parts_salted_topk,
         "parts_biased_walks": _q_parts_biased_walks,
         # mergeable corpus sketches: KMV distinct + MG heavy hitters (r4)
         "docs_distinct_kmv": _q_docs_distinct_kmv,

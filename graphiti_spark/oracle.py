@@ -3720,6 +3720,22 @@ SELECT d.start, d.widx, d.pos, d.center, d.context, d.neg_idx,
 FROM ng_draws d JOIN ng_cum c ON d.t >= c.lo AND d.t < c.hi
 ORDER BY d.start, d.widx, d.pos, d.context, d.neg_idx"""
 
+    # Salted two-phase top-k (operators/topk.py): DuckDB runs the PLAIN
+    # unsalted window — equality proves the salt never changes the
+    # answer. st_ prefix.
+    q["parts_salted_topk"] = """WITH st_li AS (
+  SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+         l_orderkey AS orderkey, CAST(l_quantity AS DOUBLE) AS quantity
+  FROM lineitem
+)
+SELECT suppkey, partkey, orderkey, quantity, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY suppkey
+    ORDER BY quantity DESC, partkey ASC, orderkey ASC) AS rn
+  FROM st_li
+) WHERE rn <= 3 ORDER BY suppkey, rn"""
+
     # Composed walk-corpus export (jobs/export_walk_corpus.py shape):
     # the same draw chain as parts_skipgram_negatives, folded into
     # per-pair ORDERED negative lists on the DISTINCT pair key and

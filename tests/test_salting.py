@@ -96,3 +96,39 @@ def test_pipeline_reports_zero_dropped_buckets(spark):
 
     out = run_pipeline(spark, "/root/testdata/sf0.001", RunConfig())
     assert out["dropped_buckets"].count() == 0  # healthy corpus
+
+
+def test_generic_salted_topk_equals_plain_window_and_spreads(spark):
+    """The generic operator: identical rows to the unsalted window on a
+    hub-skewed fixture, and phase 1 genuinely spreads the hub across
+    salts (no single (group, salt) cell holds the whole hub)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.topk import salted_topk
+
+    rows = [("hub", i, float((i * 37) % 500)) for i in range(1000)] + [
+        ("tiny", i, float(i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    order = [F.col("v").desc(), F.col("i").asc()]
+    got = sorted(
+        (r["g"], r["i"], r["rank"])
+        for r in salted_topk(df, ["g"], order, k=4, n_salt=8).collect()
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(
+        (r["g"], r["i"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .collect()
+    )
+    assert got == want and len(got) == 8  # 4 hub + 4 tiny (k caps both)
+    # spread check: the hub's rows hash across ≥ 4 of the 8 salts
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("g", "i", "v"), F.lit(8))
+    )
+    n_cells = (
+        salted.filter("g = 'hub'").select("_salt").distinct().count()
+    )
+    assert n_cells >= 4
