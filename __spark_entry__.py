@@ -278,6 +278,21 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH (r4): 8 tables probing the base bucket PLUS the
+    two boundary-bit flips per table — ~the recall of 2-3x the tables
+    with no extra index. DuckDB re-derives the hyperplanes, the per-bit
+    query dots, the identical (|dot|, bit) flip ordering, and the same
+    candidate join."""
+    from graphiti_spark.search.similarity import cosine_topk_lsh_multiprobe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_lsh_multiprobe(
+        emb, _query_vec(spark, sf_dir), limit=10,
+        n_tables=8, n_bits=8, n_probe_bits=2,
+    )
+
+
 def _q_ann_ivf_kmeans(spark, sf_dir):
     """IVF top-k over k-means-REFINED centroids (r4): kmeans_lloyd's
     output drops straight into cosine_topk_ivf's ``centroids`` slot —
@@ -2533,6 +2548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_quantized": _q_ann_ivf_quantized,  # int8 scan path (r4)
         # trained-centroid IVF: kmeans output in the centroids slot (r4)
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        # multi-probe LSH: boundary-bit flips, no extra index (r4)
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         # frozen-centroid index-add == same-centroid full build (r4)
         "ann_ivf_incremental": _q_ann_ivf_incremental,
         "mmr_embeddings": _q_mmr,                  # oracle: unrolled greedy CTEs

@@ -544,6 +544,76 @@ SELECT id, score,
        CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
 FROM topk ORDER BY rank"""
 
+    # Multi-probe LSH (similarity.cosine_topk_lsh_multiprobe): 8
+    # tables; per table probe the base bucket plus xor-flips of the 2
+    # bits whose query dot is nearest 0 (ORDER BY abs(d), bit — the
+    # identical tie rule; Spark folds the query dots left-to-right so
+    # the doubles match list_inner_product bit-for-bit). mp_ prefix.
+    q["ann_lsh_multiprobe"] = """WITH
+mp_planes AS (
+  SELECT t AS tbl, b AS bit,
+         list_transform(range(0,64), i ->
+           (('0x' || substr(sha256('lsh:' || (t*1000+b) || ':' || i), 1, 13))::UBIGINT
+            / 4503599627370496.0) * 2.0 - 1.0) AS plane
+  FROM range(0,8) rt(t) CROSS JOIN range(0,8) rb(b)
+),
+mp_qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+mp_qdots AS (
+  SELECT tbl, bit,
+         list_inner_product((SELECT q FROM mp_qv), plane) AS d
+  FROM mp_planes
+),
+mp_qbase AS (
+  SELECT tbl,
+         SUM(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) AS bucket
+  FROM mp_qdots GROUP BY tbl
+),
+mp_qflip AS (
+  SELECT tbl, bit FROM (
+    SELECT tbl, bit,
+           row_number() OVER (PARTITION BY tbl ORDER BY abs(d), bit) AS rn
+    FROM mp_qdots) WHERE rn <= 2
+),
+mp_qprobe AS (
+  SELECT tbl, CAST(bucket AS BIGINT) AS bucket FROM mp_qbase
+  UNION
+  SELECT f.tbl, CAST(xor(qb.bucket, 1 << f.bit) AS BIGINT) AS bucket
+  FROM mp_qflip f JOIN mp_qbase qb USING (tbl)
+),
+mp_sigs AS (
+  SELECT e.vec_id, p.tbl,
+         SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                          p.plane) >= 0
+             THEN 1 << p.bit ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN mp_planes p GROUP BY 1, 2
+),
+mp_cands AS (
+  SELECT DISTINCT s.vec_id FROM mp_sigs s JOIN mp_qprobe qb
+  ON s.tbl = qb.tbl AND s.bucket = qb.bucket
+),
+mp_scored AS (
+  SELECT e.vec_id AS id,
+         round(
+           CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) = 0
+                  OR list_inner_product((SELECT q FROM mp_qv),
+                                        (SELECT q FROM mp_qv)) = 0
+                THEN 0.0
+                ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        (SELECT q FROM mp_qv))
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product((SELECT q FROM mp_qv),
+                                                  (SELECT q FROM mp_qv))))
+           END,
+         4) AS score
+  FROM embeddings e JOIN mp_cands c ON e.vec_id = c.vec_id
+),
+mp_topk AS (SELECT * FROM mp_scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM mp_topk ORDER BY rank"""
+
     # Q3 ANN (IVF): deterministic centroids = the 16 embeddings whose
     # sha256(vec_id-as-string) is smallest (similarity.ivf_centroids);
     # every vector joins its max-cosine centroid (ties -> min cid); the

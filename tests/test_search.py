@@ -541,3 +541,38 @@ def test_cross_encoder_recipes_carry_bfs_method():
         H.EDGE_HYBRID_SEARCH_EPISODE_MENTIONS,
     ):
         assert r.edges.methods == ["bm25", "cosine"]
+
+
+def test_multiprobe_candidates_superset_and_recall(spark):
+    """Multi-probe candidates are a SUPERSET of single-probe (base
+    buckets are always probed), so recall vs brute force can only go
+    up; on the corpus, 8-table multiprobe must reach at least 8-table
+    single-probe recall."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.search.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+        cosine_topk_lsh_multiprobe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    brute = {r["id"] for r in cosine_topk(emb, q, limit=10).collect()}
+    single = {
+        r["id"]
+        for r in cosine_topk_lsh(
+            emb, q, limit=10, n_tables=8, n_bits=8
+        ).collect()
+    }
+    multi = {
+        r["id"]
+        for r in cosine_topk_lsh_multiprobe(
+            emb, q, limit=10, n_tables=8, n_bits=8, n_probe_bits=2
+        ).collect()
+    }
+    assert len(multi & brute) >= len(single & brute)
