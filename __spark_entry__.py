@@ -109,7 +109,7 @@ def _q_pronoun_links(spark, sf_dir):
             F.col("content"), F.lit(" then it failed and they recovered")
         ),
     )
-    return pronoun_mentions(eps).orderBy("episode_uuid", "pos")
+    return pronoun_mentions(eps).orderBy("episode_uuid", "pronoun_idx")
 
 
 def _q_triples(spark, sf_dir):

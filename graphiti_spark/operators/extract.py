@@ -154,6 +154,24 @@ def _mention_name_col():
     ).when(is_noun, F.col("tok"))
 
 
+def _mention_tagged(
+    toks: DataFrame, excluded_entity_types: tuple = ()
+) -> DataFrame:
+    """tokens_df rows + the (exclusion-suppressed) mention_name column —
+    the ONE place the surviving-mention rule lives; extract_token_stream
+    (the pipeline path) and pronoun_mentions both consume it, so the E3
+    semantics can't diverge between them."""
+    mention_name = _mention_name_col()
+    if excluded_entity_types:
+        from graphiti_spark.functions.typing import entity_type_col
+
+        mention_name = F.when(
+            entity_type_col(mention_name).isin(sorted(excluded_entity_types)),
+            F.lit(None),
+        ).otherwise(mention_name)
+    return toks.withColumn("mention_name", mention_name)
+
+
 def extract_token_stream(
     episodes: DataFrame,
     excluded_entity_types: tuple = (),
@@ -177,15 +195,7 @@ def extract_token_stream(
         "valid_at", stated_date_col(F.col("content"), F.col("valid_at"))
     )
     toks = tokens_df(episodes)
-    mention_name = _mention_name_col()
-    if excluded_entity_types:
-        from graphiti_spark.functions.typing import entity_type_col
-
-        mention_name = F.when(
-            entity_type_col(mention_name).isin(sorted(excluded_entity_types)),
-            F.lit(None),
-        ).otherwise(mention_name)
-    tagged = toks.withColumn("mention_name", mention_name).withColumn(
+    tagged = _mention_tagged(toks, excluded_entity_types).withColumn(
         "is_verb", F.col("tok").isin(*RELATION_VERBS_SORTED)
     )
     # Only mention/verb rows participate in the windows; prev_tok is
@@ -285,23 +295,22 @@ def pronoun_mentions(
     reference's LLM pronoun disambiguation (E1). Trailing punctuation
     is stripped before the pronoun match; a pronoun with no preceding
     mention is dropped (the reference's unresolvable-pronoun guard).
-    Output (episode_uuid, pos, pronoun, antecedent).
+    Output (episode_uuid, pronoun_idx, pronoun, antecedent) —
+    ``pronoun_idx`` is the 1-based rank of the pronoun among the
+    episode's RESOLVED pronouns in text order, not an absolute token
+    offset: occurrence rank is invariant to how an engine numbers
+    whitespace runs, so the oracle can't be destabilized by
+    multi-space/tab content (absolute positions differ between
+    split-then-filter and filter-then-number tokenizers).
 
     Scale shape: the same one-posexplode token pass and per-episode
-    window as the main extraction — pure codegen, no Python."""
-    toks = tokens_df(episodes)
-    mention_name = _mention_name_col()
-    if excluded_entity_types:
-        from graphiti_spark.functions.typing import entity_type_col
-
-        mention_name = F.when(
-            entity_type_col(mention_name).isin(
-                sorted(excluded_entity_types)
-            ),
-            F.lit(None),
-        ).otherwise(mention_name)
+    window as the main extraction — pure codegen, no Python. The
+    mention tagging (incl. E3 exclusion suppression) is shared with
+    extract_token_stream via _mention_tagged."""
     pron = F.regexp_replace(F.lower(F.col("tok")), r"[.,;:!?]+$", "")
-    tagged = toks.withColumn("mention_name", mention_name).withColumn(
+    tagged = _mention_tagged(
+        tokens_df(episodes), excluded_entity_types
+    ).withColumn(
         "pronoun",
         F.when(
             pron.isin(*PRONOUNS) & F.col("mention_name").isNull(), pron
@@ -314,15 +323,13 @@ def pronoun_mentions(
     ante = F.last("mention_name", ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        stream.withColumn("antecedent", ante)
-        .filter(
-            F.col("pronoun").isNotNull() & F.col("antecedent").isNotNull()
-        )
-        .select(
-            "episode_uuid",
-            F.col("pos").cast("int").alias("pos"),
-            "pronoun",
-            "antecedent",
-        )
+    resolved = stream.withColumn("antecedent", ante).filter(
+        F.col("pronoun").isNotNull() & F.col("antecedent").isNotNull()
+    )
+    idx = F.row_number().over(w)
+    return resolved.select(
+        "episode_uuid",
+        idx.cast("int").alias("pronoun_idx"),
+        "pronoun",
+        "antecedent",
     )

@@ -96,10 +96,10 @@ def token_stats(
     )
 
 
-def quality_score_col(text_col):
-    """Per-row composite quality score (the four 0.25 gates, rounded
-    4 dp) — the shared expression behind quality_score and the
-    streaming monitor. Same arithmetic as the docs_quality oracle."""
+def _quality_features(text_col) -> dict:
+    """The four ratio features, built ONCE — quality_score (display
+    columns + score) and quality_score_col (streaming monitor) derive
+    from this single source so they can never desynchronize."""
     t = text_col
     toks = F.filter(_tokens(t), lambda x: x != "")
     n = F.size(toks).cast("double")
@@ -119,13 +119,32 @@ def quality_score_col(text_col):
     distinct_ratio = F.when(
         n > 0, F.size(F.array_distinct(toks)) / n
     ).otherwise(F.lit(0.0))
+    return {
+        "n": n,
+        "mean_len": mean_len,
+        "stop_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "distinct_ratio": distinct_ratio,
+    }
+
+
+def _quality_gates(f: dict):
     return F.round(
-        F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.25).otherwise(0.0)
-        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
-        + F.when(alpha_ratio >= 0.8, 0.25).otherwise(0.0)
-        + F.when(distinct_ratio >= 0.2, 0.25).otherwise(0.0),
+        F.when(
+            (f["mean_len"] >= 3.0) & (f["mean_len"] <= 10.0), 0.25
+        ).otherwise(0.0)
+        + F.when(f["stop_ratio"] >= 0.01, 0.25).otherwise(0.0)
+        + F.when(f["alpha_ratio"] >= 0.8, 0.25).otherwise(0.0)
+        + F.when(f["distinct_ratio"] >= 0.2, 0.25).otherwise(0.0),
         4,
     )
+
+
+def quality_score_col(text_col):
+    """Per-row composite quality score (the four 0.25 gates, rounded
+    4 dp) — the shared expression behind quality_score and the
+    streaming monitor. Same arithmetic as the docs_quality oracle."""
+    return _quality_gates(_quality_features(text_col))
 
 
 def quality_score(
@@ -141,34 +160,17 @@ def quality_score(
       score            0.25·each of four binary gates (rounded 4 dp)
 
     Output (id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
-    distinct_ratio, score)."""
-    t = F.col(text_col)
-    toks = F.filter(_tokens(t), lambda x: x != "")
-    n = F.size(toks).cast("double")
-    mean_len = F.when(
-        n > 0,
-        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n,
-    ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(
-        n > 0,
-        F.size(F.filter(toks, lambda x: x.isin(*ENGLISH_STOPWORDS))) / n,
-    ).otherwise(F.lit(0.0))
-    alpha_ratio = F.when(
-        F.length(t) > 0,
-        F.length(F.regexp_replace(F.lower(t), r"[^a-z ]", "")).cast("double")
-        / F.length(t),
-    ).otherwise(F.lit(0.0))
-    distinct_ratio = F.when(
-        n > 0, F.size(F.array_distinct(toks)) / n
-    ).otherwise(F.lit(0.0))
+    distinct_ratio, score). Display ratios and the score derive from
+    ONE _quality_features build — they cannot desynchronize."""
+    f = _quality_features(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("id"),
-        n.cast("long").alias("n_tokens"),
-        F.round(mean_len, 4).alias("mean_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        quality_score_col(t).alias("score"),
+        f["n"].cast("long").alias("n_tokens"),
+        F.round(f["mean_len"], 4).alias("mean_token_len"),
+        F.round(f["stop_ratio"], 4).alias("stopword_ratio"),
+        F.round(f["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(f["distinct_ratio"], 4).alias("distinct_ratio"),
+        _quality_gates(f).alias("score"),
     )
 
 

@@ -46,6 +46,14 @@ def salted_topk(
     the result (the oracle's unsalted window proves it)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if n_salt is not None and n_salt < 1:
+        raise ValueError("n_salt must be >= 1")
+    for reserved in ("rank", "_salt"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"input already has a {reserved!r} column — rename it; "
+                "salted_topk emits its own"
+            )
     n_salt = n_salt or N_SALT
     salt = (
         salt_expr

@@ -273,10 +273,16 @@ pn_win AS (
       PARTITION BY episode_uuid ORDER BY pos
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS antecedent
   FROM pn_stream
+),
+pn_resolved AS (
+  SELECT episode_uuid, pos, pronoun, antecedent
+  FROM pn_win WHERE pronoun IS NOT NULL AND antecedent IS NOT NULL
 )
-SELECT episode_uuid, CAST(pos AS INT) AS pos, pronoun, antecedent
-FROM pn_win WHERE pronoun IS NOT NULL AND antecedent IS NOT NULL
-ORDER BY episode_uuid, pos"""
+SELECT episode_uuid,
+       CAST(row_number() OVER (PARTITION BY episode_uuid ORDER BY pos)
+            AS INT) AS pronoun_idx,
+       pronoun, antecedent
+FROM pn_resolved ORDER BY episode_uuid, pronoun_idx"""
 
     q["entities"] = f"""WITH {ENTITIES_CTE}
 SELECT uuid, group_id, name, mention_count FROM entities ORDER BY uuid"""

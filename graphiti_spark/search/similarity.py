@@ -305,48 +305,15 @@ def cosine_topk_lsh(
     The bucket explode is the blocking shuffle (same shape as MinHash-LSH
     dedup); at cluster scale the bucketed table is precomputed once and
     partitioned by (table, bucket) so a query touches n_tables partitions.
+
+    Exactly the n_probe_bits=0 case of the multiprobe form — one
+    candidate-generation path to maintain (query dots via the explicit
+    left-to-right fold, matching DuckDB's list_inner_product signs
+    bit-for-bit).
     """
-    import numpy as np
-
-    dim = len(query_vec)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    buckets = []
-    for t in range(n_tables):
-        b = 0
-        for bit in range(n_bits):
-            plane = np.asarray(_hyperplane(t * 1000 + bit, dim))
-            if float(qv @ plane) >= 0:
-                b |= 1 << bit
-        buckets.append((t, b))
-
-    tagged = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        lsh_bucket_col(F.col(vec_col), dim, n_bits, t).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    )
-    from graphiti_spark.functions.smalldf import literal_df
-
-    spark = df.sparkSession
-    qdf = literal_df(spark, buckets, [("table", "int"), ("bucket", "int")])
-    candidates = (
-        tagged.select("id", "vec", F.col("tb.table").alias("table"),
-                      F.col("tb.bucket").alias("bucket"))
-        .join(F.broadcast(qdf), ["table", "bucket"])
-        .select("id", "vec")
-        .dropDuplicates(["id"])
-    )
-    return cosine_topk(
-        candidates, query_vec, id_col="id", vec_col="vec", limit=limit
+    return cosine_topk_lsh_multiprobe(
+        df, query_vec, id_col, vec_col, limit, n_tables, n_bits,
+        n_probe_bits=0,
     )
 
 
@@ -417,7 +384,10 @@ def cosine_topk_lsh_multiprobe(
         )
         .join(F.broadcast(qdf), ["table", "bucket"])
         .select("id", "vec")
-        .dropDuplicates(["id"])
+        # vec is functionally dependent on id: distinct over both stays
+        # a HashAggregate (dropDuplicates(["id"]) + first(vec) would
+        # compile to a SortAggregate — the measured repo anti-pattern)
+        .distinct()
     )
     return cosine_topk(
         candidates, query_vec, id_col="id", vec_col="vec", limit=limit

@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--window", default="1 hour")
     ap.add_argument("--watermark", default="2 hours")
     ap.add_argument("--once", action="store_true", help="drain the feed (availableNow) and exit")
+    ap.add_argument("--max-files-per-trigger", type=int, default=16,
+                    help="bounded files per micro-batch (bounded memory over a backlog)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
@@ -54,7 +56,14 @@ def main() -> None:
     from graphiti_spark.streaming.ingest import PAGES_FEED_SCHEMA
     from graphiti_spark.streaming.monitor import windowed_quality_stats
 
-    stream = spark.readStream.schema(PAGES_FEED_SCHEMA).parquet(args.feed)
+    # bounded files per trigger → bounded micro-batch memory even when
+    # pointed at weeks of backlog (the same bound streaming/ingest.py
+    # applies to this feed shape)
+    stream = (
+        spark.readStream.schema(PAGES_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+        .parquet(args.feed)
+    )
     stats = windowed_quality_stats(
         stream, window=args.window, watermark=args.watermark
     )

@@ -159,10 +159,10 @@ def test_pronoun_mentions_recency_and_guards(spark):
         "uuid string, group_id string, valid_at timestamp, content string",
     )
     rows = sorted(
-        (r["episode_uuid"], r["pos"], r["pronoun"], r["antecedent"])
+        (r["episode_uuid"], r["pronoun_idx"], r["pronoun"], r["antecedent"])
         for r in pronoun_mentions(eps).collect()
     )
     assert rows == [
-        ("e1", 5, "it", "order"),
-        ("e1", 9, "them", "table"),
+        ("e1", 1, "it", "order"),
+        ("e1", 2, "them", "table"),
     ]
