@@ -278,6 +278,21 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_embeddings_knn_mutual(spark, sf_dir):
+    """Mutual-nearest-neighbour pairs from the IVF-cell-bounded kNN
+    graph (r4): each vector's top-3 within-cell cosine neighbours, then
+    pairs where BOTH directions survive — the classic high-precision
+    merge signal for agglomerative dedup. DuckDB re-derives cells, all
+    within-cell cosines, the identical (cos desc, nbr asc) top-k, and
+    the reciprocal join."""
+    from graphiti_spark.search.similarity import knn_graph, mutual_nn_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mutual_nn_pairs(knn_graph(emb, k=3, n_cells=16)).orderBy(
+        "a_id", "b_id"
+    )
+
+
 def _q_ann_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH (r4): 8 tables probing the base bucket PLUS the
     two boundary-bit flips per table — ~the recall of 2-3x the tables
@@ -2550,6 +2565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         # multi-probe LSH: boundary-bit flips, no extra index (r4)
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
+        # IVF-bounded kNN graph -> reciprocal-NN merge pairs (r4)
+        "embeddings_knn_mutual": _q_embeddings_knn_mutual,
         # frozen-centroid index-add == same-centroid full build (r4)
         "ann_ivf_incremental": _q_ann_ivf_incremental,
         "mmr_embeddings": _q_mmr,                  # oracle: unrolled greedy CTEs

@@ -620,6 +620,58 @@ SELECT id, score,
        CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
 FROM mp_topk ORDER BY rank"""
 
+    # kNN graph + mutual-NN pairs (similarity.knn_graph /
+    # mutual_nn_pairs): IVF cells bound the quadratic (SemDeDup shape);
+    # per-vector top-3 by (cos desc, nbr asc) after the 4 dp round;
+    # reciprocal join. nn_ prefix.
+    q["embeddings_knn_mutual"] = """WITH
+nn_cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+nn_assign AS (
+  SELECT e.vec_id, c.cid,
+         CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) = 0
+                OR list_inner_product(c.cvec, c.cvec) = 0
+              THEN 0.0
+              ELSE list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(c.cvec, c.cvec)))
+         END + 0.0 AS s
+  FROM embeddings e CROSS JOIN nn_cent c
+),
+nn_cells AS MATERIALIZED (
+  SELECT vec_id AS id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM nn_assign) WHERE rn = 1
+),
+nn_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nn_scored AS MATERIALIZED (
+  SELECT a.id, b.id AS nbr,
+         round(CASE WHEN list_inner_product(av.v, av.v) = 0
+                      OR list_inner_product(bv.v, bv.v) = 0
+                    THEN 0.0
+                    ELSE list_inner_product(av.v, bv.v)
+                         / (sqrt(list_inner_product(av.v, av.v))
+                            * sqrt(list_inner_product(bv.v, bv.v)))
+               END, 4) + 0.0 AS cos
+  FROM nn_cells a JOIN nn_cells b ON a.cell = b.cell AND a.id <> b.id
+  JOIN nn_v av ON av.vec_id = a.id JOIN nn_v bv ON bv.vec_id = b.id
+),
+nn_knn AS MATERIALIZED (
+  SELECT id, nbr, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY cos DESC, nbr ASC) AS rn
+    FROM nn_scored) WHERE rn <= 3
+)
+SELECT f.id AS a_id, f.nbr AS b_id, f.cos
+FROM nn_knn f JOIN nn_knn r ON r.id = f.nbr AND r.nbr = f.id
+WHERE f.id < f.nbr ORDER BY a_id, b_id"""
+
     # Q3 ANN (IVF): deterministic centroids = the 16 embeddings whose
     # sha256(vec_id-as-string) is smallest (similarity.ivf_centroids);
     # every vector joins its max-cosine centroid (ties -> min cid); the

@@ -392,3 +392,68 @@ def cosine_topk_lsh_multiprobe(
     return cosine_topk(
         candidates, query_vec, id_col="id", vec_col="vec", limit=limit
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbour graph: every vector's top-k
+    neighbours by cosine WITHIN ITS IVF CELL (the SemDeDup bounding —
+    cells cap the quadratic, so the pair stage is Σ|cell|², never n²).
+    Output directed edges (id, nbr, cos) with cos rounded 4 dp first,
+    ties (cos desc, nbr asc). Pass kmeans_lloyd output as ``centroids``
+    for trained cells; vectors alone in their cell emit no edges.
+
+    The kNN graph is the substrate for mutual-NN clustering,
+    agglomerative dedup, and graph-based label propagation over
+    embeddings."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, id_col, vec_col, n_cells)
+    )
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    a = assigned.select(
+        "cell", F.col("id").alias("a_id"), F.col("vec").alias("a_vec")
+    )
+    b = assigned.select(
+        "cell", F.col("id").alias("b_id"), F.col("vec").alias("b_vec")
+    )
+    pairs = a.join(b, "cell").filter(F.col("a_id") != F.col("b_id"))
+    from graphiti_spark.functions.embed import cosine_col
+
+    scored = pairs.select(
+        F.col("a_id").alias("id"),
+        F.col("b_id").alias("nbr"),
+        (
+            F.round(cosine_col(F.col("a_vec"), F.col("b_vec")), 4)
+            + F.lit(0.0)
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos").desc(), F.col("nbr").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def mutual_nn_pairs(knn: DataFrame) -> DataFrame:
+    """Mutual nearest neighbours from a kNN graph: (a_id, b_id, cos)
+    with a_id < b_id where BOTH directions are in each other's top-k —
+    the classic high-precision merge signal (reciprocal-NN
+    agglomeration). One self-join on the reversed edge."""
+    fwd = knn.select(
+        F.col("id").alias("a_id"), F.col("nbr").alias("b_id"), "cos"
+    ).filter(F.col("a_id") < F.col("b_id"))
+    rev = knn.select(
+        F.col("nbr").alias("a_id"), F.col("id").alias("b_id")
+    ).filter(F.col("a_id") < F.col("b_id"))
+    return fwd.join(rev, ["a_id", "b_id"]).select("a_id", "b_id", "cos")

@@ -576,3 +576,34 @@ def test_multiprobe_candidates_superset_and_recall(spark):
         ).collect()
     }
     assert len(multi & brute) >= len(single & brute)
+
+
+def test_knn_graph_and_mutual_pairs(spark):
+    """Hand-checked: two tight bundles; within a bundle everyone is
+    everyone's neighbour (mutual), across bundles nothing pairs; a
+    singleton cell emits no edges."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.functions.smalldf import literal_df
+    from graphiti_spark.search.similarity import knn_graph, mutual_nn_pairs
+
+    rows = [
+        (1, [10.0, 0.0]), (2, [10.0, 0.5]), (3, [10.0, 1.0]),
+        (4, [0.0, 10.0]), (5, [0.5, 10.0]),
+        (6, [-10.0, -10.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = literal_df(
+        spark,
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0]), (300, [-1.0, -1.0])],
+        [("cid", "bigint"), ("cvec", "array<double>")],
+    )
+    knn = knn_graph(emb, k=2, centroids=cents)
+    by_id = {}
+    for r in knn.collect():
+        by_id.setdefault(r["id"], set()).add(r["nbr"])
+    assert by_id[1] == {2, 3} and by_id[4] == {5} and 6 not in by_id
+    mutual = sorted(
+        (r["a_id"], r["b_id"]) for r in mutual_nn_pairs(knn).collect()
+    )
+    assert mutual == [(1, 2), (1, 3), (2, 3), (4, 5)]
