@@ -293,6 +293,23 @@ def _q_embeddings_knn_mutual(spark, sf_dir):
     )
 
 
+def _q_embeddings_rnn_clusters(spark, sf_dir):
+    """Reciprocal-NN agglomeration (r4): mutual-nearest-neighbour pairs
+    → connected components → min-id cluster per vector — the
+    high-precision semantic grouping step (only vectors that choose
+    EACH OTHER merge, so chains stay tight). Composes the kNN graph,
+    the reciprocal join, and the distributed CC; DuckDB re-derives all
+    three plus the min-prop closure."""
+    from graphiti_spark.operators.dedup_docs import canonical_docs
+    from graphiti_spark.search.similarity import knn_graph, mutual_nn_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = mutual_nn_pairs(knn_graph(emb, k=3, n_cells=16))
+    return canonical_docs(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    ).orderBy("id")
+
+
 def _q_ann_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH (r4): 8 tables probing the base bucket PLUS the
     two boundary-bit flips per table — ~the recall of 2-3x the tables
@@ -2567,6 +2584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         # IVF-bounded kNN graph -> reciprocal-NN merge pairs (r4)
         "embeddings_knn_mutual": _q_embeddings_knn_mutual,
+        # reciprocal-NN pairs -> CC clusters (agglomerative step, r4)
+        "embeddings_rnn_clusters": _q_embeddings_rnn_clusters,
         # frozen-centroid index-add == same-centroid full build (r4)
         "ann_ivf_incremental": _q_ann_ivf_incremental,
         "mmr_embeddings": _q_mmr,                  # oracle: unrolled greedy CTEs

@@ -672,6 +672,40 @@ SELECT f.id AS a_id, f.nbr AS b_id, f.cos
 FROM nn_knn f JOIN nn_knn r ON r.id = f.nbr AND r.nbr = f.id
 WHERE f.id < f.nbr ORDER BY a_id, b_id"""
 
+    # Reciprocal-NN clusters: the nn_ chain's mutual pairs fed through
+    # the min-prop CC closure (12 rounds — components live inside IVF
+    # cells, diameters are small), min-id canonical per vector.
+    _rn_closure, _rn_prev = [], "rn_r0"
+    for _i in range(1, 13):
+        _rn_cur = f"rn_r{_i}"
+        _rn_closure.append(f"""{_rn_cur} AS MATERIALIZED (
+  SELECT v.id, least(v.m, coalesce(n.m, v.m)) AS m
+  FROM {_rn_prev} v
+  LEFT JOIN (
+    SELECT s.a AS id, min(r.m) AS m
+    FROM rn_sym s JOIN {_rn_prev} r ON r.id = s.b
+    GROUP BY s.a
+  ) n USING (id)
+)""")
+        _rn_prev = _rn_cur
+    q["embeddings_rnn_clusters"] = q["embeddings_knn_mutual"].replace(
+        """SELECT f.id AS a_id, f.nbr AS b_id, f.cos
+FROM nn_knn f JOIN nn_knn r ON r.id = f.nbr AND r.nbr = f.id
+WHERE f.id < f.nbr ORDER BY a_id, b_id""",
+        f""", rn_p AS MATERIALIZED (
+  SELECT f.id AS a_id, f.nbr AS b_id
+  FROM nn_knn f JOIN nn_knn r ON r.id = f.nbr AND r.nbr = f.id
+  WHERE f.id < f.nbr
+),
+rn_sym AS MATERIALIZED (
+  SELECT a_id AS a, b_id AS b FROM rn_p
+  UNION SELECT b_id, a_id FROM rn_p
+),
+rn_r0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS m FROM embeddings),
+{','.join(_rn_closure)}
+SELECT id, m AS canonical_id FROM {_rn_prev} ORDER BY id""",
+    )
+
     # Q3 ANN (IVF): deterministic centroids = the 16 embeddings whose
     # sha256(vec_id-as-string) is smallest (similarity.ivf_centroids);
     # every vector joins its max-cosine centroid (ties -> min cid); the
