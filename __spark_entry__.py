@@ -497,6 +497,61 @@ def _q_communities(spark, sf_dir):
     return comm["communities"].select("uuid", "name", "group_id", "member_count")
 
 
+def _q_episodes_by_mentions(spark, sf_dir):
+    """Reverse provenance fetch (r5 — reference get_episodes_by_mentions,
+    search_utils.py:113-125): the episodes cited by the 5
+    lexicographically-first merged edges' provenance arrays. The oracle
+    re-derives each probe edge's citation set from the triples relation
+    (edge uuid is a pure function of the merge key), so a hash match
+    proves the provenance arrays themselves."""
+    from graphiti_spark.operators.maintenance import get_episodes_by_mentions
+
+    out = _pipe(spark, sf_dir)
+    probe = out["edges_merged"].orderBy("uuid").limit(5)
+    df = get_episodes_by_mentions(probe, out["episodes"], limit=10).select(
+        "uuid", "name", "group_id", "content", "valid_at"
+    )
+    return _fmt_ts(df, "valid_at")
+
+
+def _q_communities_cosine(spark, sf_dir):
+    """Community similarity channel (r5 — reference
+    community_similarity_search, search_utils.py:1022-1129): cosine
+    top-10 over community name embeddings through the real
+    community_similarity_search operator. The hash name_embedding is
+    swapped for a parquet vector keyed by the community uuid's first 4
+    hex chars (the _map_edge_embeddings device) so DuckDB reproduces
+    score and ranking exactly; min_score=None because the mapped
+    vectors are unrelated to the query text (the operator's 0.6
+    reference default would empty the result)."""
+    from graphiti_spark.config import DEFAULT_RUN_TS
+    from graphiti_spark.operators.communities import build_communities
+    from graphiti_spark.search.similarity import community_similarity_search
+
+    out = _pipe(spark, sf_dir)
+    comm = build_communities(out["nodes"], out["edges_merged"], DEFAULT_RUN_TS)[
+        "communities"
+    ]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vecs = emb.count()
+    mapped = (
+        comm.drop("name_embedding")
+        .withColumn(
+            "vec_id",
+            F.conv(F.substring("uuid", 1, 4), 16, 10).cast("long") % n_vecs,
+        )
+        .join(
+            F.broadcast(
+                emb.select("vec_id", F.col("embedding").alias("name_embedding"))
+            ),
+            "vec_id",
+        )
+    )
+    return community_similarity_search(
+        mapped, _query_vec(spark, sf_dir), limit=10, min_score=None
+    )
+
+
 def _comm_incr(spark, sf_dir):
     """Shared computation of the two G4 incremental-community queries:
     run the prior half (WITHIN-group split — see oracle.py
@@ -2597,6 +2652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bi-temporal as-of diff: added/removed between two times (r4)
         "graph_asof_diff": _q_graph_asof_diff,
         "communities": _q_communities,
+        # community cosine channel via community_similarity_search (r5)
+        "communities_cosine": _q_communities_cosine,
         # G4 community maintenance inside the delta-incremental ingest
         # (r4): prior-half LP communities + direct/neighbor placement of
         # every batch canonical, vs the oracle's re-derivation
@@ -2701,6 +2758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_merge": _q_incremental_merge,
         # episode→subgraph fetch (reference get_nodes_and_edges_by_episode)
         "episode_subgraph": _q_episode_subgraph,
+        # reverse provenance: episodes cited by a set of edges (r5)
+        "episodes_by_mentions": _q_episodes_by_mentions,
         # Structured Streaming micro-batch ingest ≡ one batch (r3)
         "streaming_merge": _q_streaming_merge,
         # snapshot + delta-dir MERGE commit, merge-on-read ≡ one batch (r3)

@@ -24,10 +24,47 @@ from pyspark.sql import functions as F
 
 from graphiti_spark import ids
 from graphiti_spark.config import MAX_SUMMARY_CHARS
+from graphiti_spark.functions.embed import make_embed_udf
 from graphiti_spark.search.graph import neighbor_weights
 from graphiti_spark.textnorm import truncate_at_sentence_col
 
 MAX_LP_ITERATIONS = 20
+
+# Bounding the summary reducer (hub-skew rule, SURVEY.md §4): label
+# propagation at web scale routinely yields one giant community, and an
+# uncapped collect_list(name) materializes an O(|community|) array on
+# one reducer to keep ~MAX_SUMMARY_CHARS chars. Keeping only the
+# SUMMARY_TOPK smallest values per group is OUTPUT-IDENTICAL: the ". "
+# separators alone contribute 2*(SUMMARY_TOPK-1) >= MAX_SUMMARY_CHARS
+# chars, so the capped sorted concat agrees with the uncapped one on
+# every char truncate_at_sentence can read (it truncates strictly
+# within the first MAX_SUMMARY_CHARS chars whenever the text is longer,
+# and a community smaller than the cap concatenates identically).
+SUMMARY_TOPK = MAX_SUMMARY_CHARS // 2 + 2
+
+
+def _capped_sorted_concat(
+    df: DataFrame, group_cols: list[str], value_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Per-group '. '-joined ascending concat of ``value_col``, with the
+    per-group reducer input capped at SUMMARY_TOPK rows via the salted
+    two-phase top-k (hub-safe — a giant community spreads over N_SALT
+    reducers first). NULL values sort LAST so they never displace a
+    contributing value from the cap (collect_list drops them anyway).
+    Output: (*group_cols, names_cat)."""
+    from graphiti_spark.operators.topk import salted_topk
+
+    capped = salted_topk(
+        df.select(*group_cols, value_col, tiebreak_col),
+        group_cols,
+        [F.col(value_col).asc_nulls_last(), F.col(tiebreak_col).asc()],
+        k=SUMMARY_TOPK,
+    )
+    return capped.groupBy(*group_cols).agg(
+        F.concat_ws(". ", F.array_sort(F.collect_list(value_col))).alias(
+            "names_cat"
+        )
+    )
 
 
 def label_propagation(edges: DataFrame, max_iterations: int = MAX_LP_ITERATIONS) -> DataFrame:
@@ -81,7 +118,14 @@ def build_communities(
     community uuid = sha256(group_id | min member uuid); name =
     'community <min member name>'; summary = '. '-joined member names
     (sorted), sentence-truncated at 500 (reference build_community
-    replaced per SURVEY.md G3).
+    replaced per SURVEY.md G3); name_embedding = the frozen hash
+    embedding of the community name (reference CommunityNode.
+    name_embedding, /root/reference/graphiti_core/nodes.py:591-728 —
+    the vector community_similarity_search ranks on).
+
+    The summary concat input is capped per community at SUMMARY_TOPK
+    rows (output-identical — see _capped_sorted_concat); count/min
+    aggregates are map-side combinable and need no cap.
     """
     labels = label_propagation(edges)
     members = nodes.join(labels, "uuid", "inner")
@@ -90,7 +134,9 @@ def build_communities(
         F.count(F.lit(1)).alias("member_count"),
         F.min("uuid").alias("min_member_uuid"),
         F.min("name").alias("min_member_name"),
-        F.concat_ws(". ", F.array_sort(F.collect_list("name"))).alias("names_cat"),
+    ).join(
+        _capped_sorted_concat(members, ["group_id", "community"], "name", "uuid"),
+        ["group_id", "community"],
     )
     communities = agg.select(
         ids.entity_uuid_col(
@@ -104,7 +150,7 @@ def build_communities(
         F.lit(run_ts).alias("created_at"),
         "member_count",
         F.col("community").alias("community_key"),
-    )
+    ).withColumn("name_embedding", make_embed_udf()(F.col("name")))
     has_member = (
         members.select("group_id", "community", F.col("uuid").alias("entity_uuid"))
         .join(
@@ -151,6 +197,11 @@ def update_communities(
     including appended memberships, "communities_changed": ONLY the
     community rows this update touched (the upsert side of a delta
     commit), "has_member_appended": ONLY the appended membership rows}.
+
+    The community NAME is invariant under updates (reference
+    update_community regenerates only the summary,
+    community_operations.py:303-331), so ``name_embedding`` — a pure
+    function of the name — passes through unchanged by construction.
     """
     new_ids = new_nodes.select("uuid", "summary")
 
@@ -228,15 +279,18 @@ def update_communities(
         )
     )
 
-    folded = (
-        assigned.join(new_ids, "uuid")
-        .groupBy("community_uuid")
-        .agg(
-            F.concat_ws(
-                ". ", F.array_sort(F.collect_list("summary"))
-            ).alias("new_members_cat"),
-            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_added"),
-        )
+    with_sum = assigned.join(new_ids, "uuid")
+    # same reducer bound as build_communities: the fold concat only ever
+    # keeps MAX_SUMMARY_CHARS chars, so cap its per-community input at
+    # SUMMARY_TOPK (output-identical; a mega-batch landing on one
+    # community otherwise rebuilds the uncapped collect_list).
+    folded = _capped_sorted_concat(
+        with_sum, ["community_uuid"], "summary", "uuid"
+    ).withColumnRenamed("names_cat", "new_members_cat").join(
+        with_sum.groupBy("community_uuid").agg(
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_added")
+        ),
+        "community_uuid",
     )
     updated = (
         communities.join(

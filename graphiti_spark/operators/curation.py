@@ -475,7 +475,14 @@ def semantic_decontaminate(
     ``threshold`` — the semantic complement of the exact 13-gram rule
     (``decontaminate``), catching paraphrased/reworded eval leakage
     that verbatim n-grams miss. Output one row per corpus doc:
-    (id, max_benchmark_cos, n_matches, contaminated).
+    (id, max_benchmark_cos, n_matches, contaminated, checked).
+
+    ``checked`` is False for a corpus doc whose OWN embedding is NULL —
+    such a doc was never actually compared, and for a contamination
+    gate "silently passes as clean" is the unsafe default (ADVICE r4).
+    Unchecked rows carry NULL max_benchmark_cos/n_matches/contaminated
+    so callers can quarantine them explicitly instead of mistaking
+    them for verified-clean.
 
     Scale shape: the benchmark suite is bounded by the EVAL SETS, not
     the corpus, so its vectors broadcast; the corpus makes ONE pass
@@ -521,19 +528,21 @@ def semantic_decontaminate(
     # one (null-cos) row per corpus doc instead of erasing the corpus —
     # still ONE pass, no corpus-keyed join back
     scored = a.join(b, F.lit(True), "left").select(
-        "id", cos.alias("cos")
+        "id", cos.alias("cos"), F.col("av").isNotNull().alias("_ok")
     )
-    return (
-        scored.groupBy("id")
-        .agg(
-            F.coalesce(F.max("cos") + F.lit(0.0), F.lit(0.0)).alias(
-                "max_benchmark_cos"
-            ),
-            F.sum(F.when(F.col("cos") >= threshold, 1).otherwise(0))
-            .cast("long")
-            .alias("n_matches"),
-        )
-        .withColumn("contaminated", F.col("n_matches") > 0)
+    agg = scored.groupBy("id").agg(
+        F.coalesce(F.max("cos") + F.lit(0.0), F.lit(0.0)).alias("_mx"),
+        F.sum(F.when(F.col("cos") >= threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("_nm"),
+        F.max("_ok").alias("checked"),
+    )
+    return agg.select(
+        "id",
+        F.when(F.col("checked"), F.col("_mx")).alias("max_benchmark_cos"),
+        F.when(F.col("checked"), F.col("_nm")).alias("n_matches"),
+        F.when(F.col("checked"), F.col("_nm") > 0).alias("contaminated"),
+        "checked",
     )
 
 

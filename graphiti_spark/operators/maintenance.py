@@ -119,3 +119,28 @@ def get_nodes_and_edges_by_episode(
         "nodes": get_mentioned_nodes(mention_edges, nodes, episode_uuids),
         "edges": edges.filter(F.arrays_overlap(F.col("episodes"), probe)),
     }
+
+
+def get_episodes_by_mentions(
+    edges: DataFrame, episodes: DataFrame, limit: int | None = None
+) -> DataFrame:
+    """The reverse of G8 — the episodes a set of edges cite as
+    provenance (reference get_episodes_by_mentions,
+    /root/reference/graphiti_core/search/search_utils.py:113-125: it
+    concatenates each edge's ``episodes`` uuid list and fetches the
+    first ``limit``). The batch twin explodes the provenance arrays of
+    the GIVEN edges frame (callers pre-filter to their edge set, the
+    equivalent of the reference's edge list argument), takes DISTINCT
+    cited uuids, and semi-joins the episodes table — ordered by uuid
+    (the engine's deterministic stand-in for Python list order) with
+    the same ``limit`` cut.
+
+    Scale shape: one explode + distinct over the CALLER'S edge subset
+    (query-sized), then a semi-join into episodes — broadcastable
+    whenever the probe set is small, no provenance scan of the full
+    edge table."""
+    cited = edges.select(F.explode("episodes").alias("uuid")).distinct()
+    out = episodes.join(cited, "uuid", "left_semi").orderBy("uuid")
+    if limit is not None:
+        out = out.limit(limit)
+    return out

@@ -312,13 +312,30 @@ def sample_sketch(
 
 
 def sample_merge(
-    sketches: Iterable[DataFrame], group_cols: list[str], k: int
+    sketches: Iterable[DataFrame],
+    group_cols: list[str],
+    k: int,
+    build_k: int | None = None,
 ) -> DataFrame:
     """Merge partial bottom-k samples built over DISJOINT id sets:
     union, keep the k smallest by u, sum exact row counts. The
     array_distinct collapses identical (u, v) structs so an
     overlapping-id merge doesn't burn two sample slots on one row
-    (n_rows still double-counts overlap — see sample_sketch)."""
+    (n_rows still double-counts overlap — see sample_sketch).
+
+    CONTRACT: ``k`` must not exceed the k the partials were BUILT with
+    — a partial already truncated to build_k < k cannot supply the
+    merge's missing rows, so the merged sample silently comes back
+    smaller than requested and quantile_estimate then misreads
+    truncated groups as 'exact' (ADVICE r4). Pass ``build_k`` (the
+    build-time k, if the caller knows it) to turn that degradation
+    into a loud ValueError."""
+    if build_k is not None and k > build_k:
+        raise ValueError(
+            f"merge k={k} exceeds the sketches' build k={build_k}: a "
+            "bottom-k sample cannot be widened after truncation — "
+            "rebuild the partials with the larger k"
+        )
     frames = list(sketches)
     merged = frames[0]
     for f in frames[1:]:

@@ -48,7 +48,7 @@ def salted_topk(
         raise ValueError("k must be >= 1")
     if n_salt is not None and n_salt < 1:
         raise ValueError("n_salt must be >= 1")
-    for reserved in ("rank", "_salt"):
+    for reserved in ("rank", "_salt", "_rn1"):
         if reserved in df.columns:
             raise ValueError(
                 f"input already has a {reserved!r} column — rename it; "

@@ -1284,7 +1284,7 @@ sc_b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv
 sc_a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS av
          FROM embeddings WHERE label <> 0),
 sc_cos AS (
-  SELECT a.id,
+  SELECT a.id, a.av IS NOT NULL AS av_ok,
          round(CASE WHEN list_inner_product(a.av, a.av) = 0
                       OR list_inner_product(b.bv, b.bv) = 0
                     THEN 0.0
@@ -1293,12 +1293,19 @@ sc_cos AS (
                             * sqrt(list_inner_product(b.bv, b.bv)))
                END, 4) + 0.0 AS cos
   FROM sc_a a CROSS JOIN sc_b b
+),
+sc_agg AS (
+  SELECT id, max(cos) + 0.0 AS mx,
+         CAST(sum(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         bool_or(av_ok) AS checked
+  FROM sc_cos GROUP BY id
 )
-SELECT id, max(cos) + 0.0 AS max_benchmark_cos,
-       CAST(sum(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_matches,
-       sum(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END) > 0 AS contaminated
-FROM sc_cos GROUP BY id ORDER BY id"""
+SELECT id,
+       CASE WHEN checked THEN mx END AS max_benchmark_cos,
+       CASE WHEN checked THEN nm END AS n_matches,
+       CASE WHEN checked THEN nm > 0 END AS contaminated,
+       checked
+FROM sc_agg ORDER BY id"""
 
     # SemDeDup (dedup_docs.semantic_dedup): hash-picked IVF centroids →
     # nearest-centroid cells (identical math to ann_ivf_embeddings) →
@@ -2725,7 +2732,10 @@ ORDER BY episode_uuid, subj_name, pred, obj_name"""
 )"""
         )
     lp_chain = ",\n".join(lp_rounds)
-    q["communities"] = f"""WITH {EDGES_CTE},
+    # shared LP chain: q["communities"] reads `agg` directly;
+    # q["communities_cosine"] extends it with the uuid→parquet-vector
+    # map + cosine top-k (the community similarity channel, r5)
+    comm_chain = f"""{EDGES_CTE},
 sym AS (
   SELECT source_node_uuid AS src, target_node_uuid AS dst FROM edges
   UNION ALL
@@ -2750,11 +2760,49 @@ agg AS (
   SELECT group_id, community, count(*) AS member_count,
          min(uuid) AS min_member_uuid, min(name) AS min_member_name
   FROM members GROUP BY group_id, community
-)
+)"""
+    q["communities"] = f"""WITH {comm_chain}
 SELECT sha256(group_id || '|' || 'community|' || min_member_uuid) AS uuid,
        'community ' || min_member_name AS name,
        group_id, member_count
 FROM agg ORDER BY uuid"""
+
+    # Community similarity channel (r5 — reference
+    # community_similarity_search, search_utils.py:1022-1129): cosine
+    # top-k over community name embeddings. The Spark query swaps the
+    # hash name_embedding for a parquet vector keyed by the first 4 hex
+    # chars of the community uuid (the _map_edge_embeddings device), so
+    # DuckDB reproduces score AND ranking exactly.
+    q["communities_cosine"] = f"""WITH {comm_chain},
+cm AS (
+  SELECT sha256(group_id || '|' || 'community|' || min_member_uuid) AS uuid
+  FROM agg
+),
+cm_map AS (
+  SELECT uuid,
+         (
+           (strpos('0123456789abcdef', substr(uuid, 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(uuid, 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(uuid, 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(uuid, 4, 1)) - 1)
+         ) % (SELECT count(*) FROM embeddings) AS vec_id
+  FROM cm
+),
+cm_qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+cm_scored AS (
+  SELECT m.uuid AS id,
+         round(
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT q FROM cm_qv))
+           / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product((SELECT q FROM cm_qv), (SELECT q FROM cm_qv)))),
+         4) AS score
+  FROM cm_map m JOIN embeddings e ON e.vec_id = m.vec_id
+),
+cm_topk AS (SELECT * FROM cm_scored ORDER BY score DESC, id ASC LIMIT 10)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM cm_topk ORDER BY rank"""
 
     # G4 INCREMENTAL community maintenance (communities.update_communities
     # wired into ingest_incremental): prior graph = the first 20-doc
@@ -3618,6 +3666,26 @@ edge_rows AS (
 )
 SELECT * FROM node_rows UNION ALL SELECT * FROM edge_rows
 ORDER BY kind, uuid"""
+
+    # Reverse provenance (r5 — reference get_episodes_by_mentions,
+    # search_utils.py:113-125): episodes cited by the 5 lexicographically
+    # first merged edges. The citation set re-derives from triples (edge
+    # uuid is a pure function of the merge key), independently of the
+    # Spark provenance arrays it proves.
+    q["episodes_by_mentions"] = f"""WITH {EDGES_CTE},
+ebm_probe AS (SELECT uuid FROM edges ORDER BY uuid LIMIT 5),
+ebm_cited AS (
+  SELECT DISTINCT t.episode_uuid AS uuid
+  FROM triples t
+  JOIN ebm_probe p ON p.uuid = sha256(t.group_id || '|' ||
+        sha256(t.group_id || '|' || t.subj_name) || '|' ||
+        sha256(t.group_id || '|' || t.obj_name) || '|' ||
+        t.pred || '|' || t.fact)
+)
+SELECT e.uuid, e.name, e.group_id, e.content,
+       strftime(e.valid_at, '%Y-%m-%d %H:%M:%S') AS valid_at
+FROM episodes e JOIN ebm_cited c USING (uuid)
+ORDER BY e.uuid LIMIT 10"""
 
     # Q6 deterministic cross-encoder stand-in: token overlap |q∩d|/|q|.
     q["cross_encoder_docs"] = r"""WITH toks AS (

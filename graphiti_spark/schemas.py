@@ -100,5 +100,8 @@ COMMUNITIES_SCHEMA = StructType(
         StructField("summary", StringType(), True),
         StructField("created_at", TimestampType(), False),
         StructField("member_count", LongType(), True),
+        # reference CommunityNode.name_embedding (nodes.py:591-728) —
+        # the vector the community cosine channel ranks on
+        StructField("name_embedding", ArrayType(FloatType()), True),
     ]
 )

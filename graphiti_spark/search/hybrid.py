@@ -52,7 +52,12 @@ def _edge(rr, methods=("bm25", "cosine")):
     return SearchConfig(edges=ChannelConfig(list(methods), rr))
 def _node(rr, methods=("bm25", "cosine")):
     return SearchConfig(nodes=ChannelConfig(list(methods), rr))
-def _comm(rr): return SearchConfig(communities=ChannelConfig(["bm25"], rr))
+def _comm(rr, limit=DEFAULT_SEARCH_LIMIT):
+    # every reference community recipe is bm25 + cosine over
+    # CommunityNode.name_embedding (search_config_recipes.py:201-223)
+    return SearchConfig(
+        communities=ChannelConfig(["bm25", "cosine"], rr), limit=limit
+    )
 
 
 # The reference's 17 canned recipes (search_config_recipes.py:34-223),
@@ -77,25 +82,26 @@ NODE_HYBRID_SEARCH_CROSS_ENCODER = _node(
 )
 COMMUNITY_HYBRID_SEARCH_RRF = _comm("rrf")
 COMMUNITY_HYBRID_SEARCH_MMR = _comm("mmr")
-COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = _comm("cross_encoder")
+# the reference caps this recipe at 3 (search_config_recipes.py:217-223)
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = _comm("cross_encoder", limit=3)
 EPISODE_HYBRID_SEARCH_RRF = SearchConfig(episodes=ChannelConfig(["bm25"], "rrf"))
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig(
     edges=ChannelConfig(["bm25", "cosine"], "rrf"),
     nodes=ChannelConfig(["bm25", "cosine"], "rrf"),
     episodes=ChannelConfig(["bm25"], "rrf"),
-    communities=ChannelConfig(["bm25"], "rrf"),
+    communities=ChannelConfig(["bm25", "cosine"], "rrf"),
 )
 COMBINED_HYBRID_SEARCH_MMR = SearchConfig(
     edges=ChannelConfig(["bm25", "cosine"], "mmr"),
     nodes=ChannelConfig(["bm25", "cosine"], "mmr"),
     episodes=ChannelConfig(["bm25"], "rrf"),
-    communities=ChannelConfig(["bm25"], "rrf"),
+    communities=ChannelConfig(["bm25", "cosine"], "mmr"),
 )
 COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
     edges=ChannelConfig(["bm25", "cosine", "bfs"], "cross_encoder"),
     nodes=ChannelConfig(["bm25", "cosine", "bfs"], "cross_encoder"),
     episodes=ChannelConfig(["bm25"], "cross_encoder"),
-    communities=ChannelConfig(["bm25"], "cross_encoder"),
+    communities=ChannelConfig(["bm25", "cosine"], "cross_encoder"),
 )
 
 
@@ -271,11 +277,21 @@ def search(
             prebuilt_index=_idx("episodes", False),
         )
     if config.communities is not None and communities is not None:
+        # the cosine arm ranks on CommunityNode.name_embedding
+        # (reference community_similarity_search,
+        # search_utils.py:1022-1129); a communities frame WITHOUT the
+        # column (pre-r5 tables) degrades to bm25-only exactly as the
+        # method dispatch already allows (vec_col None)
+        has_vec = "name_embedding" in communities.columns
         corpus = communities.select(
-            "uuid", F.concat_ws(" ", "name", "summary").alias("search_text")
+            "uuid",
+            F.concat_ws(" ", "name", "summary").alias("search_text"),
+            *(["name_embedding"] if has_vec else []),
         )
         out["communities"] = _channel(
-            corpus, "uuid", "search_text", None, query, None,
+            corpus, "uuid", "search_text",
+            "name_embedding" if has_vec else None, query,
+            query_vec if has_vec else None,
             config.communities, config.limit,
             prebuilt_index=_idx("communities", False),
         )

@@ -70,6 +70,24 @@ def main() -> None:
         "clean-corpus role); default: the surviving corpus itself "
         "(self-perplexity drops atypical outlier docs)",
     )
+    ap.add_argument(
+        "--semantic-dedup-embeddings",
+        default=None,
+        help="parquet of (vec_id, embedding) rows keyed like doc_id: "
+        "enables a SemDeDup stage (IVF-cell-bounded embedding dedup) "
+        "after near-dup; only IVF-cell-local pairs are compared",
+    )
+    ap.add_argument("--semantic-threshold", type=float, default=0.9)
+    ap.add_argument("--semantic-n-cells", type=int, default=16)
+    ap.add_argument(
+        "--semantic-max-cell",
+        type=int,
+        default=100_000,
+        help="cap on IVF cell size for the SemDeDup pair join; cells "
+        "above it are dropped from pairing and SURFACED in stats as "
+        "dropped_ivf_cells/dropped_ivf_rows (the dropped_lsh_buckets "
+        "contract) — 0 disables the cap",
+    )
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--sample-seed", default="curate")
     ap.add_argument("--chunk-size", type=int, default=128)
@@ -167,6 +185,47 @@ def main() -> None:
     if not args.no_funnel:
         stats["dropped_lsh_buckets"] = drop_sink[0].count() if drop_sink else 0
     docs = funnel("after_near_dup", docs)
+
+    # 2b. optional SemDeDup (Abbas et al. 2023) over caller-supplied
+    # embeddings keyed like doc_id: IVF cells bound the quadratic, the
+    # per-cell cap bounds centroid skew, and capped cells are surfaced
+    # in stats exactly like dropped LSH buckets — recall loss at scale
+    # is observable, never silent.
+    if args.semantic_dedup_embeddings:
+        from graphiti_spark.operators.dedup_docs import semantic_dedup
+
+        embs = (
+            spark.read.parquet(args.semantic_dedup_embeddings)
+            .select("vec_id", "embedding")
+            .join(
+                docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+            )
+        )
+        cell_sink: list = []
+        sem = semantic_dedup(
+            embs,
+            n_cells=args.semantic_n_cells,
+            threshold=args.semantic_threshold,
+            max_cell=args.semantic_max_cell or None,
+            dropped_sink=cell_sink,
+        )
+        docs = docs.join(
+            sem.filter(F.col("id") == F.col("canonical_id")).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+        if not args.no_funnel:
+            dropped = cell_sink[0].persist() if cell_sink else None
+            stats["dropped_ivf_cells"] = dropped.count() if dropped is not None else 0
+            stats["dropped_ivf_rows"] = (
+                int(dropped.agg(F.sum("cell_n")).first()[0] or 0)
+                if dropped is not None
+                else 0
+            )
+            if dropped is not None:
+                dropped.unpersist()
+        docs = funnel("after_semantic_dedup", docs)
 
     # 3. corpus-level line dedup (C4): rewrite text to surviving lines
     dl = dedup_lines(docs)

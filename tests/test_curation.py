@@ -333,20 +333,25 @@ def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
             (2, [0.0, 3.0, 0.0]),   # orthogonal -> cos 0.0
             (3, [1.0, 1.0, 0.0]),   # cos ~0.7071
             (4, [0.0, 0.0, 0.0]),   # zero norm -> guard to 0.0
+            (5, None),              # unembedded -> NOT silently clean
         ],
         "vec_id long, embedding array<double>",
     )
     out = {
-        r["id"]: (r["max_benchmark_cos"], r["n_matches"], r["contaminated"])
+        r["id"]: (r["max_benchmark_cos"], r["n_matches"], r["contaminated"],
+                  r["checked"])
         for r in semantic_decontaminate(
             corpus, bench, threshold=0.7
         ).collect()
     }
     assert out == {
-        1: (1.0, 1, True),
-        2: (0.0, 0, False),
-        3: (0.7071, 1, True),
-        4: (0.0, 0, False),
+        1: (1.0, 1, True, True),
+        2: (0.0, 0, False, True),
+        3: (0.7071, 1, True, True),
+        4: (0.0, 0, False, True),
+        # ADVICE r4: a NULL-embedding doc is flagged UNCHECKED (null
+        # verdicts), distinguishable from a verified-clean doc
+        5: (None, None, None, False),
     }
 
 
@@ -363,4 +368,4 @@ def test_semantic_decontaminate_empty_benchmark_returns_clean_rows(spark):
     out = sorted(
         map(tuple, semantic_decontaminate(corpus, bench).collect())
     )
-    assert out == [(1, 0.0, 0, False), (2, 0.0, 0, False)]
+    assert out == [(1, 0.0, 0, False, True), (2, 0.0, 0, False, True)]
