@@ -233,9 +233,68 @@ def run_bench(
     return result
 
 
+def run_funnel_bench(
+    sf_dir: str, cores: int | None, replicate: int = 1, fast: bool = False
+) -> dict:
+    """Curation-funnel core throughput (r5, VERDICT r4 next #6): exact
+    dedup → MinHash near-dup canonicals → C4 line dedup → language +
+    quality gates (operators.curation.curation_funnel, the oracle-able
+    core of jobs/curate_corpus.py) over documents.parquet. Metric =
+    input docs/sec; the final aggregate depends on content_sha AND
+    quality so no gate stage can be pruned. Same pre-touch/warmup/
+    replication discipline as the KG bench."""
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
+    if fast:
+        os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    if cores is not None:
+        os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    if replicate > 1:
+        sf_dir = replicate_corpus(sf_dir, replicate)
+
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.functions.embed import make_embed_udf
+    from graphiti_spark.operators.curation import curation_funnel
+    from graphiti_spark.session import get_spark
+
+    spark = get_spark(app_name=f"graphiti-funnel-bench-{cores or 'auto'}")
+    sc_cores = spark.sparkContext.defaultParallelism
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().count()
+    warm = spark.range(256).select(F.col("id").cast("string").alias("s"))
+    warm.select(make_embed_udf()(F.col("s"))).count()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()  # input size, outside the clock
+
+    t0 = time.monotonic()
+    out = curation_funnel(docs, sample_rate=1.0)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("content_sha")).alias("sha_bytes"),
+        F.sum("quality").alias("q"),
+    ).collect()[0]
+    total = round(time.monotonic() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark.stop()
+    return {
+        "metric": "funnel_docs_per_sec",
+        "value": round(n_docs / total, 2),
+        "unit": "docs/sec",
+        "queries": {"funnel": total},
+        "sf": sf,
+        "input_docs": n_docs,
+        "surviving_docs": row["n"],
+        "wall_sec": total,
+        "cores": sc_cores,
+    }
+
+
 def run_scaling(
     sf_dir: str, n_small: int = 8, n_large: int = 32, replicate: int = 8,
-    repeats: int = 2,
+    repeats: int = 2, funnel: bool = False,
 ) -> dict:
     """Sandbox stand-in for N vs 4N executors (BASELINE.md protocol):
     identical job, identical (replicated) input, local[N] vs local[4N],
@@ -246,10 +305,12 @@ def run_scaling(
     for cores in (n_small, n_large):
         best = None
         for _ in range(repeats):
+            cmd = [sys.executable, __file__, "--cores", str(cores),
+                   "--sf-dir", sf_dir, "--replicate", str(replicate), "--fast"]
+            if funnel:
+                cmd.append("--funnel")
             proc = subprocess.run(
-                [sys.executable, __file__, "--cores", str(cores),
-                 "--sf-dir", sf_dir, "--replicate", str(replicate), "--fast"],
-                capture_output=True, text=True, check=True,
+                cmd, capture_output=True, text=True, check=True,
             )
             line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
             run = json.loads(line)
@@ -261,13 +322,13 @@ def run_scaling(
     ratio = n_large / n_small
     efficiency = t_small / (ratio * t_large)  # == tput(4N) / (4 * tput(N))
     phase_eff = {}
-    for ph in ("build_cc", "edges_dag"):
+    for ph in ("build_cc", "edges_dag", "funnel"):
         a = results[n_small]["queries"].get(ph)
         b = results[n_large]["queries"].get(ph)
         if a and b:
             phase_eff[ph] = round(a / (ratio * b), 3)
     return {
-        "metric": "scaling_efficiency",
+        "metric": "funnel_scaling_efficiency" if funnel else "scaling_efficiency",
         "value": round(efficiency, 3),
         "unit": f"throughput({n_large})/( {ratio:.0f} * throughput({n_small}) )",
         "sf": results[n_large]["sf"],
@@ -286,11 +347,19 @@ def main() -> None:
     ap.add_argument("--n-small", type=int, default=8)
     ap.add_argument("--n-large", type=int, default=32)
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument(
+        "--funnel", action="store_true",
+        help="bench the curation-funnel core instead of the KG DAG",
+    )
     args = ap.parse_args()
 
     if args.scaling:
         print(json.dumps(run_scaling(
-            args.sf_dir, args.n_small, args.n_large, args.replicate or 8)))
+            args.sf_dir, args.n_small, args.n_large, args.replicate or 8,
+            funnel=args.funnel)))
+    elif args.funnel:
+        print(json.dumps(run_funnel_bench(
+            args.sf_dir, args.cores, args.replicate or 1, args.fast)))
     else:
         print(json.dumps(run_bench(
             args.sf_dir, args.cores, args.replicate or 1, args.fast)))

@@ -125,3 +125,31 @@ def test_get_nodes_and_edges_by_episode(spark):
     )
     assert {r.name for r in sub_m["nodes"].collect()} == {"spark", "window"}
     assert {r.name for r in sub_m["edges"].collect()} == {"JOIN"}
+
+
+def test_get_episodes_by_mentions_inverts_subgraph_fetch(spark):
+    """r5 (reference get_episodes_by_mentions, search_utils.py:113-125):
+    the reverse provenance fetch — feeding an edge set back returns
+    exactly the episodes its provenance arrays cite, and limit cuts in
+    uuid order."""
+    from graphiti_spark.operators.maintenance import get_episodes_by_mentions
+
+    prior = _prior(spark)
+    ep_a = (
+        prior["episodes"].filter(F.col("name") == "http://a").collect()[0].uuid
+    )
+    sub = get_nodes_and_edges_by_episode(
+        [ep_a], prior["mention_edges"], prior["nodes"], prior["edges"]
+    )
+    eps = get_episodes_by_mentions(sub["edges"], prior["episodes"]).collect()
+    assert ep_a in {r.uuid for r in eps}
+    # every returned episode really is cited by some probe edge
+    cited = {
+        u for r in sub["edges"].collect() for u in r.episodes
+    }
+    assert {r.uuid for r in eps} == cited
+    # limit honors uuid order
+    one = get_episodes_by_mentions(
+        sub["edges"], prior["episodes"], limit=1
+    ).collect()
+    assert [r.uuid for r in one] == sorted(cited)[:1]

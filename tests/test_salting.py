@@ -98,6 +98,23 @@ def test_pipeline_reports_zero_dropped_buckets(spark):
     assert out["dropped_buckets"].count() == 0  # healthy corpus
 
 
+def test_salted_topk_rejects_all_reserved_columns(spark):
+    """ADVICE r4: '_rn1' joins 'rank'/'_salt' in the reserved-name
+    check — an input already carrying any of the three raises instead
+    of being silently overwritten by the phase-1 withColumn/drop."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.operators.topk import salted_topk
+
+    for col in ("rank", "_salt", "_rn1"):
+        df = spark.createDataFrame(
+            [("g", 1)], f"g string, {col} long"
+        )
+        with pytest.raises(ValueError, match=col):
+            salted_topk(df, ["g"], [F.col(col).asc()], k=1)
+
+
 def test_generic_salted_topk_equals_plain_window_and_spreads(spark):
     """The generic operator: identical rows to the unsalted window on a
     hub-skewed fixture, and phase 1 genuinely spreads the hub across

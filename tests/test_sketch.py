@@ -194,6 +194,19 @@ def test_sample_sketch_merge_equals_whole(measured):
     )
 
 
+def test_sample_merge_rejects_oversized_merge_k():
+    """ADVICE r4: merging with a k larger than the sketches' build k
+    silently returns an undersized sample (and quantile_estimate then
+    misreads truncated groups as exact); with build_k supplied the
+    mismatch fails loudly before any frame is touched."""
+    import pytest
+
+    from graphiti_spark.operators.sketch import sample_merge
+
+    with pytest.raises(ValueError, match="exceeds the sketches' build k"):
+        sample_merge([None], ["g"], k=32, build_k=16)
+
+
 def test_sample_sketch_partition_and_fanout_invariant(measured):
     from graphiti_spark.operators.sketch import bottomk_quantiles
 
