@@ -83,10 +83,21 @@ def connected_components(
     Isolated nodes (not in pairs) are absent; callers coalesce(canonical,
     own) after a left join — same contract as the reference's uuid_map.
     """
-    # Single full count (one job) instead of take(1): take's escalating
-    # partial jobs re-run the upstream UDF chain per retry; a count both
-    # answers emptiness and fully populates the caller's pairs cache.
-    if pairs.count() == 0:
+    # Materialize the (possibly expensive) pair plan EXACTLY ONCE:
+    # checkpoint first, then probe emptiness on the checkpointed frame.
+    # The previous order (full count for the emptiness probe, THEN an
+    # eager checkpoint) evaluated an UNPERSISTED caller's entire pair
+    # pipeline twice — the curation funnel measured its 83 s MinHash
+    # stage 2× from exactly this (r5); persisted callers (the flagship
+    # pipeline persists `pairs`) were shielded by the cache and are
+    # unaffected by the reorder. isEmpty on a checkpointed frame is a
+    # cheap take(1) over materialized partitions — the take-retry
+    # UDF-re-run hazard the old comment guarded against is gone because
+    # nothing upstream of the checkpoint can re-run.
+    edges = _symmetrize(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint(eager=True)
+    if edges.isEmpty():
         spark = pairs.sparkSession
         # JVM-side empty frame — createDataFrame([]) builds a Python-RDD
         # plan whose 32 empty tasks each pay Python-worker spin-up.
@@ -94,7 +105,6 @@ def connected_components(
             F.col("id").cast("string").alias("uuid"),
             F.col("id").cast("string").alias("canonical_uuid"),
         )
-    edges = _symmetrize(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
 
     def _fingerprint(df: DataFrame) -> tuple:
         """(row count, order-insensitive hash-sum) — one cheap agg job per
@@ -106,7 +116,7 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    current = edges.localCheckpoint(eager=True)
+    current = edges  # already checkpointed above
     prev_fp = _fingerprint(current)
     for _ in range(max_iterations):
         ls_sym = _symmetrize(_large_star(current))

@@ -565,11 +565,20 @@ def curation_funnel(
     Output per surviving doc: (doc_id, content_sha = sha256 of the
     line-deduped text, pred_lang, quality, u — the sampling draw).
 
-    Stage boundaries localCheckpoint: the dedup stages reference their
-    input 3-4× each, so composing them nests the upstream plan
-    multiplicatively (the measured 542 MB plan-string lesson in
-    jobs/curate_corpus.py); the checkpoint keeps the composed plan
-    linear while leaving every stage declarative internally."""
+    Stage boundaries localCheckpoint — but ID-SIZED frames only (r5):
+    the dedup stages reference their input 3-4× each, so composing them
+    nests the upstream plan multiplicatively (the measured 542 MB
+    plan-string lesson in jobs/curate_corpus.py). Checkpointing the
+    full text frame at every boundary bounded the plan but serialized
+    the whole corpus to local disk 3× — a non-scaling IO component the
+    1→4-core protocol measured at ~90 s/leg (37 % of the 4-core wall,
+    efficiency 0.723). Checkpointing only the SURVIVOR-ID sets keeps
+    the plan linear for the same reason (each downstream reference of
+    the stage frame embeds one constant-size scan+join subplan, never
+    the upstream dedup pipeline) while the re-scans of the parquet
+    source are distributed work that scales with cores. The one
+    text-sized checkpoint kept is the stage-3 rewrite map — dedup_lines
+    is the costliest stage and is referenced 3× downstream."""
     from graphiti_spark.operators.dedup_docs import (
         canonical_docs,
         exact_dedup,
@@ -578,25 +587,25 @@ def curation_funnel(
     from graphiti_spark.operators.sampling import sample_fraction
     from graphiti_spark.operators.textstats import language_id, quality_score
 
-    # 1. exact dedup: the canonical copy survives
+    # 1. exact dedup: the canonical copy survives (checkpoint = id set)
     ex = exact_dedup(docs)
-    d = docs.join(
-        ex.filter(F.col("id") == F.col("canonical_id")).select(
-            F.col("id").alias("doc_id")
-        ),
-        "doc_id",
-    ).localCheckpoint()
+    ids1 = (
+        ex.filter(F.col("id") == F.col("canonical_id"))
+        .select(F.col("id").alias("doc_id"))
+        .localCheckpoint()
+    )
+    d = docs.join(ids1, "doc_id")
 
-    # 2. near-dup canonicals over the survivors
+    # 2. near-dup canonicals over the survivors (checkpoint = id set)
     canon = canonical_docs(
         d, minhash_near_dup(d, threshold=near_dup_threshold, mode="word")
     )
-    d = d.join(
-        canon.filter(F.col("id") == F.col("canonical_id")).select(
-            F.col("id").alias("doc_id")
-        ),
-        "doc_id",
-    ).localCheckpoint()
+    ids2 = (
+        canon.filter(F.col("id") == F.col("canonical_id"))
+        .select(F.col("id").alias("doc_id"))
+        .localCheckpoint()
+    )
+    d = d.join(ids2, "doc_id")
 
     # 3. corpus-level line dedup; docs emptied by the rewrite drop out
     dl = dedup_lines(d)
