@@ -263,8 +263,16 @@ def run_funnel_bench(
     warm = spark.range(256).select(F.col("id").cast("string").alias("s"))
     warm.select(make_embed_udf()(F.col("s"))).count()
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    # The replicated corpus is ONE parquet file → 1-2 input splits →
+    # the shingle/MinHash UDF scan serializes onto 1-2 cores (the
+    # load_pages lesson, CLAUDE.md; measured: the whole funnel scaling
+    # gap — minhash stage efficiency 0.73 at 4 cores with 2 splits).
+    # Repartition to the session's parallelism INSIDE the timed plan —
+    # input staging a real cluster gets for free from many files.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(2 * sc_cores)
     )
     n_docs = docs.count()  # input size, outside the clock
 
